@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local pre-gate: replicate the driver's DuckDB-oracle comparison.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output) and runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the
+sfDir tables registered as views. Compares values exactly (column order
+normalized by name-sort, row order as produced). DEV TOOL ONLY — not part
+of the shipped library.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [d[0] for d in spark_rel.description]
+            s_rows = spark_rel.fetchall()
+            o_rel = con.execute(oracles[name])
+            o_cols = [d[0] for d in o_rel.description]
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: execution error: {e}")
+            n_fail += 1
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} "
+                  f"oracle={sorted(o_cols)}")
+            n_fail += 1
+            continue
+        s_ix = [s_cols.index(c) for c in sorted(s_cols)]
+        o_ix = [o_cols.index(c) for c in sorted(o_cols)]
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+            sv = tuple(norm(sr[j]) for j in s_ix)
+            ov = tuple(norm(orow[j]) for j in o_ix)
+            if sv != ov:
+                bad = (i, sv, ov)
+                break
+        if bad:
+            i, sv, ov = bad
+            cols = sorted(s_cols)
+            diffs = [f"{cols[j]}: spark={sv[j]!r} oracle={ov[j]!r}"
+                     for j in range(len(cols)) if sv[j] != ov[j]]
+            print(f"FAIL {name}: row {i}: " + "; ".join(diffs[:4]))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
