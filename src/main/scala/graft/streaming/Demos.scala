@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** The events record (mirrors the events table / FIXTURES.md). */
+case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String
+)
+
+/** A broadcast rule (the control-stream element; FIXTURES.md fixture R). */
+case class Rule(event_type: String, threshold: Double, severity: String)
+
+/** Alert emitted by the broadcast-rules pattern. */
+case class Alert(event_id: Long, user_id: Long, event_type: String, value: Double, severity: String)
+
+/** Per-key state for the pattern detector: the last event seen. */
+case class LastEvent(event_type: String, event_id: Long, tsMillis: Long)
+
+/** click→purchase match emitted by the pattern detector. */
+case class PatternMatch(user_id: Long, click_event_id: Long, purchase_event_id: Long, purchase_ts: Timestamp)
+
+/** Structured-Streaming-native forms of the reference's operators
+  * (SURVEY.md §2.3 s1–s5). The batch-checkable analogs live in
+  * graft.ops.StreamingBatch; these are the real `readStream` programs,
+  * exercised by StreamingDemosSpec with MemoryStream inputs.
+  *
+  * Mapping (SURVEY.md §2.1):
+  *  - s1 = R7–R10: broadcast state incl. rule updates between batches
+  *    (processBroadcastElement == the per-batch `currentRules()` re-read;
+  *    each micro-batch joins against the then-current rules table).
+  *  - s2 = R12+R14: watermark + tumbling event-time window.
+  *  - s3 = R9 dedup with watermark-bounded state.
+  *  - s4 = R9+R11+R13: the literal KeyedBroadcastProcessFunction
+  *    translation — per-key GroupState + event-time timeout.
+  *  - s5 = R14 session windows.
+  */
+object Demos {
+
+  /** s1 — the broadcast-state pattern, streaming-native. The rules
+    * "stream" is low-volume control data: each micro-batch re-resolves
+    * `currentRules()` and broadcast-joins it to the batch (the rules table
+    * is replicated to every task — the MapStateDescriptor analog). Rule
+    * updates therefore apply to the NEXT micro-batch, exactly Flink's
+    * eventually-consistent broadcast-state semantics.
+    */
+  def s1BroadcastRules(
+      events: DataFrame,
+      currentRules: () => Seq[Rule],
+      onBatch: (Seq[Alert], Long) => Unit
+  ): StreamingQuery = {
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val rules = currentRules().toDF()
+        val alerts = batch
+          .join(broadcast(rules), Seq("event_type"))
+          .where(col("value") >= col("threshold"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("severity"))
+          .as[Alert]
+          .collect()
+          .toSeq
+        onBatch(alerts, batchId)
+      }
+      .start()
+  }
+
+  /** s2 — watermarked tumbling window aggregation (append mode: a window
+    * is emitted once the watermark passes its end, then its state is
+    * dropped — bounded state at any stream length). */
+  def s2TumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+
+  /** s3 — streaming dedup: state bounded by the watermark. */
+  def s3Dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  /** s4 — the KeyedBroadcastProcessFunction#processElement translation:
+    * per-key mutable state (ValueState[LastEvent]) + event-time timer for
+    * state cleanup, emitting click→purchase matches. */
+  def s4PatternDetect(spark: SparkSession, events: DataFrame): Dataset[PatternMatch] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, PatternMatch](OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            // R13: the timer fired — drop idle per-key state.
+            state.remove()
+            Iterator.empty
+          } else {
+            // Micro-batch group iterators carry no order guarantee; impose
+            // event-time order so cross-batch and intra-batch behavior agree.
+            val evs = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Vector.newBuilder[PatternMatch]
+            var last = state.getOption
+            for (e <- evs) {
+              if (e.event_type == "purchase" && last.exists(_.event_type == "click"))
+                out += PatternMatch(uid, last.get.event_id, e.event_id, e.ts)
+              last = Some(LastEvent(e.event_type, e.event_id, e.ts.getTime))
+            }
+            last.foreach { l =>
+              state.update(l)
+              // Clean up state one hour of event time after the last event.
+              state.setTimeoutTimestamp(l.tsMillis + 3600 * 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** s5 — session windows (30-minute gap), watermark-bounded state. */
+  def s5Sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the declared queries (SURVEY.md §5.3), checked
+  * on real sf0.001 data — cheap, deterministic, and independent of the
+  * DuckDB oracle (they catch bugs the hash compare can't explain).
+  */
+class InvariantSpec extends AnyFunSuite {
+  import SharedSpark.{sf001, spark}
+
+  private def run(q: String) = SparkEntry.queries(q)(spark, sf001)
+
+  test("q34 dedup output has unique (user_id, event_type) and is idempotent in size") {
+    val out = run("q34_dedup").cache()
+    val n = out.count()
+    assert(out.select("user_id", "event_type").distinct().count() == n)
+    // every kept row is the group's minimum (ts, event_id)
+    val ev = graft.Tables.events(spark, sf001)
+    val mins = ev.groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("event_type"), col("m.event_id").as("event_id"))
+    assert(out.join(mins, Seq("user_id", "event_type", "event_id")).count() == n)
+    out.unpersist()
+  }
+
+  test("q37 late counts are non-negative and totals cover all events") {
+    val rows = run("q37_late_events").collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2)))
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.Tables.events(spark, sf001).count())
+    // the simulated arrival permutation must actually produce late events
+    assert(rows.map(_.getLong(1)).sum > 0, "q37 is vacuous — no late events")
+  }
+
+  test("q40 jaccard similarities are in [0.5, 1] with doc_a < doc_b") {
+    val rows = run("q40_near_dup_jaccard").collect()
+    rows.foreach { r =>
+      val (a, b, sim) = (r.getLong(0), r.getLong(1), r.getDouble(5))
+      assert(a < b)
+      assert(sim >= 0.5 && sim <= 1.0)
+    }
+  }
+
+  test("q41 cosine similarities are in [-1, 1], ranks 1..5, no self-pairs") {
+    val rows = run("q41_cosine_topk").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      val c = r.getDouble(2)
+      assert(c >= -1.0000001 && c <= 1.0000001)
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 5)
+    }
+  }
+
+  test("q33 session starts: per-user session counts match a gap-count check") {
+    import spark.implicits._
+    val sessions = run("q33_session_window")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val ev = graft.Tables.events(spark, sf001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_millis(col("ts")) - unix_millis(col("prev_ts")) >= 30L * 60 * 1000, 1)
+          .otherwise(0)
+      )
+      .groupBy("user_id").agg(sum("new_session").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sessions == gaps)
+  }
+
+  test("q17 union-all count = |A| + |B|; union-distinct has no duplicates") {
+    val out = run("q17_union").cache()
+    val ev = graft.Tables.events(spark, sf001)
+    val na = ev.where(col("event_type").isin("click", "purchase")).count()
+    val nb = ev.where(col("value") >= 150.0).count()
+    assert(out.where(col("src") === "all").count() == na + nb)
+    val dist = out.where(col("src") === "dist")
+    assert(dist.count() == dist.distinct().count())
+    out.unpersist()
+  }
+
+  test("q42 predicted labels are valid and one per query vector") {
+    val rows = run("q42_knn_classify").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).distinct.length == 20)
+    rows.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) <= 9))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §5.3): the declared queries must
+  * not just be correct — they must produce the plans we designed for
+  * scale: broadcast joins for dims, pushed filters at the scan, top-k
+  * without a total sort, and whole-stage codegen coverage.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SharedSpark.{sf001, spark}
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf001)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q35 flagship + q14 use BroadcastHashJoin (the R7 broadcast connect)") {
+    assert(plan("q35_broadcast_rules").contains("BroadcastHashJoin"))
+    assert(plan("q14_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q02 pushes its predicates into the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"))
+  }
+
+  test("q01 prunes columns at the scan (ReadSchema is the 4-col projection)") {
+    val p = plan("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_shipdate"), s"unpruned scan: $readSchema")
+  }
+
+  test("q23 top-k plans TakeOrderedAndProject, not a total sort") {
+    assert(plan("q23_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q12/q13 plan semi/anti joins (not materialized subqueries)") {
+    assert(plan("q12_join_semi").contains("LeftSemi"))
+    assert(plan("q13_join_anti").contains("LeftAnti"))
+  }
+
+  test("q04 aggregation is two-phase (partial + final HashAggregate)") {
+    val p = plan("q04_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("whole-stage codegen covers the hot relational paths") {
+    // codegen'd operators render with a "*(n) " stage prefix
+    assert(plan("q04_agg_pricing").contains("*(1)"))
+    assert(plan("q09_join_inner").contains("*(1)"))
+  }
+}

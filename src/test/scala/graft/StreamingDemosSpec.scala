@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming._
+
+/** MemoryStream-driven tests for the Structured Streaming demos s1–s5
+  * (SURVEY.md §2.3/§5.4), including the R10 semantics: a rule update
+  * between micro-batches affects subsequent batches only.
+  */
+class StreamingDemosSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, uid: Long, typ: String, v: Double): Event =
+    Event(id, ts(minute), uid, typ, v, """{"k": 1}""")
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("s1: broadcast rules fire alerts; rule updates apply to the NEXT batch (R10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    @volatile var rules = Seq(Rule("purchase", 150.0, "HIGH"))
+    val seen = mutable.Buffer[(Long, Seq[Alert])]()
+    val q = Demos.s1BroadcastRules(
+      input.toDF(),
+      () => rules,
+      (alerts, id) => seen.synchronized { seen += ((id, alerts)) }
+    )
+    try {
+      input.addData(ev(1, 0, 7, "purchase", 200.0), ev(2, 1, 7, "purchase", 100.0))
+      runToCompletion(q)
+      val firstAlerts = seen.synchronized(seen.flatMap(_._2).toVector)
+      assert(firstAlerts.map(_.event_id) == Vector(1L)) // only >=150 fires
+      assert(firstAlerts.head.severity == "HIGH")
+
+      // Broadcast-state update between micro-batches: lower the threshold.
+      rules = Seq(Rule("purchase", 50.0, "MED"))
+      input.addData(ev(3, 2, 7, "purchase", 100.0))
+      runToCompletion(q)
+      val all = seen.synchronized(seen.flatMap(_._2).toVector)
+      assert(all.map(_.event_id).sorted == Vector(1L, 3L)) // event 2 was judged by OLD rules
+      assert(all.find(_.event_id == 3).get.severity == "MED")
+    } finally q.stop()
+  }
+
+  test("s2: watermarked tumbling window emits finalized hourly counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Demos.s2TumblingCounts(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s2_out").start()
+    try {
+      input.addData(ev(1, 5, 1, "click", 1.0), ev(2, 10, 2, "click", 1.0), ev(3, 65, 1, "view", 1.0))
+      runToCompletion(q)
+      // Watermark pusher: far-future event finalizes all earlier windows.
+      input.addData(ev(99, 60 * 24, 1, "click", 1.0))
+      runToCompletion(q)
+      val rows = spark.table("s2_out").as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(60), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("s3: streaming dedup keeps one row per (user_id, event_type)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Demos.s3Dedup(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s3_out").start()
+    try {
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 1, 1, "click", 2.0), ev(3, 2, 1, "view", 3.0))
+      runToCompletion(q)
+      input.addData(ev(4, 3, 1, "click", 4.0)) // still a dup within state horizon
+      runToCompletion(q)
+      val n = spark.table("s3_out").count()
+      assert(n == 2) // one click + one view for user 1
+    } finally q.stop()
+  }
+
+  test("s4: flatMapGroupsWithState detects click→purchase across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Demos.s4PatternDetect(spark, input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s4_out").start()
+    try {
+      // batch 1: click for user 1; purchase WITHOUT prior click for user 2
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 0, 2, "purchase", 5.0))
+      runToCompletion(q)
+      // batch 2: purchase for user 1 — state (last=click) carried across batches
+      input.addData(ev(3, 5, 1, "purchase", 9.0))
+      runToCompletion(q)
+      // batch 3: view then purchase for user 1 — no match (view broke the pattern)
+      input.addData(ev(4, 6, 1, "view", 1.0), ev(5, 7, 1, "purchase", 2.0))
+      runToCompletion(q)
+      val matches = spark.table("s4_out").as[PatternMatch].collect().toVector
+      assert(matches.map(m => (m.user_id, m.click_event_id, m.purchase_event_id)) == Vector((1L, 1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("s5: session windows split on >=30min gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Demos.s5Sessions(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s5_out").start()
+    try {
+      // user 1: events at 0, 10 (same session), then 50 (gap 40min → new session)
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "click", 1.0), ev(3, 50, 1, "click", 1.0))
+      runToCompletion(q)
+      input.addData(ev(99, 60 * 24, 2, "click", 1.0)) // watermark pusher
+      runToCompletion(q)
+      val sessions = spark.table("s5_out")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toVector
+        .filter(_._1 == 1L).sortBy(_._2.getTime)
+      assert(sessions.map(s => (s._2, s._4)) == Vector((ts(0), 2L), (ts(50), 1L)))
+    } finally q.stop()
+  }
+}
