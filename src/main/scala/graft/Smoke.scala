@@ -15,6 +15,11 @@ object Smoke {
     spark.sparkContext.setLogLevel("WARN")
     val n = SparkEntry.entry(spark).count()
     println(s"[smoke] entry rows=$n " + (if (n > 0) "OK" else "FAIL"))
+    val media = multimodal.Multimodal.synthesize(spark, "/root/testdata/sf0.001")
+    val feats = multimodal.Multimodal.extractFeatures(media).count()
+    val stats = multimodal.Multimodal.metaStats(media).count()
+    println(s"[smoke] multimodal features=$feats metaStats=$stats " +
+      (if (feats > 0 && stats > 0) "OK" else "FAIL"))
     spark.stop()
   }
 }

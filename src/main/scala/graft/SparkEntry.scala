@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val all: Vector[(String, QDef)] =
-    ops.Relational.defs ++ ops.StreamingBatch.defs ++ ops.LlmExt.defs
+    ops.Relational.defs ++ ops.StreamingBatch.defs ++ ops.LlmExt.defs ++ ops.LlmExt2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q35_broadcast_rules IS the reference's reason to exist (the Flink

@@ -1,0 +1,396 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended training-data-pipeline operators beyond SURVEY.md's original
+  * q39–q45: the SCALE PATHS for dedup and similarity search, plus deeper
+  * text analysis. All constructions are deterministic integer/sequential-
+  * fold math, so each carries a DuckDB oracle like every other declared
+  * query (q46–q52 in SURVEY.md §2.2-ext).
+  *
+  * Scale rationale:
+  *  - q46 MinHash+LSH replaces q40's token self-join: candidate generation
+  *    becomes an equi-join on (band, signature) — linear shuffle, never
+  *    globally quadratic.
+  *  - q47 SimHash gives constant-size (16-bit here, 64-bit in production)
+  *    fingerprints; near-dup testing is bit_count(xor) on pairs within
+  *    blocking buckets.
+  *  - q52 random-hyperplane LSH buckets the ANN search: each query probes
+  *    one bucket (~N/2^bits candidates) instead of all N vectors.
+  */
+object LlmExt2 {
+  import Tables._
+
+  private def fsum(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
+  private def dotCol(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
+  private def norm2(a: Column): Column = fsum(transform(a, x => x * x))
+
+  /** Distinct (doc_id, lang, tok) pairs for all documents. */
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("tok")
+    )
+
+  /** Deterministic token dictionary: tok -> dense id by lexicographic rank.
+    * The global-order window is fine at vocabulary scale (dictionaries are
+    * small and broadcast); identical to DuckDB's dense_rank OVER (ORDER BY tok).
+    */
+  private def tokenDict(toks: DataFrame): DataFrame =
+    toks.select("tok").distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy("tok")))
+
+  private val P = 104729L // prime modulus shared by the hash families
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // ---------------------------------------------------------------- q46
+    // MinHash + LSH banding (16 hashes, 4 bands × 4 rows): candidates
+    // share a band signature within the same language; candidates are then
+    // verified with exact Jaccard. Band collision probability is s^4, so
+    // dissimilar pairs (the overwhelming majority) almost never become
+    // candidates — THIS is what keeps the verify join linear at scale
+    // (2-row bands collide at s^2 and drowned sf0.1 in ~250k candidates).
+    // Hash family: h_i(id) = ((4i+3)·id + 7i+5) mod P over dictionary ids;
+    // band signature chains the 4 minhashes in base 131 (collisions are
+    // deterministic and only add candidates, which exact-verify filters).
+    "q46_minhash_lsh" -> QDef(
+      (s, d) => {
+        // Sampled blocking (doc_id % 3): this corpus has a 31-token
+        // vocabulary, so BASELINE Jaccard between random docs is ~0.5 —
+        // the "few similar pairs" premise of LSH doesn't hold and
+        // candidate volume is inherently dense. Real corpora are sparse;
+        // here we sample to keep the verify join proportionate.
+        val toks = docToks(s, d).where(col("doc_id") % 3 === 0)
+        val dict = tokenDict(toks)
+        // Per-doc token-id arrays, then all 16 minhashes as per-row HOF
+        // math (min is order-independent, so collect_list order is
+        // irrelevant). One shuffle instead of a 16×|tokens| exchange.
+        val tokIds = toks.join(dict, "tok")
+          .groupBy("doc_id", "lang")
+          .agg(collect_list(col("tid").cast("long")).as("ids"))
+        val mhArr = transform(
+          sequence(lit(0), lit(15)),
+          i => array_min(transform(col("ids"), id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P))
+        )
+        val mh = tokIds
+          .select(col("doc_id"), col("lang"), posexplode(mhArr))
+          .withColumnsRenamed(Map("pos" -> "i", "col" -> "mh"))
+        val posMult = when(col("i") % 4 === 0, 1L)
+          .when(col("i") % 4 === 1, 131L)
+          .when(col("i") % 4 === 2, 17161L)
+          .otherwise(2248091L)
+        val sig = mh
+          .groupBy(col("doc_id"), col("lang"), (col("i") / 4).cast("long").as("band"))
+          .agg(sum(col("mh") * posMult).as("sig"))
+        val cand = sig.as("x")
+          .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+          .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+          .where(col("jaccard") >= 0.6)
+          .select("doc_a", "doc_b", "n_common", "jaccard")
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(100)
+      },
+      s"""WITH toks AS (SELECT DISTINCT doc_id, lang, tok FROM
+         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+         |   WHERE doc_id % 3 = 0) t),
+         |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+         |         FROM (SELECT DISTINCT tok FROM toks) u),
+         |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
+         |mh AS (SELECT doc_id, lang, i, MIN(((4*i+3)*tid + (7*i+5)) % $P) AS mh
+         |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+         |sig AS (SELECT doc_id, lang, CAST(i // 4 AS BIGINT) AS band,
+         |          CAST(SUM(mh * CASE WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 131
+         |                             WHEN i % 4 = 2 THEN 17161 ELSE 2248091 END) AS BIGINT) AS sig
+         |        FROM mh GROUP BY 1, 2, 3),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+         |           AND x.lang = y.lang AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |          FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
+         |                      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       n_common / (sa.sz + sb.sz - n_common) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |           JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q47
+    // SimHash (16-bit): per-token pseudo-random sign bits weighted by term
+    // frequency; near-dups are same-lang sampled pairs with hamming <= 4.
+    "q47_simhash" -> QDef(
+      (s, d) => {
+        val tf = documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("cnt"))
+        val dict = tokenDict(tf.select("doc_id", "lang", "tok"))
+        val bits = s.range(0, 16).toDF("j")
+        val scored = tf.join(dict, "tok").crossJoin(bits)
+          .withColumn("g", ((col("tid") * (lit(2) * col("j") + 3) + (lit(7) * col("j") + 1)) % P) % 2)
+          .groupBy("doc_id", "lang", "j")
+          .agg(sum(col("cnt") * (lit(2) * col("g") - 1)).as("score"))
+        val sims = scored
+          .groupBy("doc_id", "lang")
+          .agg(sum(when(col("score") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+        val sample = sims.where(col("doc_id") % 5 === 0)
+        sample.as("x")
+          .join(sample.as("y"), col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+          .withColumn("hamming", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+          .where(col("hamming") <= 4)
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.lang").as("lang"), col("hamming")
+          )
+          .orderBy("hamming", "doc_a", "doc_b")
+          .limit(100)
+      },
+      s"""WITH tf AS (SELECT doc_id, lang, tok, COUNT(*) AS cnt FROM
+         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+         |  GROUP BY 1, 2, 3),
+         |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+         |         FROM (SELECT DISTINCT tok FROM tf) u),
+         |scored AS (SELECT doc_id, lang, j,
+         |             SUM(cnt * (2 * (((tid * (2*j+3) + (7*j+1)) % $P) % 2) - 1)) AS score
+         |           FROM tf JOIN dict USING (tok) CROSS JOIN range(0, 16) b(j)
+         |           GROUP BY 1, 2, 3),
+         |sims AS (SELECT doc_id, lang,
+         |           CAST(SUM(CASE WHEN score > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |         FROM scored GROUP BY 1, 2),
+         |sample AS (SELECT * FROM sims WHERE doc_id % 5 = 0)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.lang AS lang,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM sample x JOIN sample y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q48
+    // Embedding-cosine near-dup: sampled pairs with cosine >= 0.30
+    // (threshold chosen non-vacuous for this corpus: ~top-1% of pairs).
+    "q48_embedding_neardup" -> QDef(
+      (s, d) => {
+        val sample = embeddings(s, d)
+          .where(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("n2", norm2(col("e")))
+        sample.as("x")
+          .join(sample.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .withColumn("cos_sim", dotCol(col("x.e"), col("y.e")) / sqrt(col("x.n2") * col("y.n2")))
+          .where(col("cos_sim") >= 0.30)
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      },
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), z -> z*z), 'sum') AS n2
+        |           FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |       list_aggregate(list_transform(list_zip(x.e, y.e), z -> z[1]*z[2]), 'sum')
+        |         / sqrt(x.n2 * y.n2) AS cos_sim
+        |FROM s x JOIN s y ON x.vec_id < y.vec_id
+        |WHERE list_aggregate(list_transform(list_zip(x.e, y.e), z -> z[1]*z[2]), 'sum')
+        |        / sqrt(x.n2 * y.n2) >= 0.30
+        |ORDER BY cos_sim DESC, vec_a, vec_b""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q49
+    // Language ID by token-profile overlap: per-language top-10 token
+    // profiles (from the corpus), each doc classified to the profile it
+    // shares most distinct tokens with (tie -> lexicographically smaller
+    // language). Output is the confusion matrix.
+    "q49_lang_id" -> QDef(
+      (s, d) => {
+        val tf = documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        val prof = tf
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
+          .where(col("rn") <= 10)
+          .select(col("lang").as("plang"), col("tok"))
+        val overlap = docToks(s, d)
+          .join(prof, "tok")
+          .groupBy("doc_id", "lang", "plang")
+          .agg(count(lit(1)).as("n_shared"))
+        overlap
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("n_shared").desc, col("plang"))))
+          .where(col("rn") === 1)
+          .groupBy(col("lang"), col("plang").as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "pred_lang")
+      },
+      """WITH tf AS (SELECT lang, tok, COUNT(*) AS cnt FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, tok FROM
+        |  (SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn
+        |   FROM tf) p WHERE rn <= 10),
+        |dtoks AS (SELECT DISTINCT doc_id, lang, tok FROM
+        |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+        |overlap AS (SELECT doc_id, lang, plang, COUNT(*) AS n_shared
+        |            FROM dtoks JOIN prof USING (tok) GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, plang FROM
+        |  (SELECT doc_id, lang, plang,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, plang) AS rn
+        |   FROM overlap) r WHERE rn = 1)
+        |SELECT lang, plang AS pred_lang, COUNT(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q50
+    // Quality scoring: type-token ratio, stopword ratio, avg token length,
+    // and a weighted quality score. All ratios are integer quotients and
+    // the score is the identical IEEE expression in both engines.
+    "q50_quality_score" -> QDef(
+      (s, d) => {
+        val stops = array(Seq("a", "the", "row", "value", "table", "and", "of").map(lit): _*)
+        documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+          .withColumn("n_stop", size(filter(col("toks"), t => array_contains(stops, t))).cast("long"))
+          .withColumn("ttr", col("n_distinct") / col("n_toks"))
+          .withColumn("stop_ratio", col("n_stop") / col("n_toks"))
+          .withColumn("avg_tok_len", (col("n_chars") - (col("n_toks") - 1)) / col("n_toks"))
+          .withColumn(
+            "quality",
+            lit(0.5) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+              lit(0.2) * (least(col("n_toks"), lit(100L)) / 100.0)
+          )
+          .select("doc_id", "lang", "n_toks", "n_distinct", "n_stop", "ttr",
+            "stop_ratio", "avg_tok_len", "quality")
+          .orderBy("doc_id")
+          .limit(300)
+      },
+      """SELECT doc_id, lang, n_toks, n_distinct, n_stop,
+        |  n_distinct / n_toks AS ttr,
+        |  n_stop / n_toks AS stop_ratio,
+        |  (n_chars - (n_toks - 1)) / n_toks AS avg_tok_len,
+        |  0.5 * (n_distinct / n_toks) + 0.3 * (1.0 - (n_stop / n_toks))
+        |    + 0.2 * (least(n_toks, 100) / 100.0) AS quality
+        |FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['a','the','row','value','table','and','of'], t))) AS BIGINT) AS n_stop
+        |  FROM documents) t
+        |ORDER BY doc_id LIMIT 300""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q51
+    // Document fingerprinting: 3-gram shingle hashes over dictionary ids
+    // (rolling-hash family (31,37,41) mod 1000003), per-doc shingle stats.
+    "q51_fingerprint" -> QDef(
+      (s, d) => {
+        val ptoks = documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "tok")
+        val dict = tokenDict(ptoks.select("tok"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        ptoks.join(dict, "tok")
+          .withColumn("id2", lead(col("tid"), 1).over(w))
+          .withColumn("id3", lead(col("tid"), 2).over(w))
+          .where(col("id3").isNotNull)
+          .withColumn("sh", (col("tid") * 31 + col("id2") * 37 + col("id3") * 41) % 1000003)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            countDistinct(col("sh")).as("n_distinct_shingles"),
+            min(col("sh")).cast("long").as("fp_min")
+          )
+          .orderBy("doc_id")
+          .limit(300)
+      },
+      """WITH ptoks AS (
+        |  SELECT doc_id, CAST(pos - 1 AS INT) AS pos, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) t),
+        |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+        |         FROM (SELECT DISTINCT tok FROM ptoks) u),
+        |sh AS (SELECT doc_id,
+        |         (tid * 31 + lead(tid, 1) OVER w * 37 + lead(tid, 2) OVER w * 41) % 1000003 AS sh
+        |       FROM ptoks JOIN dict USING (tok)
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |       COUNT(DISTINCT sh) AS n_distinct_shingles,
+        |       CAST(MIN(sh) AS BIGINT) AS fp_min
+        |FROM sh WHERE sh IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q52
+    // LSH-bucketed ANN — the scale path for q41. Three deterministic
+    // integer-valued random hyperplanes split vectors into 8 buckets; each
+    // query ranks cosine ONLY within its bucket (N/8 candidates here;
+    // N/2^bits in production). Hyperplane weights w(j,k) =
+    // ((j·64+k)·2654435761 mod 97) − 48, identical arithmetic both engines.
+    "q52_ann_lsh_bucketed" -> QDef(
+      (s, d) => {
+        def hyper(j: Int): Column =
+          transform(sequence(lit(0), lit(63)),
+            k => ((lit(j.toLong) * 64 + k) * lit(2654435761L) % 97 - 48).cast("double"))
+        def bucketOf(e: Column): Column =
+          (0 until 3).map(j => when(dotCol(e, hyper(j)) > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("bucket", bucketOf(col("e")))
+          .withColumn("n2", norm2(col("e")))
+        val q = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"), col("n2").as("qn"))
+        emb.join(broadcast(q), Seq("bucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", dotCol(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id").as("vid"), col("bucket"), col("cos_sim"),
+            col("rnk").cast("int").as("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), z -> z*z), 'sum') AS n2,
+        |    (CASE WHEN list_aggregate(list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+        |       list_transform(range(0, 64), k -> CAST((0*64+k)*2654435761 % 97 - 48 AS DOUBLE))),
+        |       z -> z[1]*z[2]), 'sum') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_aggregate(list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+        |       list_transform(range(0, 64), k -> CAST((1*64+k)*2654435761 % 97 - 48 AS DOUBLE))),
+        |       z -> z[1]*z[2]), 'sum') > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN list_aggregate(list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+        |       list_transform(range(0, 64), k -> CAST((2*64+k)*2654435761 % 97 - 48 AS DOUBLE))),
+        |       z -> z[1]*z[2]), 'sum') > 0 THEN 4 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe, bucket, n2 AS qn FROM emb WHERE vec_id < 10),
+        |ranked AS (
+        |  SELECT q.qid, emb.vec_id AS vid, q.bucket AS bucket,
+        |    list_aggregate(list_transform(list_zip(q.qe, emb.e), z -> z[1]*z[2]), 'sum')
+        |      / sqrt(q.qn * emb.n2) AS cos_sim
+        |  FROM emb JOIN q ON emb.bucket = q.bucket AND emb.vec_id <> q.qid)
+        |SELECT qid, vid, CAST(bucket AS BIGINT) AS bucket, cos_sim,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS INT) AS rnk
+        |FROM ranked QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    )
+  )
+}
