@@ -20,6 +20,12 @@ object Smoke {
     val stats = multimodal.Multimodal.metaStats(media).count()
     println(s"[smoke] multimodal features=$feats metaStats=$stats " +
       (if (feats > 0 && stats > 0) "OK" else "FAIL"))
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_smoke").toString + "/c.csv"
+    sources.Sources.writeCsv(cust, csvDir)
+    val back = sources.Sources.readCsv(spark, csvDir, cust.schema).count()
+    println(s"[smoke] csv round-trip rows=$back " +
+      (if (back == cust.count()) "OK" else "FAIL"))
     spark.stop()
   }
 }
