@@ -17,13 +17,13 @@ import org.apache.spark.sql.types.DecimalType
 object LlmExt {
   import Tables._
 
-  /** Sequential left-fold sum over an array<double> column — matches
-    * DuckDB's list_aggregate(l, 'sum') bit-for-bit. Per-row, no shuffle,
-    * stays inside whole-stage codegen. */
-  private def fsum(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
-
-  private def dotCol(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
-  private def norm2(a: Column): Column = fsum(transform(a, x => x * x))
+  /** Native codegen'd dot product (graft.plans.DotProduct): bit-identical
+    * to the sequential HOF fold `aggregate(zip_with(a,b,*), 0.0, +)` and
+    * to DuckDB's list_aggregate 'sum' — NativeExprSpec asserts the
+    * equivalence — but runs as a fused primitive loop instead of an
+    * interpreted per-element lambda. */
+  private def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+  private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
 
   /** Brute-force cosine top-k: queries (vec_id < maxQid) are broadcast
     * against all vectors; dot/norms are per-row folds (codegen'd, no

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
 object LlmExt2 {
   import Tables._
 
-  private def fsum(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
-  private def dotCol(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
-  private def norm2(a: Column): Column = fsum(transform(a, x => x * x))
+  /** Native codegen'd dot/norm (see LlmExt + NativeExprSpec: bit-identical
+    * to the HOF fold and to DuckDB's sequential list sum). */
+  private def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+  private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
 
   /** Distinct (doc_id, lang, tok) pairs for all documents. */
   private def docToks(s: SparkSession, d: String): DataFrame =

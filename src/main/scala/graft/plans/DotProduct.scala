@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two array<double> columns.
+  *
+  * This is the (b) tier of the extension ladder (SURVEY.md §4 /
+  * the build brief): a real Catalyst `Expression` with `doGenCode`, used
+  * where the built-in higher-order `aggregate(zip_with(...))` fold is
+  * semantically right but executes as an interpreted lambda per element
+  * (HOF expressions don't participate in whole-stage codegen's fused
+  * loops). The generated code is a tight primitive loop — no per-element
+  * closure dispatch, no boxing.
+  *
+  * Semantics contract: identical to
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0d, (acc,v) -> acc+v)` —
+  * a strict left-to-right sequential fold, so results are bit-for-bit
+  * equal to the HOF form (and to DuckDB's list_aggregate 'sum'), which
+  * is what lets the oracle-checked queries use it. Array elements must
+  * be non-null; a null array yields null.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-API surface: native dot product. */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Squared L2 norm as a self-dot — same generated loop. */
+  def norm2(a: Column): Column = dot(a, a)
+}

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{
+  Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal,
+  Multiply, NamedLambdaVariable, ZipWith
+}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Engine extensions, registered via
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
+  *
+  *  1. `graft_dot(a, b)` SQL function → the native DotProduct expression
+  *     (extension tier (b): injectFunction).
+  *  2. `FoldToDotProduct` optimizer rule (extension tier (c):
+  *     injectOptimizerRule): rewrites the declarative HOF dot-product
+  *     idiom `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) ->
+  *     acc+v)` into DotProduct — user code stays fully declarative
+  *     builtins, the optimizer swaps in the codegen'd loop. Safe because
+  *     both sides are the same strict left-to-right fold (bit-identical
+  *     results, NativeExprSpec asserts it).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    ext.injectOptimizerRule(_ => FoldToDotProduct)
+  }
+}
+
+/** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v) ⇒
+  * DotProduct(a, b). The finish lambda must be the identity (which is
+  * what `functions.aggregate` without a finish argument produces).
+  */
+object FoldToDotProduct extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private object IdentityLambda {
+    def unapply(e: Expression): Boolean = e match {
+      case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+        v.exprId == arg.exprId
+      case _ => false
+    }
+  }
+
+  private object MultiplyLambda {
+    def unapply(e: Expression): Boolean = e match {
+      case LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), Seq(a, b), _) =>
+        (x.exprId == a.exprId && y.exprId == b.exprId) ||
+          (x.exprId == b.exprId && y.exprId == a.exprId)
+      case _ => false
+    }
+  }
+
+  private object AddLambda {
+    def unapply(e: Expression): Boolean = e match {
+      case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _), Seq(a, b), _) =>
+        x.exprId == a.exprId && y.exprId == b.exprId
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressionsWithPruning(
+    _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
+    case ArrayAggregate(ZipWith(a, b, MultiplyLambda()), Literal(0.0, DoubleType), AddLambda(), IdentityLambda())
+        if isDoubleArray(a.dataType) && isDoubleArray(b.dataType) =>
+      DotProduct(a, b)
+  }
+}

@@ -10,6 +10,7 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .appName("graft-tests")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
