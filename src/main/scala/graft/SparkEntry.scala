@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val all: Vector[(String, QDef)] =
-    ops.Relational.defs ++ ops.StreamingBatch.defs ++ ops.LlmExt.defs ++ ops.LlmExt2.defs
+    ops.Relational.defs ++ ops.StreamingBatch.defs ++ ops.LlmExt.defs ++
+      ops.LlmExt2.defs ++ ops.Relational2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q35_broadcast_rules IS the reference's reason to exist (the Flink
@@ -24,7 +25,8 @@ object SparkEntry {
     all.map { case (name, q) => name -> q.run }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted (null oracle) for non-portable ops
+    * like q54's approximate sketches → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    all.map { case (name, q) => name -> q.oracle }.toMap
+    all.collect { case (name, q) if q.oracle != null => name -> q.oracle }.toMap
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Coverage completions added after the first full parity pass: the
+  * remaining join shape (full outer) and the approximate / exact
+  * order-statistics aggregates. q54's approximate sketches (HLL,
+  * KLL-style quantiles) are engine-specific by nature, so it declares NO
+  * oracle — the driver records the weaker rows-only check, which is the
+  * documented contract for non-portable ops. They're in the inventory
+  * because they ARE the 100 TB escape hatches for q39-style exact
+  * distincts and q55-style exact percentiles.
+  */
+object Relational2 {
+  import Det._
+  import Tables._
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // Full outer join: users that only have events, customers that only
+    // have orders, and the matched middle — all in one result.
+    "q53_join_full_outer" -> QDef(
+      (s, d) => {
+        val eventUsers = events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val orderCusts = orders(s, d)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        eventUsers
+          .join(orderCusts, col("user_id") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("o_custkey")).as("cust"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders")
+          )
+          .orderBy("cust")
+      },
+      """WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+        |     oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(user_id, o_custkey) AS cust,
+        |       coalesce(n_events, 0) AS n_events,
+        |       coalesce(n_orders, 0) AS n_orders
+        |FROM ev FULL OUTER JOIN oc ON user_id = o_custkey
+        |ORDER BY cust""".stripMargin
+    ),
+
+    // Approximate aggregates — the scale escape hatches. HLL/quantile
+    // sketches are implementation-specific, so: NO oracle (rows-only
+    // gate). The spec instead sanity-bounds them against exact values.
+    "q54_approx_stats" -> QDef(
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+            count(lit(1)).as("n_rows")
+          )
+          .orderBy("l_returnflag"),
+      oracle = null // intentionally omitted from oracleSql (see SparkEntry)
+    ),
+
+    // Exact order statistics: median + p90 via percentile(), which sorts
+    // and linearly interpolates — same definition as DuckDB quantile_cont.
+    "q55_percentiles" -> QDef(
+      (s, d) =>
+        orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("median_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+            count(lit(1)).as("n_orders")
+          )
+          .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS median_price,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    )
+  )
+}

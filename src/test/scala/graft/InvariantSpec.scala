@@ -85,6 +85,24 @@ class InvariantSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q54 approximate sketches bound their exact counterparts") {
+    val approx = run("q54_approx_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = graft.Tables.lineitem(spark, sf001)
+    val exact = li.groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m")
+      )
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (ad, am)) =>
+      val (ed, em) = exact(k)
+      assert(math.abs(ad - ed).toDouble / ed < 0.05, s"$k HLL off >5%: $ad vs $ed")
+      assert(math.abs(am - em) / em < 0.10, s"$k approx median off >10%: $am vs $em")
+    }
+  }
+
   test("q42 predicted labels are valid and one per query vector") {
     val rows = run("q42_knn_classify").collect()
     assert(rows.length == 20)
