@@ -90,31 +90,33 @@ object LlmExt {
     ),
 
     // Token-set Jaccard near-dup with sampled blocking. Jaccard is a ratio
-    // of integers ⇒ identical doubles raw. The token-level self-join is
-    // blocked by (lang, tok); at scale the blocking key keeps the join from
-    // going globally quadratic (and MinHash-LSH q46 is the real scale path).
+    // of integers ⇒ identical doubles raw. Spark side: per-row
+    // array_intersect over same-lang blocked pairs — codegen'd set math,
+    // no token explode/shuffle. (For a SPARSE real corpus an inverted-
+    // index token join wins instead — that shape is the oracle's SQL; for
+    // this 31-token dense corpus pairwise intersect is ~4× faster. Either
+    // way MinHash-LSH q46 is the real scale path.)
     "q40_near_dup_jaccard" -> QDef(
       (s, d) => {
-        val docs = documents(s, d).where(col("doc_id") % 7 === 0)
-        val toks = docs.select(
-          col("doc_id"),
-          col("lang"),
-          explode(array_distinct(split(col("text"), " "))).as("tok")
-        )
-        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        toks.as("a")
-          .join(
-            toks.as("b"),
-            col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
-              col("a.doc_id") < col("b.doc_id")
+        val docs = documents(s, d)
+          .where(col("doc_id") % 7 === 0)
+          .select(
+            col("doc_id"), col("lang"),
+            array_distinct(split(col("text"), " ")).as("toks")
           )
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_common"))
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .withColumn("sz", size(col("toks")).cast("long"))
+        docs.as("a")
+          .join(
+            docs.as("b"),
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id")
+          )
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+            size(array_intersect(col("a.toks"), col("b.toks"))).cast("long").as("n_common")
+          )
           .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
           .where(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "sz_a", "sz_b", "n_common", "jaccard")
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(50)
       },
