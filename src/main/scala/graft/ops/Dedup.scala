@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Production dedup step on top of the near-dup pair producers (q40/q46/
+  * q47/q48): turn pairs into duplicate CLUSTERS via connected components,
+  * then pick one canonical doc per cluster. Iterative min-label
+  * propagation — the standard Spark shape for CC without a graph library:
+  * each iteration is one join + one aggregation, lineage truncated with
+  * localCheckpoint, loop ends at fixpoint. Deterministic (labels are
+  * min doc ids, no randomness), so safe to use in reproducible pipelines.
+  *
+  * At 100 TB: iterations are O(diameter); near-dup graphs have tiny
+  * diameter (dup clusters are near-cliques), so 3–5 rounds converge.
+  */
+object Dedup {
+
+  /** @param pairs two-column DataFrame (doc_a, doc_b) of near-dup pairs
+    * @return (node, label) — label is the smallest doc_id in the
+    *         connected component
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val propagated = labels
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select("node", "label").unionAll(propagated)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .where(col("n.label") =!= col("p.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep the canonical (min-id) doc per cluster; non-clustered docs are
+    * implicitly kept by anti-joining the rest away. */
+  def dedupByCluster(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = dupClusters(pairs)
+      .where(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+}

@@ -127,6 +127,35 @@ object Demos {
       }
   }
 
+  /** s6 — watermarked stream-stream join: each purchase is joined to the
+    * clicks of the same user in the preceding 30 minutes. Watermarks on
+    * BOTH sides + the interval condition bound the join state (clicks
+    * older than watermark+30min are evicted) — unbounded-stream joins
+    * without bounded state are impossible, this is the canonical shape.
+    */
+  def s6StreamStreamJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    // the interval predicate must be IN the join condition — that's what
+    // lets the engine derive state-eviction bounds for both sides
+    clicks.join(
+      purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")
+    ).select(
+      clicks("user_id"), col("click_id"), col("purchase_id"),
+      col("click_ts"), col("purchase_ts"))
+  }
+
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =
     events

@@ -68,6 +68,23 @@ object StreamingSmoke {
     println(s"[stream-smoke] s4 matches=$s4n batch q38 total=$batchMatches " +
       (if (s4n == batchMatches) "OK" else "MISMATCH"))
 
+    // s6: stream-stream interval join vs its batch equivalent.
+    val q6 = Demos.s6StreamStreamJoin(eventStream)
+      .writeStream.outputMode("append").format("memory").queryName("smoke_s6").start()
+    q6.processAllAvailable(); q6.stop()
+    val s6n = spark.table("smoke_s6").count()
+    val ev = graft.Tables.events(spark, sfDir)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val batchJoin = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")).count()
+    println(s"[stream-smoke] s6 joined=$s6n batch=$batchJoin " +
+      (if (s6n == batchJoin) "OK" else "MISMATCH"))
+
     spark.stop()
   }
 }

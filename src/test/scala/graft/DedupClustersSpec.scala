@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class DedupClustersSpec extends AnyFunSuite {
+  import SharedSpark.{sf001, spark}
+  import spark.implicits._
+
+  test("connected components labels known clusters correctly") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle via 2 edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("every near-dup pair from q46 lands in one cluster; dedup keeps min ids") {
+    val pairs = SparkEntry.queries("q46_minhash_lsh")(spark, sf001)
+      .select("doc_a", "doc_b")
+    if (pairs.isEmpty) cancel("no near-dup pairs at this SF")
+    val labels = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= math.min(a, b))
+    }
+
+    val docs = Tables.documents(spark, sf001)
+    val kept = Dedup.dedupByCluster(docs, pairs)
+    val expectedRemoved = labels.count { case (n, l) => n != l }
+    assert(docs.count() - kept.count() == expectedRemoved)
+    // canonical docs (cluster labels) survive
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    labels.values.toSet.foreach((l: Long) => assert(keptIds.contains(l)))
+  }
+}

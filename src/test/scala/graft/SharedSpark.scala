@@ -11,6 +11,8 @@ object SharedSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .appName("graft-tests")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

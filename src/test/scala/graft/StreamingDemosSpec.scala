@@ -106,6 +106,29 @@ class StreamingDemosSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s6: stream-stream join pairs purchases with clicks in the prior 30min") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Demos.s6StreamStreamJoin(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s6_out").start()
+    try {
+      input.addData(
+        ev(1, 0, 1, "click", 1.0),      // joined (purchase 10min later)
+        ev(2, 10, 1, "purchase", 5.0),
+        ev(3, 20, 2, "click", 1.0),     // NOT joined (purchase 40min later)
+        ev(4, 60, 2, "purchase", 5.0),
+        ev(5, 15, 3, "purchase", 2.0)   // no click at all
+      )
+      runToCompletion(q)
+      input.addData(ev(99, 60 * 24, 9, "view", 0.0)) // advance watermark
+      runToCompletion(q)
+      val joined = spark.table("s6_out")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(joined == Set((1L, 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("s5: session windows split on >=30min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
