@@ -65,7 +65,12 @@ object LlmExt2 {
         // the "few similar pairs" premise of LSH doesn't hold and
         // candidate volume is inherently dense. Real corpora are sparse;
         // here we sample to keep the verify join proportionate.
-        val toks = docToks(s, d).where(col("doc_id") % 3 === 0)
+        // localCheckpoint: toks feeds four plan branches (dict, ids,
+        // inter×2) and sig feeds both sides of the candidate self-join —
+        // materialize each once instead of re-exploding the corpus per
+        // branch (13 scans → 2). This is the single-action analog of
+        // persisting the token table in a production pipeline.
+        val toks = docToks(s, d).where(col("doc_id") % 3 === 0).localCheckpoint()
         val dict = tokenDict(toks)
         // Per-doc token-id arrays, then all 16 minhashes as per-row HOF
         // math (min is order-independent, so collect_list order is
@@ -87,6 +92,7 @@ object LlmExt2 {
         val sig = mh
           .groupBy(col("doc_id"), col("lang"), (col("i") / 4).cast("long").as("band"))
           .agg(sum(col("mh") * posMult).as("sig"))
+          .localCheckpoint()
         val cand = sig.as("x")
           .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
@@ -153,7 +159,9 @@ object LlmExt2 {
         val sims = scored
           .groupBy("doc_id", "lang")
           .agg(sum(when(col("score") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
-        val sample = sims.where(col("doc_id") % 5 === 0)
+        // both sides of the pair self-join read the materialized sample
+        // instead of recomputing the whole simhash pipeline twice
+        val sample = sims.where(col("doc_id") % 5 === 0).localCheckpoint()
         sample.as("x")
           .join(sample.as("y"), col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
           .withColumn("hamming", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
@@ -307,6 +315,7 @@ object LlmExt2 {
         val ptoks = documents(s, d)
           .select(col("doc_id"), posexplode(split(col("text"), " ")))
           .withColumnRenamed("col", "tok")
+          .localCheckpoint() // feeds both the dictionary and the shingle join
         val dict = tokenDict(ptoks.select("tok"))
         val w = Window.partitionBy("doc_id").orderBy("pos")
         ptoks.join(dict, "tok")
