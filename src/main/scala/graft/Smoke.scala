@@ -27,6 +27,11 @@ object Smoke {
     val back = sources.Sources.readCsv(spark, csvDir, cust.schema).count()
     println(s"[smoke] csv round-trip rows=$back " +
       (if (back == cust.count()) "OK" else "FAIL"))
+    val pipeOut = java.nio.file.Files.createTempDirectory("graft_smoke_pipe").toString + "/docs"
+    val rep = pipeline.TrainingDataPipeline.run(spark, "/root/testdata/sf0.001", pipeOut)
+    println(s"[smoke] pipeline ${rep.input}->${rep.afterQuality}->${rep.afterLang}->" +
+      s"${rep.afterExactDedup}->${rep.afterNearDedup} " +
+      (if (rep.afterNearDedup > 0) "OK" else "FAIL"))
     spark.stop()
   }
 }
