@@ -193,6 +193,81 @@ object LlmExt2 {
          |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin
     ),
 
+    // ---------------------------------------------------------------- q56
+    // SimHash near-dup via PIGEONHOLE piece-blocking — the sublinear
+    // hamming search: split the 16-bit fingerprint into four 4-bit
+    // pieces; any pair within hamming <= 3 must agree on at least one
+    // piece, so candidate generation is four equi-joins on (lang, piece
+    // index, piece value) instead of the all-pairs scan q47 does. The
+    // hamming <= 3 verify on candidates is then exact (no recall loss —
+    // unlike MinHash banding, the pigeonhole bound is a guarantee).
+    "q56_simhash_blocked" -> QDef(
+      (s, d) => {
+        val tf = documents(s, d)
+          .where(col("doc_id") % 2 === 0) // sampled blocking, like q40/q46
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("cnt"))
+        val dict = tokenDict(tf.select("doc_id", "lang", "tok"))
+        val bits = s.range(0, 16).toDF("j")
+        val sims = tf.join(dict, "tok").crossJoin(bits)
+          .withColumn("g", ((col("tid") * (lit(2) * col("j") + 3) + (lit(7) * col("j") + 1)) % P) % 2)
+          .groupBy("doc_id", "lang", "j")
+          .agg(sum(col("cnt") * (lit(2) * col("g") - 1)).as("score"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(when(col("score") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+          .localCheckpoint()
+        // four 4-bit pieces per fingerprint
+        val pieces = sims.select(
+          col("doc_id"), col("lang"), col("simhash"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            p => floor(col("simhash") / pow(lit(2.0), p.cast("double") * 4)).cast("long") % 16))
+        ).withColumnsRenamed(Map("pos" -> "piece_idx", "col" -> "piece"))
+        val cand = pieces.as("x")
+          .join(pieces.as("y"),
+            col("x.lang") === col("y.lang") &&
+              col("x.piece_idx") === col("y.piece_idx") &&
+              col("x.piece") === col("y.piece") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.lang").as("lang"),
+            col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+          .distinct()
+        cand
+          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+          .where(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "lang", "hamming")
+          .orderBy("hamming", "doc_a", "doc_b")
+          .limit(100)
+      },
+      s"""WITH tf AS (SELECT doc_id, lang, tok, COUNT(*) AS cnt FROM
+         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+         |   WHERE doc_id % 2 = 0) t
+         |  GROUP BY 1, 2, 3),
+         |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+         |         FROM (SELECT DISTINCT tok FROM tf) u),
+         |sims AS (SELECT doc_id, lang,
+         |           CAST(SUM(CASE WHEN score > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |         FROM (SELECT doc_id, lang, j,
+         |                 SUM(cnt * (2 * (((tid * (2*j+3) + (7*j+1)) % $P) % 2) - 1)) AS score
+         |               FROM tf JOIN dict USING (tok) CROSS JOIN range(0, 16) b(j)
+         |               GROUP BY 1, 2, 3) sc
+         |         GROUP BY 1, 2),
+         |pieces AS (SELECT doc_id, lang, simhash, p AS piece_idx,
+         |             (simhash // CAST(pow(2, p * 4) AS BIGINT)) % 16 AS piece
+         |           FROM sims CROSS JOIN range(0, 4) pr(p)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.lang AS lang, x.simhash AS sh_a, y.simhash AS sh_b
+         |         FROM pieces x JOIN pieces y
+         |           ON x.lang = y.lang AND x.piece_idx = y.piece_idx
+         |          AND x.piece = y.piece AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, lang,
+         |       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin
+    ),
+
     // ---------------------------------------------------------------- q48
     // Embedding-cosine near-dup: sampled pairs with cosine >= 0.30
     // (threshold chosen non-vacuous for this corpus: ~top-1% of pairs).
