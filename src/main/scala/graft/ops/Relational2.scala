@@ -60,6 +60,52 @@ object Relational2 {
       oracle = null // intentionally omitted from oracleSql (see SparkEntry)
     ),
 
+    // Pivot: event counts per day × event_type. The pivot column set is
+    // pinned explicitly (never inferred — inference is an extra pass and
+    // nondeterministic column order); the oracle spells the same op as
+    // portable conditional aggregation.
+    "q57_pivot" -> QDef(
+      (s, d) =>
+        events(s, d)
+          .select(col("ts").cast("date").as("day"), col("event_type"))
+          .groupBy("day")
+          .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("day"),
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // Regex functions. Patterns are deliberately conservative (literal
+    // fragments + character classes) so Java regex (Spark) and RE2
+    // (DuckDB) agree; fancier constructs (lookarounds, backrefs) are
+    // where the engines diverge and are avoided.
+    "q58_regex" -> QDef(
+      (s, d) =>
+        customer(s, d)
+          .select(
+            col("c_custkey"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+            col("c_name").rlike("Customer#0*[0-9]{1,3}$").as("low_key"),
+            regexp_extract(col("c_mktsegment"), "^([A-Z]{4})", 1).as("seg4")
+          )
+          .orderBy("c_custkey")
+          .limit(200),
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  regexp_matches(c_name, 'Customer#0*[0-9]{1,3}$') AS low_key,
+        |  regexp_extract(c_mktsegment, '^([A-Z]{4})', 1) AS seg4
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin
+    ),
+
     // Exact order statistics: median + p90 via percentile(), which sorts
     // and linearly interpolates — same definition as DuckDB quantile_cont.
     "q55_percentiles" -> QDef(
