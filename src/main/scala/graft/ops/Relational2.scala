@@ -106,6 +106,55 @@ object Relational2 {
         |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin
     ),
 
+    // Unpivot (melt): wide numeric lineitem columns → long (attr, val)
+    // form. Oracle spells it as the portable UNION ALL.
+    "q59_unpivot" -> QDef(
+      (s, d) =>
+        lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "attr",
+            "val"
+          )
+          .orderBy("l_orderkey", "l_linenumber", "attr", "val")
+          .limit(500),
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS attr, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, attr, val LIMIT 500""".stripMargin
+    ),
+
+    // Scalar + correlated subqueries through the SQL entry point: orders
+    // above the global average with their per-customer rank context.
+    "q60_scalar_subquery" -> QDef(
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_sq")
+        s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM graft_orders_sq o
+            |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            |                                   / COUNT(*)
+            |                          FROM graft_orders_sq)
+            |  AND EXISTS (SELECT 1 FROM graft_orders_sq i
+            |              WHERE i.o_custkey = o.o_custkey AND i.o_orderkey <> o.o_orderkey)
+            |ORDER BY o_orderkey""".stripMargin
+        )
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |                                   / COUNT(*)
+        |                          FROM orders)
+        |  AND EXISTS (SELECT 1 FROM orders i
+        |              WHERE i.o_custkey = o.o_custkey AND i.o_orderkey <> o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
+    ),
+
     // Exact order statistics: median + p90 via percentile(), which sorts
     // and linearly interpolates — same definition as DuckDB quantile_cont.
     "q55_percentiles" -> QDef(
