@@ -269,14 +269,23 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin
     ),
 
+    // Anti join on a rare condition (status 'P' orders) — every customer
+    // has SOME order in this data, so "no orders at all" would be a
+    // vacuous (0-row) query; "no pending orders" is non-vacuous at every
+    // SF while exercising the same LeftAnti plan.
     "q13_join_anti" -> QDef(
       (s, d) =>
         customer(s, d)
-          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(
+            orders(s, d).where(col("o_orderstatus") === "P"),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
           .select("c_custkey", "c_name", "c_acctbal")
           .orderBy("c_custkey"),
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin
     ),
 
@@ -374,17 +383,23 @@ object Relational {
         |ORDER BY user_id""".stripMargin
     ),
 
+    // EXCEPT at minute granularity: every user does every event type in
+    // this data (user-level set differences are all empty), but minutes
+    // with an error and no signup exist at every SF.
     "q19_except" -> QDef(
       (s, d) => {
         val ev = events(s, d)
-        ev.where(col("event_type") === "view").select("user_id")
-          .except(ev.where(col("event_type") === "purchase").select("user_id"))
-          .orderBy("user_id")
+        ev.where(col("event_type") === "error")
+          .select(date_trunc("minute", col("ts")).as("minute"))
+          .except(
+            ev.where(col("event_type") === "signup")
+              .select(date_trunc("minute", col("ts")).as("minute")))
+          .orderBy("minute")
       },
-      """SELECT user_id FROM events WHERE event_type = 'view'
+      """SELECT date_trunc('minute', ts) AS minute FROM events WHERE event_type = 'error'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id""".stripMargin
+        |SELECT date_trunc('minute', ts) AS minute FROM events WHERE event_type = 'signup'
+        |ORDER BY minute""".stripMargin
     ),
 
     // ----------------------------------------------------- window functions
