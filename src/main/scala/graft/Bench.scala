@@ -1,9 +1,31 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE machine-readable JSON line to stdout AND
+  * writes the same line to `bench.json` in the working directory, so the
+  * caller can recover the result even if a log framework prefixes stdout
+  * (round-1 failure mode: sbt's `[info]` prefix broke the parse —
+  * build.sbt now also sets `run / outputStrategy := StdoutOutput`).
+  *
+  * Methodology (noise-proofing, see VERDICT.md round 1):
+  *   - queries run in SORTED name order (a Map's hash order misattributed
+  *     JVM/codegen warmup to whichever query happened to come first);
+  *   - one untimed session warmup action before any timing;
+  *   - each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and the
+  *     reported time is the MINIMUM — rep 1 absorbs per-query codegen and
+  *     page-cache warmup, and external machine contention (the dominant
+  *     round-1 noise source, 2–10× spikes) can only inflate, never
+  *     deflate, so min-of-reps is the honest steady-state number;
+  *   - failures are NOT swallowed: a failing query contributes no time,
+  *     is reported under "errors", and the process exits nonzero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,15 +33,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Untimed warmup: spin up executor threads, parquet footer reads, and
+    // the groupBy/shuffle machinery once before the first timed query.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toVector.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              None
+          }
+        }
+        times.minOption.map(name -> _)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    Files.write(Paths.get("bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
