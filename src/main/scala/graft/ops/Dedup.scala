@@ -36,18 +36,27 @@ object Dedup {
     while (!converged && i < maxIter) {
       val propagated = labels
         .join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.select("node", "label").unionAll(propagated)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+      // Convergence is read out of the SAME aggregation that computes the
+      // new labels (each node has exactly one own=true row, so
+      // min(own label) is the previous label) — one cheap count over the
+      // checkpointed result instead of a second join+count job per round.
+      val next = labels
+        .select(col("node"), col("label"), lit(true).as("own"))
+        .unionAll(propagated)
+        .groupBy("node")
+        .agg(min("label").as("label"), min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .where(col("n.label") =!= col("p.label"))
-        .count()
-      labels = next
-      converged = changed == 0
+      converged = next.where(col("label") < col("prev")).isEmpty
+      labels = next.select("node", "label")
       i += 1
     }
+    // Unconverged labels would silently over- or under-dedup downstream
+    // (dedupByCluster keeps docs whose cluster merge never propagated).
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: min-label propagation did not converge within $maxIter iterations; " +
+          "raise maxIter (near-dup graphs converge in O(diameter) rounds)")
     labels
   }
 

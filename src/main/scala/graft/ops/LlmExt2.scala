@@ -46,6 +46,68 @@ object LlmExt2 {
 
   private val P = 104729L // prime modulus shared by the hash families
 
+  /** PRODUCTION MinHash+LSH near-dup pairs over an arbitrary document set
+    * — the scale path the curation pipeline uses (vs q46, which is the
+    * ORACLE form: sampled, LIMITed, and tied to the sfDir tables so DuckDB
+    * can replay it).
+    *
+    * Differences from q46, each a 100 TB requirement:
+    *  - token ids are `pmod(xxhash64(tok), P)` — a pure projection. q46's
+    *    rank-based dictionary needs a global `dense_rank` window (single
+    *    partition over the distinct-token table: fine at a 31-token vocab,
+    *    a straggler at a 10⁸-token web vocab) and exists only because
+    *    DuckDB must derive the IDENTICAL ids; hash collisions here merely
+    *    perturb signatures, and the exact-Jaccard verify keeps emitted
+    *    pairs correct regardless.
+    *  - no doc_id sampling and no top-N LIMIT: dedup must consider every
+    *    document, and capping pairs silently caps dedup coverage
+    *    (round-1 ADVICE on TrainingDataPipeline).
+    *
+    * Input must have (doc_id, lang, text); returns (doc_a, doc_b, jaccard)
+    * with doc_a < doc_b and exact-verified jaccard >= threshold.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("tok")
+    ).localCheckpoint() // feeds ids, verify×2, sizes — materialize once
+    val tokIds = toks
+      .withColumn("tid", pmod(xxhash64(col("tok")), lit(P)))
+      .groupBy("doc_id", "lang")
+      .agg(collect_list(col("tid")).as("ids"))
+    val mhArr = transform(
+      sequence(lit(0), lit(15)),
+      i => array_min(transform(col("ids"), id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P))
+    )
+    val mh = tokIds
+      .select(col("doc_id"), col("lang"), posexplode(mhArr))
+      .withColumnsRenamed(Map("pos" -> "i", "col" -> "mh"))
+    val posMult = when(col("i") % 4 === 0, 1L)
+      .when(col("i") % 4 === 1, 131L)
+      .when(col("i") % 4 === 2, 17161L)
+      .otherwise(2248091L)
+    val sig = mh
+      .groupBy(col("doc_id"), col("lang"), (col("i") / 4).cast("long").as("band"))
+      .agg(sum(col("mh") * posMult).as("sig"))
+      .localCheckpoint()
+    val cand = sig.as("x")
+      .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // ---------------------------------------------------------------- q46

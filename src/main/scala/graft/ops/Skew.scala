@@ -19,18 +19,30 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** groupBy(keyCol) → (n_rows, sum_value) with salt-based two-phase
-    * execution. The salt is a deterministic hash of the full row —
-    * no rand()/monotonic ids, so re-runs and retries agree.
+    * execution. The salt is a deterministic hash of `saltCols` (default:
+    * key + value, both known hashable — hashing every column would throw
+    * at runtime on unhashable types like MapType) — no rand()/monotonic
+    * ids, so re-runs and retries agree.
+    *
+    * Limitation (inherent to deterministic salting): rows that are
+    * identical on `saltCols` hash to the SAME salt bucket, so a hot key
+    * whose rows are all identical gets zero spread — pass a
+    * distinguishing column (an id, a timestamp) in `saltCols` for such
+    * data, or fall back to AQE skew handling.
     */
   def saltedCountSum(
       df: DataFrame,
       keyCol: String,
       valueCol: String,
-      salts: Int = 16
+      salts: Int = 16,
+      saltCols: Seq[String] = Nil
   ): DataFrame = {
-    val salt = pmod(hash(df.columns.map(col): _*), lit(salts))
-    df.withColumn("_salt", salt)
-      .groupBy(col(keyCol), col("_salt"))
+    val saltName = "__graft_salt"
+    require(!df.columns.contains(saltName), s"input already has a $saltName column")
+    val sc = if (saltCols.nonEmpty) saltCols else Seq(keyCol, valueCol)
+    val salt = pmod(hash(sc.map(col): _*), lit(salts))
+    df.withColumn(saltName, salt)
+      .groupBy(col(keyCol), col(saltName))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol).cast(Det.D)).as("_s"))
       .groupBy(keyCol)
       .agg(

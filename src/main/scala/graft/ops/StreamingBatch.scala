@@ -31,9 +31,11 @@ object StreamingBatch {
     ),
 
     // Sliding 1h/15min. Spark slide alignment is epoch-based (:00/:15/:30/
-    // :45); the oracle reconstructs the same windows with generate_series
-    // over a range covering the data, inner-join keeping only non-empty
-    // windows — exactly what Spark emits.
+    // :45); the oracle expands each event into its exactly-4 covering
+    // window starts (the :15-aligned bucket and the 3 slides before it) —
+    // non-empty windows only, exactly what Spark emits, and derived purely
+    // from the data (round-1 ADVICE: the previous generate_series oracle
+    // hardcoded one fixture's date range).
     "q32_sliding_window" -> QDef(
       (s, d) =>
         events(s, d)
@@ -41,12 +43,12 @@ object StreamingBatch {
           .agg(count(lit(1)).as("n_events"))
           .select(col("window.start").as("window_start"), col("n_events"))
           .orderBy("window_start"),
-      """SELECT g.s AS window_start, COUNT(*) AS n_events
-        |FROM generate_series(TIMESTAMP '2023-12-31 23:15:00',
-        |                     TIMESTAMP '2024-01-30 23:45:00',
-        |                     INTERVAL 15 MINUTE) g(s)
-        |JOIN events e ON e.ts >= g.s AND e.ts < g.s + INTERVAL 1 HOUR
-        |GROUP BY g.s ORDER BY g.s""".stripMargin
+      """SELECT ws AS window_start, COUNT(*) AS n_events
+        |FROM (SELECT date_trunc('hour', ts)
+        |             + ((CAST(minute(ts) AS INT) // 15) * 15) * INTERVAL 1 MINUTE
+        |             - k * INTERVAL 15 MINUTE AS ws
+        |      FROM events CROSS JOIN range(0, 4) r(k)) w
+        |GROUP BY ws ORDER BY ws""".stripMargin
     ),
 
     // Session windows, 30-min gap. Spark's session interval is

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{SparkEntry, Tables}
+import graft.Tables
+import graft.ops
 import graft.ops.Dedup
 
 /** Per-stage row counts — the pipeline's audit trail. */
@@ -72,9 +73,13 @@ object TrainingDataPipeline {
       .drop("rn")
     val nExact = exactDeduped.count()
 
-    // near-dup dedup: MinHash-LSH candidate pairs (the q46 operator),
-    // clustered by connected components, keep the canonical min-id doc
-    val pairs = SparkEntry.queries("q46_minhash_lsh")(spark, sfDir).select("doc_a", "doc_b")
+    // near-dup dedup: MinHash-LSH pairs computed over the POST-FILTER doc
+    // set (round-1 ADVICE: reusing q46 verbatim sampled doc_id % 3, capped
+    // pairs at its top-100 LIMIT, and could anti-join a cluster member away
+    // when its min-id canonical had already been removed by the
+    // quality/lang filters), clustered by connected components, keep the
+    // canonical min-id doc — which now always exists among the survivors.
+    val pairs = ops.LlmExt2.minhashLshPairs(exactDeduped).select("doc_a", "doc_b")
     val nearDeduped = Dedup.dedupByCluster(exactDeduped, pairs)
     val nNear = nearDeduped.count()
 

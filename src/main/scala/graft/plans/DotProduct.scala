@@ -16,27 +16,37 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * loops). The generated code is a tight primitive loop — no per-element
   * closure dispatch, no boxing.
   *
-  * Semantics contract: identical to
-  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0d, (acc,v) -> acc+v)` —
-  * a strict left-to-right sequential fold, so results are bit-for-bit
-  * equal to the HOF form (and to DuckDB's list_aggregate 'sum'), which
-  * is what lets the oracle-checked queries use it. Array elements must
-  * be non-null; a null array yields null.
+  * Semantics contract: EXACTLY
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0d, (acc,v) -> acc+v)`:
+  *  - a strict left-to-right sequential fold, so results are bit-for-bit
+  *    equal to the HOF form (and to DuckDB's list_aggregate 'sum') — what
+  *    lets the oracle-checked queries use it;
+  *  - NULL when the arrays differ in length (zip_with null-pads the
+  *    shorter side, the null product nulls the fold) or when any element
+  *    is null — NOT a silent min-length sum. This exact null contract is
+  *    what makes the FoldToDotProduct optimizer rewrite sound for ANY
+  *    array<double> inputs, nullable elements or not.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // Can return null even for non-null inputs (length mismatch / null
+  // element), so nullability is not derivable from the children.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -48,13 +58,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |  else { $acc += $a.getDouble($i) * $b.getDouble($i); }
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v) ⇒
   * DotProduct(a, b). The finish lambda must be the identity (which is
   * what `functions.aggregate` without a finish argument produces).
+  *
+  * Soundness: DotProduct implements the HOF's exact null contract — null
+  * when the arrays differ in length (zip_with null-pads) or any element
+  * is null, 0.0 on empty arrays — so the rewrite is value-preserving for
+  * every array<double> input, nullable elements included (round-1 ADVICE:
+  * the previous min-length non-null sum silently changed user semantics).
   */
 object FoldToDotProduct extends Rule[LogicalPlan] {
 

@@ -72,4 +72,32 @@ class NativeExprSpec extends AnyFunSuite {
         |FROM emb_ext""".stripMargin).collect().map(_.getDouble(0)).sorted
     assert(viaRule.toSeq == viaNative.toSeq)
   }
+
+  test("DotProduct matches the HOF null contract: length mismatch and null elements") {
+    // zip_with null-pads the shorter array and a null product nulls the
+    // fold, so the HOF returns null on length mismatch or any null
+    // element; DotProduct must agree or the FoldToDotProduct rewrite
+    // silently changes user semantics (round-1 ADVICE).
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)), // ok: 11.0
+      (2L, Seq[java.lang.Double](1.0, 2.0, 5.0), Seq[java.lang.Double](3.0, 4.0)), // len mismatch
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null element
+      (4L, Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]) // empty: 0.0
+    ).toDF("id", "a", "b")
+    val out = rows.select(
+      col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("hof"),
+      DotProduct.dot(col("a"), col("b")).as("native")
+    ).orderBy("id").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"id ${r.getLong(0)}: null mismatch $r")
+      if (!r.isNullAt(1))
+        assert(
+          java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id ${r.getLong(0)}: $r")
+    }
+    assert(out(0).getDouble(2) == 11.0 && out(1).isNullAt(2) &&
+      out(2).isNullAt(2) && out(3).getDouble(2) == 0.0)
+  }
 }
