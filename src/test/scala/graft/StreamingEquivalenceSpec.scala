@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming capability-parity claim (SURVEY.md §2.1 R12/R14, round-2
+  * VERDICT task 1): the Structured-Streaming demos and the batch-declared
+  * queries compute THE SAME THING on the same real data, via a genuine
+  * file-source stream (not MemoryStream) over the events parquet.
+  *
+  *   s2TumblingCounts == q31_tumbling_window
+  *   s3Dedup          == q34_dedup          (key set — arrival order picks the row)
+  *   s5Sessions       == q33_session_window
+  *
+  * Append mode only emits watermark-finalized windows, so each stream gets
+  * a far-future FLUSH event appended as a second file: the watermark then
+  * passes every real window and the streaming output is the complete,
+  * exactly-finalized set — comparable 1:1 with the batch result. The flush
+  * event's own window/session/key stays unfinalized or is filtered out.
+  */
+class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import SharedSpark.{sf001, spark}
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val FlushUser = 999999999L
+  // 2100-01-01 00:00:00 UTC in nanos — decades past every real event
+  private val flushNanos = 4102444800L * 1000000000L
+
+  private var inputDir: Path = _
+
+  override def beforeAll(): Unit = {
+    inputDir = Files.createTempDirectory("graft_stream_eq")
+    Files.copy(
+      Paths.get(s"$sf001/events.parquet"),
+      inputDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def afterAll(): Unit = {
+    inputDir.toFile.listFiles().foreach(_.delete())
+    Files.deleteIfExists(inputDir)
+  }
+
+  /** The raw-nanos file-source stream, converted exactly like Tables.events. */
+  private def eventStream: DataFrame = spark.readStream
+    .schema(rawSchema)
+    .option("pathGlobFilter", "*.parquet")
+    .parquet(inputDir.toString)
+    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Append the flush file (once) so the watermark passes all real data. */
+  private lazy val flushWritten: Unit = {
+    val tmp = Files.createTempDirectory("graft_flush")
+    val flush = spark.createDataFrame(
+      java.util.List.of(
+        Row(999999998L, flushNanos, FlushUser, "view", 0.0, "{}")),
+      rawSchema)
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+    val part = tmp.resolve("out").toFile.listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, inputDir.resolve("zz_flush.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Run a demo stream to a memory sink: main file, then flush, then stop. */
+  private def runStream(out: DataFrame, name: String): DataFrame = {
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      flushWritten
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("s2 tumbling counts over the file stream == batch q31 (all windows finalized)") {
+    val got = runStream(streaming.Demos.s2TumblingCounts(eventStream), "eq_s2")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q31_tumbling_window")(spark, sf001)
+      .select("hour_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("s3 dedup over the file stream == batch q34 key set (one row per key)") {
+    val got = runStream(streaming.Demos.s3Dedup(eventStream), "eq_s3")
+      .where(col("user_id") =!= FlushUser)
+    val gotKeys = got.collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toVector
+    val want = SparkEntry.queries("q34_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(want.nonEmpty)
+    // exactly one surviving row per key (arrival order chooses WHICH row;
+    // the batch query pins min (ts, event_id) — the KEY SET must agree)
+    assert(gotKeys.size == gotKeys.distinct.size, "streaming dedup emitted a duplicate key")
+    assert(gotKeys.toSet == want,
+      s"missing=${(want -- gotKeys.toSet).take(3)} extra=${(gotKeys.toSet -- want).take(3)}")
+  }
+
+  test("s5 session windows over the file stream == batch q33 (all sessions finalized)") {
+    val got = runStream(streaming.Demos.s5Sessions(eventStream), "eq_s5")
+      .where(col("user_id") =!= FlushUser)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q33_session_window")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
