@@ -25,6 +25,43 @@ def norm(v):
     return v
 
 
+def check_q54(con, out_dir):
+    """q54 declares NO oracle (sketches are engine-specific), but its
+    approximations are still boundable: recompute exact ndv/median in
+    DuckDB and assert the documented error envelopes (approx_count_distinct
+    rsd=0.02 -> 5%; percentile_approx(1000) -> 10%), mirroring
+    InvariantSpec's q54 test so the driver-visible gate is stronger than
+    "3 rows exist". Returns True on pass."""
+    try:
+        approx = {r[0]: (r[1], r[2]) for r in con.execute(
+            f"SELECT l_returnflag, approx_orders, approx_median_price "
+            f"FROM '{out_dir}/q54_approx_stats/*.parquet'").fetchall()}
+        exact = {r[0]: (r[1], r[2]) for r in con.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey), "
+            "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) "
+            "FROM lineitem GROUP BY 1").fetchall()}
+    except Exception as e:
+        print(f"FAIL q54_approx_stats (bounded): execution error: {e}")
+        return False
+    if set(approx) != set(exact):
+        print(f"FAIL q54_approx_stats (bounded): groups spark={sorted(approx)} "
+              f"exact={sorted(exact)}")
+        return False
+    for k, (ad, am) in approx.items():
+        ed, em = exact[k]
+        if abs(ad - ed) / ed >= 0.05:
+            print(f"FAIL q54_approx_stats (bounded): {k} HLL ndv {ad} "
+                  f"off >5% from exact {ed}")
+            return False
+        if abs(am - em) / em >= 0.10:
+            print(f"FAIL q54_approx_stats (bounded): {k} approx median {am} "
+                  f"off >10% from exact {em}")
+            return False
+    print(f"PASS q54_approx_stats (bounded: {len(approx)} groups, "
+          f"HLL within 5%, median within 10% of exact)")
+    return True
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -84,6 +121,11 @@ def main():
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
+    if not only or "q54_approx_stats" in only:
+        if check_q54(con, out_dir):
+            n_pass += 1
+        else:
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
