@@ -85,11 +85,29 @@ object Demos {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
 
-  /** s3 — streaming dedup: state bounded by the watermark. */
+  /** s3 — streaming dedup, exact: one row per key for the stream's whole
+    * lifetime. NOTE the state-size contract: the dedup keys exclude the
+    * event-time column, so the watermark CANNOT evict state — per-key state
+    * lives forever (exactly Flink ValueState-without-TTL semantics, and
+    * exactly what batch q34 computes). Fine for bounded key domains
+    * (user × event_type); for unbounded keys at 100 TB use s3DedupBounded.
+    */
   def s3Dedup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+
+  /** s3b — the BOUNDED-STATE production dedup: duplicates are only
+    * suppressed while the key is within the watermark horizon, and state is
+    * evicted once the watermark passes it (SCALE.md §6). This is the shape
+    * that survives an unbounded key domain — the deliberate trade is that a
+    * duplicate arriving later than the horizon is re-emitted (Flink's
+    * StateTtlConfig makes the identical trade).
+    */
+  def s3DedupBounded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** s4 — the KeyedBroadcastProcessFunction#processElement translation:
     * per-key mutable state (ValueState[LastEvent]) + event-time timer for

@@ -86,6 +86,28 @@ class StreamingDemosSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s3b: bounded-state dedup suppresses within the horizon, evicts state after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Demos.s3DedupBounded(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s3b_out").start()
+    try {
+      // two duplicates inside the 10-minute horizon -> one survivor
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 1, 1, "click", 2.0))
+      runToCompletion(q)
+      assert(spark.table("s3b_out").where($"user_id" === 1).count() == 1)
+      // watermark pusher far past the key's expiry -> state evicted
+      input.addData(ev(99, 60, 9, "view", 1.0))
+      runToCompletion(q)
+      // same key again, beyond the horizon: RE-EMITTED (the deliberate
+      // bounded-state trade vs s3's exact-forever dedup)
+      input.addData(ev(3, 55, 1, "click", 3.0))
+      runToCompletion(q)
+      assert(spark.table("s3b_out")
+        .where($"user_id" === 1 && $"event_type" === "click").count() == 2)
+    } finally q.stop()
+  }
+
   test("s4: flatMapGroupsWithState detects click→purchase across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
