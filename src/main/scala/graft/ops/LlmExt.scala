@@ -239,6 +239,35 @@ object LlmExt {
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+    ),
+
+    // BPE-ish token counting: a GPT-2-style pretokenizer regex (ASCII
+    // classes only, no groups, no lookaround — java.util.regex and RE2
+    // agree exactly on it; both engines use leftmost-first alternation).
+    // Space-prefixed runs are distinct tokens from initial runs (" row" vs
+    // "row") — the pretokenizer distinction BPE vocabularies encode — so
+    // n_distinct_bpe genuinely differs from a whitespace distinct count.
+    "q61_bpe_tokens" -> QDef(
+      (s, d) => {
+        val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+"
+        documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_ws_toks"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe_toks"),
+            size(array_distinct(regexp_extract_all(col("text"), lit(pat), lit(0))))
+              .cast("long").as("n_distinct_bpe")
+          )
+          .orderBy("doc_id")
+          .limit(300)
+      },
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_toks,
+        |  CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+'))
+        |    AS BIGINT) AS n_bpe_toks,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+')))
+        |    AS BIGINT) AS n_distinct_bpe
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
     )
   )
 }
