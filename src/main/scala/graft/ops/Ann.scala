@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second two-stage
+  * ANN shape SCALE.md §5 names (q52 is the LSH-bucketed one): a coarse
+  * quantizer of `nlist` k-means centroids partitions the vectors into
+  * inverted lists; each query ranks cosine only within its `nprobe`
+  * nearest lists.
+  *
+  * Scale posture: centroids are broadcast-scale (nlist × dim doubles) — the
+  * vector side is never self-joined; every stage is a broadcast join plus a
+  * per-list ranking window keyed by (query, list), so the shuffle volume is
+  * O(N + Q·N·nprobe/nlist), never O(N²). At 100 TB: nlist 10⁴–10⁵, the
+  * assignment is one broadcast-join pass, and the per-list top-k uses the
+  * same partial top-k aggregation AQE already applies to window-rank.
+  *
+  * Determinism: seeds are the nlist smallest vec_ids; one Lloyd step with
+  * exact tie-breaks (min distance, then min list id); all arithmetic is
+  * the codegen'd DotProduct. `nprobe == nlist` probes every list, which
+  * must reproduce exact brute-force top-k bit-for-bit (AnnIvfSpec locks
+  * this), so the recall knob provably trades only coverage, not math.
+  */
+object Ann {
+
+  private def dot(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+  private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
+
+  /** Mean per dimension of an exploded (id, pos, value) frame, re-assembled
+    * into centroid arrays keyed by `idCol`. */
+  private def meanVectors(exploded: DataFrame, idCol: String): DataFrame =
+    exploded
+      .groupBy(col(idCol), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("ce"))
+
+  /** Build the IVF index: (vec_id, e, n2, list_id) plus the centroid table
+    * (list_id, ce, cn2). `vectors` must have (vec_id, embedding). */
+  def ivfIndex(vectors: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    val emb = vectors
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2", norm2(col("e")))
+    // deterministic seeds: the nlist smallest vec_ids
+    val seeds = emb.orderBy("vec_id").limit(nlist)
+      .select(row_number().over(Window.orderBy("vec_id")).cast("long").as("list_id"),
+        col("e").as("ce"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list_id"))
+      emb.join(broadcast(cent), lit(true))
+        .withColumn("dist", col("n2") + norm2(col("ce")) - lit(2.0) * dot(col("e"), col("ce")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("n2"), col("list_id"))
+    }
+    // one Lloyd refinement over the seed assignment (k-means step); lists
+    // that lose every vector keep their seed centroid. Centroid-scale
+    // tables: keep even these joins broadcast (left outer + BuildRight).
+    val means = meanVectors(
+      assign(seeds).select(col("list_id"), posexplode(col("e"))), "list_id")
+    val refined = seeds.withColumnRenamed("ce", "seed_ce")
+      .join(broadcast(means), Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("ce"), col("seed_ce")).as("ce"))
+    val centroids = refined.withColumn("cn2", norm2(col("ce")))
+    (assign(centroids), centroids)
+  }
+
+  /** Top-k cosine neighbors for each query vector, probing the `nprobe`
+    * nearest inverted lists. `queries` must have (qid, qe). */
+  def ivfTopK(
+      index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = queries
+      .select(col("qid"), col("qe").cast("array<double>").as("qe"))
+      .withColumn("qn", norm2(col("qe")))
+    val wProbe = Window.partitionBy("qid").orderBy(col("dist"), col("list_id"))
+    val probed = q.join(broadcast(centroids), lit(true))
+      .withColumn("dist", col("qn") + col("cn2") - lit(2.0) * dot(col("qe"), col("ce")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    index.join(broadcast(probed), Seq("list_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", dot(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("list_id"), col("cos_sim"),
+        col("rnk").cast("int").as("rnk"))
+  }
+}
