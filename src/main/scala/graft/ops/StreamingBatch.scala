@@ -140,8 +140,10 @@ object StreamingBatch {
     // deterministic permutation (event_id*7919)%104729 — pure integer math,
     // identical in both engines (SURVEY §2.2 q37). An event is "late" iff
     // it arrives >10min behind the running max event time (the watermark).
-    // The global-order window is the analog's point; the streaming-native
-    // form (per-partition watermarks) is Demos.s2.
+    // ORACLE-ONLY form: the global-order window is single-partition, kept
+    // because DuckDB replays the identical SQL. The scale-safe batch form
+    // is Scan.lateEventsScalable (distributed prefix-scan, bit-identical —
+    // ScanSpec); the streaming-native form is Demos.s2.
     "q37_late_events" -> QDef(
       (s, d) => {
         val w = Window
