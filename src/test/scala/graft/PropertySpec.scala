@@ -90,6 +90,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: distributed prefix-scan == sequential running max, any bucket count") {
+    val genRows: Gen[List[(Long, Long, Double)]] = for {
+      n <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 499L) // order key WITH duplicates
+        v <- Gen.choose(-10000, 10000).map(_ / 100.0)
+      } yield (a, v))
+    } yield rows.zipWithIndex.map { case ((a, v), i) => (i.toLong, a, v) }
+    for ((rows, buckets) <- samples(genRows, 6).zip(Seq(1, 2, 7, 16, 50, 500))) {
+      val df = rows.toDF("id", "a", "v")
+      val got = ops.Scan.runningMaxByRange(
+        df, col("a"), col("id"), col("v"), "rm", lo = 0L, hi = 500L, buckets = buckets)
+        .select("id", "rm").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // ground truth: sequential scan in (a, id) order
+      var mx = Double.NegativeInfinity
+      val want = rows.sortBy(t => (t._2, t._1)).map { case (id, _, v) =>
+        mx = math.max(mx, v); id -> mx
+      }.toMap
+      assert(got == want, s"buckets=$buckets n=${rows.size}")
+    }
+  }
+
   test("property: native DotProduct equals a Scala-side sequential fold") {
     val genVec = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0))
     val pairs = samples(genVec, 20).zip(samples(genVec, 20).reverse)
