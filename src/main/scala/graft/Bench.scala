@@ -55,11 +55,17 @@ object Bench {
         times.minOption.map(name -> _)
     }
     def jstr(s: String) = "\"" + s + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // 0.1 ms resolution keeps the line compact: round-3 failure mode was
+    // the driver's stdout tail-capture window truncating the FRONT of the
+    // line once 61 full-precision doubles pushed it past ~2.9 KB
+    // (BENCH_r03.json "parsed": null with tail starting mid-JSON). Fixed
+    // 4-decimal formatting caps the line well under 2 KB at 100 queries.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     spark.stop()

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * nearest lists.
   *
   * Scale posture: centroids are broadcast-scale (nlist × dim doubles) — the
-  * vector side is never self-joined; every stage is a broadcast join plus a
+  * vector side is never self-joined; the work is broadcast joins plus a
   * per-list ranking window keyed by (query, list), so the shuffle volume is
-  * O(N + Q·N·nprobe/nlist), never O(N²). At 100 TB: nlist 10⁴–10⁵, the
+  * O(N + Q·N·nprobe/nlist), never O(N²). `ivfTopK` additionally broadcasts
+  * the probed QUERY table (Q × nprobe rows with embeddings — query-scale,
+  * not centroid-scale), which assumes Q is broadcast-sized; `ivfTopKLargeQ`
+  * lifts that by shuffle-joining on list_id. At 100 TB: nlist 10⁴–10⁵, the
   * assignment is one broadcast-join pass, and the per-list top-k uses the
   * same partial top-k aggregation AQE already applies to window-rank.
   *
@@ -29,11 +32,21 @@ object Ann {
   private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
 
   /** Mean per dimension of an exploded (id, pos, value) frame, re-assembled
-    * into centroid arrays keyed by `idCol`. */
+    * into centroid arrays keyed by `idCol`.
+    *
+    * The per-dimension sum goes through an exact DECIMAL(38,18) bridge (the
+    * q43 recipe): a raw double `avg()` merges partial sums in shuffle
+    * arrival order, so boundary vectors could flip inverted lists across
+    * runs/partition layouts. Decimal addition is associative and
+    * commutative, so the quantized-to-1e-18 mean is identical under every
+    * merge order — any deterministic centroid is a valid centroid, and this
+    * keeps `ivfTopK` reproducible at partial nprobe too (the nprobe==nlist
+    * exactness proof never depended on centroid values). */
   private def meanVectors(exploded: DataFrame, idCol: String): DataFrame =
     exploded
       .groupBy(col(idCol), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double") / count(lit(1))).as("m"))
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("ce"))
@@ -69,10 +82,32 @@ object Ann {
   }
 
   /** Top-k cosine neighbors for each query vector, probing the `nprobe`
-    * nearest inverted lists. `queries` must have (qid, qe). */
+    * nearest inverted lists. `queries` must have (qid, qe).
+    *
+    * ASSUMES the query set is broadcast-scale: the probed table it ships to
+    * every executor is Q × nprobe rows WITH the query embeddings — that is
+    * query-scale, not centroid-scale. Fine for the interactive-search shape
+    * (Q up to ~10⁵ × dim doubles); for batch query sets beyond broadcast
+    * range use [[ivfTopKLargeQ]], which shuffle-joins on list_id instead. */
   def ivfTopK(
       index: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    ivfTopKImpl(index, centroids, queries, k, nprobe, broadcastProbed = true)
+
+  /** [[ivfTopK]] for query sets too large to broadcast (e.g. all-vs-all
+    * re-ranking of a 100 TB corpus against itself): identical semantics and
+    * tie-breaks, but the probed (qid, qe, list_id) table meets the index in
+    * a shuffle join keyed by list_id, so neither side is ever collected to
+    * one place. Only the centroid table (nlist-scale) is still broadcast.
+    * AnnIvfSpec locks row-identical output against the broadcast form. */
+  def ivfTopKLargeQ(
+      index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    ivfTopKImpl(index, centroids, queries, k, nprobe, broadcastProbed = false)
+
+  private def ivfTopKImpl(
+      index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, broadcastProbed: Boolean): DataFrame = {
     val q = queries
       .select(col("qid"), col("qe").cast("array<double>").as("qe"))
       .withColumn("qn", norm2(col("qe")))
@@ -83,7 +118,8 @@ object Ann {
       .where(col("pr") <= nprobe)
       .select(col("qid"), col("qe"), col("qn"), col("list_id"))
     val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
-    index.join(broadcast(probed), Seq("list_id"))
+    val probeSide = if (broadcastProbed) broadcast(probed) else probed
+    index.join(probeSide, Seq("list_id"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim", dot(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
       .withColumn("rnk", row_number().over(wRank))

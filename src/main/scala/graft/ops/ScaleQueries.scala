@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Declared queries that put the SCALE paths under the driver's DuckDB
+  * oracle gate (SURVEY.md §2.2). Rounds 1–3 built production variants of
+  * the two known single-partition/broadcast weak spots (IVF ANN in
+  * [[Ann]], the distributed prefix-scan in [[Scan]]) but only spec-tested
+  * them; these entries make the driver hash-check the scale forms
+  * themselves, so "the scale path is bit-identical" is driver-visible,
+  * not just an `sbt test` claim.
+  *
+  * Reference provenance: reference checkout is empty (SURVEY.md §0);
+  * these extend the reconstructed surface per the task brief's
+  * LLM-pipeline mandate.
+  */
+object ScaleQueries {
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // IVF ANN probing EVERY list (nprobe == nlist): provably identical to
+    // brute-force cosine top-k (AnnIvfSpec locks it bit-for-bit), so the
+    // DuckDB brute-force SQL is an EXACT oracle for the whole k-means
+    // index → probe → per-list rank pipeline. Runs the large-Q
+    // shuffle-join variant so the no-broadcast scale form is what gets
+    // hash-checked; partial-probe (nprobe << nlist) is the production
+    // recall knob, bounded in AnnIvfSpec instead (no SQL analog exists).
+    "q62_ivf_ann" -> QDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (index, centroids) =
+          Ann.ivfIndex(emb.select(col("vec_id"), col("embedding")), nlist = 16)
+        val queries = emb
+          .where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        Ann.ivfTopKLargeQ(index, centroids, queries, k = 5, nprobe = 16)
+          .select(col("qid"), col("vec_id").as("vid"), col("cos_sim"), col("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |a AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |p AS (SELECT qid, vid,
+        |        list_aggregate(list_transform(list_zip(qe, ve), x -> x[1]*x[2]), 'sum')
+        |          / sqrt(list_aggregate(list_transform(qe, x -> x*x), 'sum')
+        |                 * list_aggregate(list_transform(ve, x -> x*x), 'sum')) AS cos_sim
+        |      FROM q, a WHERE vid <> qid),
+        |r AS (SELECT qid, vid, cos_sim,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS INT) AS rnk
+        |      FROM p)
+        |SELECT qid, vid, cos_sim, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    ),
+
+    // q37's late-event classification with the running watermark computed
+    // by the distributed two-pass prefix-scan (range-bucket → parallel
+    // per-bucket running max → P-row carry prefix → broadcast rejoin)
+    // instead of q37's single-partition global window. Same oracle SQL as
+    // q37 — the point is that the scale-safe plan reproduces the global
+    // fold exactly (ScanSpec proves bit-equality; this makes the driver
+    // prove it against DuckDB too).
+    "q63_late_events_scan" -> QDef(
+      (s, d) => Scan.lateEventsScalable(Tables.events(s, d)),
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  COUNT(*) AS n_total
+        |FROM (
+        |  SELECT event_type,
+        |    ts < max(ts) OVER (ORDER BY (event_id * 7919) % 104729, event_id
+        |                       ROWS UNBOUNDED PRECEDING) - INTERVAL 10 MINUTE AS is_late
+        |  FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    )
+  )
+}

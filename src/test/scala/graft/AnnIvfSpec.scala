@@ -82,6 +82,20 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(recall >= 0.15, f"recall collapsed: $recall%.3f")
   }
 
+  test("ivfTopKLargeQ (shuffle-join probed table) is row-identical to ivfTopK") {
+    // round-3 ADVICE: ivfTopK broadcasts the probed QUERY table, which is
+    // query-scale; the large-Q variant must keep identical semantics and
+    // tie-breaks while joining on list_id without that broadcast.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    for (nprobe <- Seq(4, NList)) {
+      val b = rows(Ann.ivfTopK(index, centroids, queries, K, nprobe))
+      val s = rows(Ann.ivfTopKLargeQ(index, centroids, queries, K, nprobe))
+      assert(b.nonEmpty && s == b, s"nprobe=$nprobe diverged")
+    }
+  }
+
   test("plan shape: vectors are never self-joined; centroid joins broadcast") {
     val plan = Ann.ivfTopK(index, centroids, queries, K, nprobe = 4)
       .queryExecution.executedPlan.toString

@@ -49,6 +49,12 @@ def check_q54(con, out_dir):
         return False
     for k, (ad, am) in approx.items():
         ed, em = exact[k]
+        if not ed or not em:
+            # A zero/None exact denominator (empty group) must FAIL the
+            # check, not abort the whole parity run with ZeroDivisionError.
+            print(f"FAIL q54_approx_stats (bounded): {k} exact ndv={ed} "
+                  f"median={em} — degenerate group, cannot bound")
+            return False
         if abs(ad - ed) / ed >= 0.05:
             print(f"FAIL q54_approx_stats (bounded): {k} HLL ndv {ad} "
                   f"off >5% from exact {ed}")
