@@ -88,6 +88,44 @@ class MinhashLshSpec extends AnyFunSuite {
       "production LSH path must not funnel through a single-partition exchange")
   }
 
+  test("distributed tokenDict == global dense_rank ids; no vocab-scale global sort") {
+    // round 4: the oracle-family dictionary (q46/q47/q51/q56) dropped its
+    // single-partition dense_rank for a bucketed rank + tiny prefix-sum.
+    // (a) ids must stay bit-identical to the single-window form — that is
+    // what keeps the DuckDB oracles valid; exercised on a synthetic vocab
+    // (multi-char buckets, empty-string token, unicode) plus real sf0.1
+    // tokens.
+    val syn = spark.createDataFrame(
+      Seq("", "a", "aa", "ab", "b", "ba", "zz", "é", "êx", "Z0", "09", "  x")
+        .map(Tuple1(_))).toDF("tok")
+    val real = Tables.documents(spark, sf01).select(
+      explode(split(col("text"), " ")).as("tok"))
+    for (toks <- Seq(syn, real)) {
+      val got = LlmExt2.tokenDict(toks)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val want = toks.select("tok").distinct()
+        .withColumn("tid", dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy("tok")))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got.nonEmpty && got == want)
+    }
+    // (b) plan shape: every unpartitioned window sits above an Aggregate
+    // (the per-bucket count frame, ≤ |alphabet| rows) — never over the
+    // token-scale distinct
+    val plan = LlmExt2.tokenDict(real).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    val globals = windows.filter(_.partitionSpec.isEmpty)
+    assert(globals.nonEmpty, "the offset prefix window should exist")
+    globals.foreach { w =>
+      assert(w.child.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "an unpartitioned Window reads the token-scale frame")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
+
   test("degenerate skew: all-identical corpus completes with exactly C(n,2) pairs at jaccard 1") {
     val n = 200
     val dup = spark.range(n).select(
