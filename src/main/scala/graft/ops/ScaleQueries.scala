@@ -70,6 +70,34 @@ object ScaleQueries {
         |                       ROWS UNBOUNDED PRECEDING) - INTERVAL 10 MINUTE AS is_late
         |  FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    ),
+
+    // The native AS-OF JOIN operator (graft.plans.AsOfJoin — custom
+    // LogicalPlan + SparkStrategy + merge-pass SparkPlan, extension tier
+    // (c)): each purchase picks up the latest STRICTLY-earlier click of
+    // the same user. Same semantics as q16, whose window form only works
+    // because both sides are carved from ONE table; the operator handles
+    // arbitrary two-table input with one co-partitioned sort-merge pass.
+    // Oracle = q16's SQL — the custom operator must reproduce the
+    // relational spelling exactly.
+    "q64_asof_native" -> QDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.plans.AsOfJoin.asof(
+          left = ev.where(col("event_type") === "purchase"),
+          right = ev.where(col("event_type") === "click"),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("ts" -> "last_click_ts"))
+          .select("event_id", "user_id", "ts", "last_click_ts")
+          .orderBy("event_id")
+      },
+      """SELECT p.event_id, p.user_id, p.ts, MAX(c.ts) AS last_click_ts
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin
     )
   )
 }

@@ -1,0 +1,219 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, AttributeSet, Expression,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** AS-OF JOIN — for every left row, attach the payload of the LATEST right
+  * row with the same key and an earlier (strictly, by default) timestamp:
+  * the core temporal-join primitive (pandas `merge_asof`, kdb/QuestDB
+  * ASOF JOIN) that Spark's relational algebra cannot express efficiently
+  * for two DIFFERENT tables — the declarative spellings are either an
+  * inequality join + per-key MAX re-join (quadratic within key×time) or a
+  * union + window trick that only works when both sides share one schema
+  * (q16). This is the brief's extension tier (c) case: a whole-operator
+  * semantic gap, filled with a custom LogicalPlan + SparkStrategy +
+  * physical SparkPlan, registered through [[GraftExtensions]].
+  *
+  * Physical algorithm (the 100 TB shape): hash-co-partition both sides by
+  * key, sort each partition by (key, time) — both requirements DECLARED
+  * (`requiredChildDistribution` / `requiredChildOrdering`) so Catalyst
+  * plans the exchanges/sorts and AQE can still coalesce — then one
+  * streaming merge pass per partition holding O(1) state (the latest
+  * matching right row). Shuffle volume is one pass of each side, no
+  * row amplification, no per-key buffering.
+  *
+  * Semantics notes: left rows always survive (left-outer); a left row with
+  * no qualifying right row gets NULL payload. `strict = true` matches
+  * `r.time < l.time`; `toleranceMicros >= 0` additionally requires
+  * `l.time - r.time <= tolerance` (evaluated against the latest earlier
+  * row — as-of, not nearest-within-window). Null right timestamps never
+  * match; keys compare by sort order (the corpus has no null keys; null
+  * keys would group like any other value, unlike SQL equi-join nulls).
+  */
+object AsOfJoin {
+
+  /** As-of join `left` with `right` on `leftKey == rightKey`,
+    * `right(rightTime) < left(leftTime)` (or `<=` when `strict = false`),
+    * carrying `payload` columns from the right as `(rightCol -> outName)`.
+    * Time columns must be TIMESTAMP or BIGINT. */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)],
+      strict: Boolean = true,
+      toleranceMicros: Long = -1L): DataFrame = {
+    val spark = left.sparkSession
+    // Fresh aliases on the right side mint new exprIds, so self-joins
+    // (left and right carved from the same table) never present duplicate
+    // attributes to the binary node.
+    val rightPrep = right.select(
+      col(rightKey).as("__asof_key") +: col(rightTime).as("__asof_time") +:
+        payload.zipWithIndex.map { case ((c, _), i) => col(c).as(s"__asof_p$i") }: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightPrep.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${p.output.map(_.name).mkString(", ")}]"))
+    def checkTime(a: Attribute): Attribute = {
+      require(a.dataType == TimestampType || a.dataType == LongType,
+        s"as-of time column ${a.name} must be TIMESTAMP or BIGINT, got ${a.dataType}")
+      a
+    }
+    val rPayload = payload.zipWithIndex.map { case (_, i) => attr(rPlan, s"__asof_p$i") }
+    val outAttrs = payload.zip(rPayload).map { case ((_, outName), ra) =>
+      AttributeReference(outName, ra.dataType, nullable = true)()
+    }
+    val node = AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, "__asof_key"),
+      checkTime(attr(lPlan, leftTime)), checkTime(attr(rPlan, "__asof_time")),
+      rPayload, outAttrs, strict, toleranceMicros)
+    GraftSqlBridge.ofRows(spark, node)
+  }
+}
+
+/** Logical as-of join: output = left.output ++ outAttrs (the carried right
+  * payload, re-minted as produced attributes). Constructed fully resolved
+  * by [[AsOfJoin.asof]]; planned by [[AsOfJoinStrategy]]. */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightPayload: Seq[Expression],
+    outAttrs: Seq[AttributeReference],
+    strict: Boolean,
+    toleranceMicros: Long) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Injected via
+  * `GraftExtensions` (`injectPlannerStrategy`). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, pay, out, strict, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, pay, out, strict, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: declares co-clustering on the key and (key, time)
+  * ordering for both children — Catalyst inserts the exchanges and sorts —
+  * then merges each co-partition in one pass with O(1) carried state. */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightPayload: Seq[Expression],
+    outAttrs: Seq[AttributeReference],
+    strict: Boolean,
+    toleranceMicros: Long) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // left rows pass through in their sorted order
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExpr = leftKey
+    val rKeyExpr = rightKey
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val payloadExprs = rightPayload
+    val keyType = leftKey.dataType
+    val strictLocal = strict
+    val tolLocal = toleranceMicros
+    val payloadTypes = rightPayload.map(_.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOut)
+      val lTimeBound = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeBound = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val valProj = UnsafeProjection.create(payloadExprs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
+      val nullVal = InternalRow.fromSeq(payloadTypes.map(_ => null))
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, lOut ++ outAttrs)
+
+      new Iterator[InternalRow] {
+        // the un-consumed right row currently under the cursor
+        private var rCur: InternalRow = _
+        // latest right row seen with (key == lastKey, time <= bound); the
+        // projections reuse buffers, so retained values are copies
+        private var lastKey: InternalRow = _
+        private var lastTime: Long = 0L
+        private var lastVal: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val ltRow = lTimeBound(l)
+          val lHasTime = !ltRow.isNullAt(0)
+          val lt = if (lHasTime) ltRow.getLong(0) else 0L
+          // advance the right cursor up to (but not past) this left row
+          var advancing = lHasTime
+          while (advancing && (rCur != null || rIter.hasNext)) {
+            if (rCur == null) rCur = rIter.next()
+            val rk = rKeyProj(rCur)
+            val c = keyOrd.compare(rk, lk)
+            if (c > 0) {
+              advancing = false // right is ahead; keep for a later left key
+            } else if (c < 0) {
+              rCur = null // right key exhausted below this left key
+            } else {
+              val rtRow = rTimeBound(rCur)
+              if (rtRow.isNullAt(0)) {
+                rCur = null // null right time never matches
+              } else {
+                val rt = rtRow.getLong(0)
+                if (if (strictLocal) rt < lt else rt <= lt) {
+                  lastKey = rk.copy(); lastTime = rt; lastVal = valProj(rCur).copy()
+                  rCur = null
+                } else {
+                  advancing = false // right row is in this left row's future
+                }
+              }
+            }
+          }
+          val matched = lHasTime && lastVal != null &&
+            keyOrd.compare(lastKey, lk) == 0 &&
+            (tolLocal < 0L || lt - lastTime <= tolLocal)
+          resultProj(joined(l, if (matched) lastVal else nullVal))
+        }
+      }
+    }
+  }
+}

@@ -15,13 +15,18 @@ import org.apache.spark.sql.types.DoubleType
   *
   *  1. `graft_dot(a, b)` SQL function → the native DotProduct expression
   *     (extension tier (b): injectFunction).
-  *  2. `FoldToDotProduct` optimizer rule (extension tier (c):
-  *     injectOptimizerRule): rewrites the declarative HOF dot-product
-  *     idiom `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) ->
-  *     acc+v)` into DotProduct — user code stays fully declarative
-  *     builtins, the optimizer swaps in the codegen'd loop. Safe because
-  *     both sides are the same strict left-to-right fold (bit-identical
-  *     results, NativeExprSpec asserts it).
+  *  2. `FoldToDotProduct` optimizer rule (injectOptimizerRule): rewrites
+  *     the declarative HOF dot-product idiom `aggregate(zip_with(a, b,
+  *     (x,y) -> x*y), 0.0, (acc,v) -> acc+v)` into DotProduct — user code
+  *     stays fully declarative builtins, the optimizer swaps in the
+  *     codegen'd loop. Safe because both sides are the same strict
+  *     left-to-right fold (bit-identical results, NativeExprSpec asserts
+  *     it).
+  *  3. `AsOfJoinStrategy` planner strategy (extension tier (c):
+  *     injectPlannerStrategy): plans the custom [[AsOfJoinPlan]] logical
+  *     node into the merge-based [[AsOfJoinExec]] physical operator —
+  *     the whole-operator extension path for semantics Spark's built-in
+  *     operators can't express efficiently (two-table as-of join).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -31,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
     ))
     ext.injectOptimizerRule(_ => FoldToDotProduct)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
