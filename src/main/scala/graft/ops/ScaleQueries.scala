@@ -98,6 +98,59 @@ object ScaleQueries {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin
+    ),
+
+    // Character 4-gram Jaccard near-dup — the n-gram (shingle) layer of
+    // the dedup family: q40 is token-set Jaccard, q51 is token-3-gram
+    // fingerprints, this is raw character shingles (robust to
+    // tokenization differences; the classic Broder shingling unit).
+    // Sampled inverted-index join like q40 (same corpus-density caveat);
+    // the unsampled scale path is minhashLshPairs over shingle sets —
+    // identical join shape, hashed ids.
+    "q65_char_ngram_jaccard" -> QDef(
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .where(col("doc_id") % 7 === 0 && length(col("text")) >= 4)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(transform(
+              sequence(lit(1), length(col("text")) - 3),
+              i => col("text").substr(i, lit(4))))).as("g"))
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        grams.as("a")
+          .join(grams.as("b"),
+            col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .withColumn("jaccard",
+            col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+          // char-gram overlap runs lower than token overlap on this corpus
+          // (max ~0.42 at sf0.01): 0.35 ≈ the top decile — non-vacuous at
+          // every SF, still selective
+          .where(col("jaccard") >= 0.35)
+          .select("doc_a", "doc_b", "n_common", "jaccard")
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(50)
+      },
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 7 = 0 AND length(text) >= 4),
+        |grams AS (SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 4) AS g
+        |          FROM (SELECT doc_id, lang, text,
+        |                  unnest(generate_series(1, length(text) - 3)) AS i
+        |                FROM d) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       n_common / (sa.sz + sb.sz - n_common) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |           JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.35
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
     )
   )
 }
