@@ -151,6 +151,41 @@ object ScaleQueries {
         |           JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.35
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+    ),
+
+    // Connected-components dup clustering (graft.ops.Dedup) under the
+    // oracle gate. Edges are CONSECUTIVE doc_ids among the first 6 docs of
+    // each (lang, source) group — a CHAIN, not a clique — so min-label
+    // propagation must walk multiple hops (a real transitive-closure
+    // instance; one hop per iteration, hence the cap bounds the diameter
+    // well inside dupClusters' maxIter) while the ground truth stays
+    // SQL-expressible: every chain node's component minimum is its group's
+    // minimum doc_id. (The corpus has no exact-text duplicates at the gate
+    // SFs, so the grouping key is (lang, source), not text.)
+    "q66_dup_clusters" -> QDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source").orderBy("doc_id")
+        val chain = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 6)
+          .withColumn("prev", lag("doc_id", 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
+        Dedup.dupClusters(chain)
+          .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+          .orderBy("doc_id")
+      },
+      """WITH r AS (SELECT doc_id, lang, source,
+        |             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |           FROM documents),
+        |k AS (SELECT doc_id, lang, source FROM r WHERE rn <= 6),
+        |g AS (SELECT doc_id,
+        |        COUNT(*)    OVER (PARTITION BY lang, source) AS n,
+        |        MIN(doc_id) OVER (PARTITION BY lang, source) AS canonical_id
+        |      FROM k)
+        |SELECT doc_id, canonical_id FROM g WHERE n >= 2 ORDER BY doc_id""".stripMargin
     )
   )
 }

@@ -108,6 +108,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       "the whole point: no quadratic join")
   }
 
+  test("input validation: unknown columns and non-temporal time columns fail fast") {
+    val lhs = Seq((1L, ts(1), 1.0)).toDF("k", "lt", "v")
+    val rhs = Seq((1L, ts(0), 9.0)).toDF("k", "rt", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(lhs, rhs, "nope", "k", "lt", "rt", Seq("rv" -> "x"))
+    }
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(lhs, rhs, "k", "k", "v", "rt", Seq("rv" -> "x")) // v is DOUBLE
+    }
+    assert(e2.getMessage.contains("TIMESTAMP"))
+  }
+
   test("empty right side: left preserved with all-NULL payload") {
     val lhs = Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0)).toDF("k", "lt", "v")
     val rhs = Seq.empty[(Long, Timestamp, Double)].toDF("k", "rt", "rv")
