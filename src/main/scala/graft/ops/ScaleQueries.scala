@@ -154,14 +154,16 @@ object ScaleQueries {
     ),
 
     // Connected-components dup clustering (graft.ops.Dedup) under the
-    // oracle gate. Edges are CONSECUTIVE doc_ids among the first 6 docs of
+    // oracle gate. Edges are CONSECUTIVE doc_ids among the first 3 docs of
     // each (lang, source) group — a CHAIN, not a clique — so min-label
-    // propagation must walk multiple hops (a real transitive-closure
-    // instance; one hop per iteration, hence the cap bounds the diameter
-    // well inside dupClusters' maxIter) while the ground truth stays
-    // SQL-expressible: every chain node's component minimum is its group's
-    // minimum doc_id. (The corpus has no exact-text duplicates at the gate
-    // SFs, so the grouping key is (lang, source), not text.)
+    // propagation must walk 2 hops (a real transitive-closure instance:
+    // the tail node shares no edge with the head) while staying cheap in
+    // the bench: min-label moves ONE hop per iteration and every iteration
+    // is two driver actions, so chain length directly prices the query
+    // (cap 6 ⇒ ~7 rounds ⇒ ~8 s at sf0.1; cap 3 ⇒ 3 rounds). Ground truth
+    // is SQL-expressible: every chain node's component minimum is its
+    // group's minimum doc_id. (The corpus has no exact-text duplicates at
+    // the gate SFs, so the grouping key is (lang, source), not text.)
     "q66_dup_clusters" -> QDef(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -169,7 +171,7 @@ object ScaleQueries {
         val chain = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"))
           .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 6)
+          .where(col("rn") <= 3)
           .withColumn("prev", lag("doc_id", 1).over(w))
           .where(col("prev").isNotNull)
           .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
@@ -180,7 +182,7 @@ object ScaleQueries {
       """WITH r AS (SELECT doc_id, lang, source,
         |             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |           FROM documents),
-        |k AS (SELECT doc_id, lang, source FROM r WHERE rn <= 6),
+        |k AS (SELECT doc_id, lang, source FROM r WHERE rn <= 3),
         |g AS (SELECT doc_id,
         |        COUNT(*)    OVER (PARTITION BY lang, source) AS n,
         |        MIN(doc_id) OVER (PARTITION BY lang, source) AS canonical_id
