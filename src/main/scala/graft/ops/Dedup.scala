@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * q47/q48): turn pairs into duplicate CLUSTERS via connected components,
   * then pick one canonical doc per cluster. Iterative min-label
   * propagation — the standard Spark shape for CC without a graph library:
-  * each iteration is one join + one aggregation, lineage truncated with
-  * localCheckpoint, loop ends at fixpoint. Deterministic (labels are
-  * min doc ids, no randomness), so safe to use in reproducible pipelines.
+  * each iteration is edge-propagation PLUS a pointer-jumping shortcut
+  * (label ← label-of-label), lineage truncated with localCheckpoint, loop
+  * ends at fixpoint. Deterministic (labels are min doc ids, no
+  * randomness), so safe to use in reproducible pipelines.
   *
-  * At 100 TB: iterations are O(diameter); near-dup graphs have tiny
-  * diameter (dup clusters are near-cliques), so 3–5 rounds converge.
+  * At 100 TB: edge-propagation alone needs O(diameter) rounds — fine for
+  * near-clique dup clusters, pathological for chains (round-4 measurement:
+  * each round is ~1 s of fixed job overhead regardless of data size, and a
+  * chained-shingle corpus can produce long paths). The label-of-label
+  * shortcut doubles the reach per round, so convergence is
+  * O(log diameter): a 64-node path converges in ~7 rounds instead of 63
+  * (DedupClustersSpec locks the round count).
   */
 object Dedup {
 
@@ -37,6 +43,13 @@ object Dedup {
       val propagated = labels
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+      // Pointer jumping: every label is itself a node (component minima are
+      // member ids), so node can adopt its label's label — information
+      // travels 2^k hops after k rounds instead of k.
+      val shortcut = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"),
+          lit(false).as("own"))
       // Convergence is read out of the SAME aggregation that computes the
       // new labels (each node has exactly one own=true row, so
       // min(own label) is the previous label) — one cheap count over the
@@ -44,6 +57,7 @@ object Dedup {
       val next = labels
         .select(col("node"), col("label"), lit(true).as("own"))
         .unionAll(propagated)
+        .unionAll(shortcut)
         .groupBy("node")
         .agg(min("label").as("label"), min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint()

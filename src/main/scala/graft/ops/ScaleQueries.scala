@@ -158,9 +158,9 @@ object ScaleQueries {
     // each (lang, source) group — a CHAIN, not a clique — so min-label
     // propagation must walk 2 hops (a real transitive-closure instance:
     // the tail node shares no edge with the head) while staying cheap in
-    // the bench: min-label moves ONE hop per iteration and every iteration
-    // is two driver actions, so chain length directly prices the query
-    // (cap 6 ⇒ ~7 rounds ⇒ ~8 s at sf0.1; cap 3 ⇒ 3 rounds). Ground truth
+    // the bench: every iteration is two driver actions of ~1 s fixed
+    // overhead, so the chain cap prices the query (pointer jumping makes
+    // rounds O(log chain), but fewer rounds is still cheaper). Ground truth
     // is SQL-expressible: every chain node's component minimum is its
     // group's minimum doc_id. (The corpus has no exact-text duplicates at
     // the gate SFs, so the grouping key is (lang, source), not text.)
@@ -188,6 +188,25 @@ object ScaleQueries {
         |        MIN(doc_id) OVER (PARTITION BY lang, source) AS canonical_id
         |      FROM k)
         |SELECT doc_id, canonical_id FROM g WHERE n >= 2 ORDER BY doc_id""".stripMargin
+    ),
+
+    // Salted two-phase aggregation (graft.ops.Skew) under the gate:
+    // l_returnflag is a 3-value key — exactly the hot-key shape where one
+    // reducer eats the table — salted 16 ways on (l_orderkey, l_partkey)
+    // for the partial phase, then combined. The DECIMAL(18,4) sum bridge
+    // makes the salted re-aggregation provably bit-identical to the plain
+    // single-phase plan, so the ORACLE IS the plain GROUP BY.
+    "q67_salted_agg" -> QDef(
+      (s, d) =>
+        Skew.saltedCountSum(
+          Tables.lineitem(s, d), keyCol = "l_returnflag",
+          valueCol = "l_extendedprice",
+          saltCols = Seq("l_orderkey", "l_partkey"))
+          .orderBy("l_returnflag"),
+      s"""SELECT l_returnflag,
+         |  COUNT(*) AS n_rows,
+         |  ${graft.Det.sqlDsum("l_extendedprice")} AS sum_value
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     )
   )
 }

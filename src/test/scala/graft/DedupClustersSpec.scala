@@ -20,6 +20,15 @@ class DedupClustersSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("pointer jumping: a 64-node path converges within 8 iterations") {
+    // pure edge-propagation needs 63 rounds on this graph; the
+    // label-of-label shortcut must get there in O(log n) — maxIter = 8
+    // makes the spec FAIL (non-convergence throw) if the shortcut breaks
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.dupClusters(pairs, maxIter = 8).as[(Long, Long)].collect().toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L))
+  }
+
   test("every near-dup pair from q46 lands in one cluster; dedup keeps min ids") {
     val pairs = SparkEntry.queries("q46_minhash_lsh")(spark, sf001)
       .select("doc_a", "doc_b")
