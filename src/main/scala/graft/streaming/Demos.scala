@@ -174,6 +174,38 @@ object Demos {
       col("click_ts"), col("purchase_ts"))
   }
 
+  /** s7 — LEFT OUTER stream-stream join: like s6, but clicks with no
+    * purchase in their 30-minute window still emit (purchase columns
+    * NULL). The engine can only declare a click unmatched once the
+    * watermark passes the END of its join interval — so null rows are
+    * emitted LATE, on a subsequent trigger after the watermark moves,
+    * which is exactly Flink's interval-join late-cleanup semantics and
+    * the part naive reimplementations get wrong (StreamingDemosSpec
+    * locks the timing).
+    */
+  def s7StreamStreamLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter"
+    ).select(
+      col("user_id"), col("click_id"), col("purchase_id"),
+      col("click_ts"), col("purchase_ts"))
+  }
+
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =
     events

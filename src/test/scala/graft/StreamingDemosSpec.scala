@@ -151,6 +151,44 @@ class StreamingDemosSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s7: LEFT OUTER stream-stream join emits unmatched clicks only after watermark closes their interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Demos.s7StreamStreamLeftJoin(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s7_out").start()
+    try {
+      input.addData(
+        ev(1, 0, 1, "click", 1.0),      // matched (purchase 10min later)
+        ev(2, 10, 1, "purchase", 5.0),
+        ev(3, 20, 2, "click", 1.0)      // never purchased
+      )
+      runToCompletion(q)
+      // the unmatched click must NOT have emitted yet: its 30-minute join
+      // interval is still open (watermark hasn't passed minute 20+30+10)
+      val early = spark.table("s7_out")
+        .select("user_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(early == Set((1L, 1L)),
+        s"unmatched click leaked before watermark closed its interval: $early")
+      // Advance the watermark far past every interval → the NULL row
+      // drains. The pushers must SURVIVE each side's event_type filter
+      // (the watermark operators sit above the filters, so a filtered-out
+      // event advances nothing) and must not join each other — distinct
+      // users, and their own intervals stay open past the final watermark,
+      // so the pushers themselves never emit.
+      input.addData(
+        ev(99, 60 * 24, 8, "click", 0.0), ev(97, 60 * 24, 9, "purchase", 0.0))
+      runToCompletion(q)
+      input.addData(
+        ev(98, 60 * 24 + 1, 8, "click", 0.0), ev(96, 60 * 24 + 1, 9, "purchase", 0.0))
+      runToCompletion(q)
+      val rows = spark.table("s7_out")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(rows == Set((1L, 1L, Some(2L)), (2L, 3L, None)),
+        s"expected the matched pair plus the late NULL row, got $rows")
+    } finally q.stop()
+  }
+
   test("s5: session windows split on >=30min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
