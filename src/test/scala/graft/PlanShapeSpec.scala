@@ -48,6 +48,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("single-window rank<=k plans a WindowGroupLimit (partial per-key top-k)") {
+    // rank-filter windows are rewritten to push a group-limit below the
+    // full per-key sort retention (Spark's WindowGroupLimit) — the reason
+    // the per-key top-k family needs no custom operator at 100 TB. q20
+    // itself is excluded CORRECTLY: its rnk/drnk ride a second window
+    // over a different ordering whose values depend on ALL rows, so the
+    // limit cannot be pushed there without changing results.
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(spark, sf001)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=k filter was not pushed into a WindowGroupLimit")
+  }
+
+  test("a partition-pruned layout reads only the filtered partitions") {
+    // the 100 TB datalake layout (SCALE.md §1): facts partitioned by a
+    // dim-like column; a filter on it must prune at PLANNING time (the
+    // scan's partition filters), not scan-and-discard
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, sf001)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter in scan:\n${scan.take(600)}")
+    val expected = ev.where(
+      org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(df.count() == expected)
+  }
+
   test("whole-stage codegen covers the hot relational paths") {
     // codegen'd operators render with a "*(n) " stage prefix
     assert(plan("q04_agg_pricing").contains("*(1)"))
