@@ -54,9 +54,14 @@ object Ann {
   /** Build the IVF index: (vec_id, e, n2, list_id) plus the centroid table
     * (list_id, ce, cn2). `vectors` must have (vec_id, embedding). */
   def ivfIndex(vectors: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    // localCheckpoint: the (vec_id, e, n2) projection feeds the seed pick
+    // and BOTH assignment passes — materialize it once instead of
+    // re-scanning (and re-folding norms over) the source per branch; the
+    // production analog of persisting the vector table during index build.
     val emb = vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("n2", norm2(col("e")))
+      .localCheckpoint()
     // deterministic seeds: the nlist smallest vec_ids
     val seeds = emb.orderBy("vec_id").limit(nlist)
       .select(row_number().over(Window.orderBy("vec_id")).cast("long").as("list_id"),
