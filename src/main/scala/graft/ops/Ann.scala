@@ -45,8 +45,11 @@ object Ann {
   private def meanVectors(exploded: DataFrame, idCol: String): DataFrame =
     exploded
       .groupBy(col(idCol), col("pos"))
+      // count(col), not count(lit(1)): sum() skips NULL elements, so the
+      // divisor must too or a NULL embedding element would silently shrink
+      // the mean — preserves avg()'s NULL-exclusion semantics.
       .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-        .cast("double") / count(lit(1))).as("m"))
+        .cast("double") / count(col("col"))).as("m"))
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("ce"))

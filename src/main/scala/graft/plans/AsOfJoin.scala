@@ -39,6 +39,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * row — as-of, not nearest-within-window). Null right timestamps never
   * match; keys compare by sort order (the corpus has no null keys; null
   * keys would group like any other value, unlike SQL equi-join nulls).
+  * Right rows TIED on (key, time) with distinct payloads: the retained row
+  * is the one with the lexicographically LARGEST payload tuple — enforced,
+  * not partition-sort luck, because the exec appends the (orderable)
+  * payload columns to the right child's required ordering and the merge
+  * keeps the last match. Equivalent to `max(struct(time, payload...))`
+  * per left row. A non-orderable payload column (e.g. MAP) truncates the
+  * tie-break at that column; ties beyond it are nondeterministic.
   */
 object AsOfJoin {
 
@@ -132,7 +139,14 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    // payload columns extend the right ordering so rows tied on
+    // (key, time) are consumed in payload order and the merge's
+    // last-match-wins retention is deterministic (== max payload tuple).
+    // takeWhile, not filter: sort keys after the first non-orderable one
+    // can't contribute a well-defined tie-break anyway.
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightPayload.takeWhile(p => RowOrdering.isOrderable(p.dataType))
+        .map(SortOrder(_, Ascending)))
 
   // left rows pass through in their sorted order
   override def outputOrdering: Seq[SortOrder] =

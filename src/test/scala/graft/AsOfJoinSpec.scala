@@ -92,6 +92,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("right rows tied on (key, time): the max payload tuple wins, deterministically") {
+    // 40 right rows per key ALL at the same timestamp with shuffled distinct
+    // payloads — forced through the 32-partition shuffle so partition-sort
+    // luck can't save a missing tie-break. Ordering contract: the exec
+    // appends payload columns to the right child's required ordering, so
+    // the retained row == max(struct(time, payload...)).
+    val lhs = spark.range(50).select(
+      col("id").as("k"), timestamp_micros(lit(1000000000L)).as("lt"), col("id").as("lid"))
+    val rhs = spark.range(2000).select(
+      (col("id") % 50).as("k"),
+      timestamp_micros(lit(999000000L)).as("rt"),
+      // permuted payloads: per key the 40 values are (id*17+k)%40-ish, max varies
+      ((col("id") * 7919) % 1000).as("rv"))
+    val got = AsOfJoin.asof(lhs, rhs, "k", "k", "lt", "rt", Seq("rv" -> "asof_rv"))
+      .select("lid", "asof_rv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rhs.groupBy("k").agg(max("rv").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "tied right timestamps must retain the largest payload")
+  }
+
   test("plan shape: AsOfJoinExec fed by key exchanges and (key,time) sorts; no NLJ") {
     val ev = Tables.events(spark, sf01)
     val df = AsOfJoin.asof(

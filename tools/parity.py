@@ -49,17 +49,20 @@ def check_q54(con, out_dir):
         return False
     for k, (ad, am) in approx.items():
         ed, em = exact[k]
-        if not ed or not em:
-            # A zero/None exact denominator (empty group) must FAIL the
-            # check, not abort the whole parity run with ZeroDivisionError.
+        if ed is None or em is None or ed == 0:
+            # Missing exact values, or a zero ndv (empty group), can't be
+            # bounded — FAIL rather than abort with ZeroDivisionError.
+            # em == 0.0 is a legitimate median, handled below.
             print(f"FAIL q54_approx_stats (bounded): {k} exact ndv={ed} "
-                  f"median={em} — degenerate group, cannot bound")
+                  f"median={em} — cannot bound")
             return False
         if abs(ad - ed) / ed >= 0.05:
             print(f"FAIL q54_approx_stats (bounded): {k} HLL ndv {ad} "
                   f"off >5% from exact {ed}")
             return False
-        if abs(am - em) / em >= 0.10:
+        # relative envelope when the exact median is nonzero; absolute
+        # envelope at em == 0 (relative error is undefined there)
+        if (abs(am - em) / abs(em) >= 0.10) if em != 0 else (abs(am) >= 0.10):
             print(f"FAIL q54_approx_stats (bounded): {k} approx median {am} "
                   f"off >10% from exact {em}")
             return False
