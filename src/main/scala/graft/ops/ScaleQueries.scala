@@ -190,6 +190,32 @@ object ScaleQueries {
         |SELECT doc_id, canonical_id FROM g WHERE n >= 2 ORDER BY doc_id""".stripMargin
     ),
 
+    // The `asof_join` SQL table-valued function (injectTableFunction —
+    // plans/AsOfJoin.AsOfJoinTvf): the FROM-clause surface over the same
+    // native AsOfJoinPlan as q64, exercised end-to-end from SQL text. The
+    // oracle is DuckDB's own native ASOF LEFT JOIN — two independent
+    // engines' first-class as-of operators must agree row-for-row (and
+    // both must agree with q64's relational MAX-rejoin spelling).
+    "q68_asof_sql" -> QDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.where(col("event_type") === "purchase")
+          .createOrReplaceTempView("graft_q68_purchases")
+        ev.where(col("event_type") === "click")
+          .createOrReplaceTempView("graft_q68_clicks")
+        s.sql("""SELECT event_id, user_id, ts, last_click_ts
+                |FROM asof_join('graft_q68_purchases', 'graft_q68_clicks',
+                |               'user_id', 'user_id', 'ts', 'ts',
+                |               'ts', 'last_click_ts')
+                |ORDER BY event_id""".stripMargin)
+      },
+      """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY p.event_id""".stripMargin
+    ),
+
     // Salted two-phase aggregation (graft.ops.Skew) under the gate:
     // l_returnflag is a 3-value key — exactly the hot-key shape where one
     // reducer eats the table — salted 16 ways on (l_orderkey, l_partkey)

@@ -59,8 +59,21 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       payload: Seq[(String, String)],
       strict: Boolean = true,
-      toleranceMicros: Long = -1L): DataFrame = {
-    val spark = left.sparkSession
+      toleranceMicros: Long = -1L): DataFrame =
+    GraftSqlBridge.ofRows(left.sparkSession,
+      node(left, right, leftKey, rightKey, leftTime, rightTime, payload,
+        strict, toleranceMicros))
+
+  /** Build the resolved [[AsOfJoinPlan]] logical node without materializing
+    * a DataFrame — shared by [[asof]] and the `asof_join` SQL table-valued
+    * function ([[AsOfJoinTvf]]). */
+  private[plans] def node(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)],
+      strict: Boolean = true,
+      toleranceMicros: Long = -1L): AsOfJoinPlan = {
     // Fresh aliases on the right side mint new exprIds, so self-joins
     // (left and right carved from the same table) never present duplicate
     // attributes to the binary node.
@@ -82,12 +95,63 @@ object AsOfJoin {
     val outAttrs = payload.zip(rPayload).map { case ((_, outName), ra) =>
       AttributeReference(outName, ra.dataType, nullable = true)()
     }
-    val node = AsOfJoinPlan(
+    AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, "__asof_key"),
       checkTime(attr(lPlan, leftTime)), checkTime(attr(rPlan, "__asof_time")),
       rPayload, outAttrs, strict, toleranceMicros)
-    GraftSqlBridge.ofRows(spark, node)
+  }
+}
+
+/** SQL surface for the native as-of join — a table-valued function
+  * registered through `SparkSessionExtensions.injectTableFunction`
+  * ([[GraftExtensions]]), so plain SQL users get the operator without
+  * touching the Scala API:
+  *
+  * {{{
+  * SELECT * FROM asof_join(
+  *   'purchases', 'clicks',        -- left/right table or view names
+  *   'user_id', 'user_id',         -- join keys
+  *   'ts', 'ts',                   -- time columns
+  *   'ts', 'last_click_ts')        -- right payload column -> output name
+  * }}}
+  *
+  * An optional 9th boolean argument sets `strict` (default true: right time
+  * strictly earlier). The builder resolves the named tables through the
+  * active session's catalog and returns the same [[AsOfJoinPlan]] the Scala
+  * API builds, so SQL and Scala share one physical operator (and DuckDB's
+  * native `ASOF LEFT JOIN` serves as the oracle — q68). Table names go
+  * through `SparkSession.table`, so views, catalog tables, and
+  * database-qualified names all work.
+  */
+object AsOfJoinTvf {
+  val usage: String =
+    "asof_join('left','right','leftKey','rightKey','leftTime','rightTime'," +
+      "'payloadCol','outName'[, strict BOOLEAN])"
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    require(args.length == 8 || args.length == 9,
+      s"asof_join takes 8 or 9 arguments, got ${args.length}; usage: $usage")
+    def str(i: Int, what: String): String = args(i) match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"asof_join: $what (argument ${i + 1}) must be a string literal, " +
+          s"got ${other.sql}; usage: $usage")
+    }
+    val strict = if (args.length == 9) args(8) match {
+      case Literal(b: Boolean, BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"asof_join: strict (argument 9) must be a boolean literal, " +
+          s"got ${other.sql}; usage: $usage")
+    } else true
+    val spark = SparkSession.active
+    AsOfJoin.node(
+      spark.table(str(0, "left table")), spark.table(str(1, "right table")),
+      str(2, "left key"), str(3, "right key"),
+      str(4, "left time"), str(5, "right time"),
+      Seq(str(6, "payload column") -> str(7, "output name")), strict)
   }
 }
 

@@ -27,6 +27,9 @@ import org.apache.spark.sql.types.DoubleType
   *     node into the merge-based [[AsOfJoinExec]] physical operator —
   *     the whole-operator extension path for semantics Spark's built-in
   *     operators can't express efficiently (two-table as-of join).
+  *  4. `asof_join(...)` SQL table-valued function (injectTableFunction):
+  *     the FROM-clause surface over the same [[AsOfJoinPlan]] node, so SQL
+  *     and Scala callers share one operator (see [[AsOfJoinTvf]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -37,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ))
     ext.injectOptimizerRule(_ => FoldToDotProduct)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(AsOfJoinTvf.getClass.getName, "asof_join"),
+      (args: Seq[Expression]) => AsOfJoinTvf.builder(args)
+    ))
   }
 }
 

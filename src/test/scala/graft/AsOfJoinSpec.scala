@@ -113,6 +113,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == want, "tied right timestamps must retain the largest payload")
   }
 
+  test("SQL surface: the asof_join TVF plans the same operator as the Scala API") {
+    val got = SparkEntry.queries("q68_asof_sql")(spark, sf001)
+    // same physical operator...
+    assert(got.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "SQL surface must plan through AsOfJoinExec")
+    // ...same rows as the native Scala form (q64)
+    val want = SparkEntry.queries("q64_asof_native")(spark, sf001)
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("SQL surface: 9th boolean arg flips strictness; bad arguments fail fast") {
+    val trades = Seq((1L, ts(10), 100.0)).toDF("sym", "t_ts", "price")
+    val quotes = Seq((1L, ts(10), 99.9), (1L, ts(8), 99.5)).toDF("sym", "q_ts", "bid")
+    trades.createOrReplaceTempView("graft_tvf_trades")
+    quotes.createOrReplaceTempView("graft_tvf_quotes")
+    def bid(strictArg: String): Any = spark.sql(
+      s"""SELECT last_bid FROM asof_join('graft_tvf_trades', 'graft_tvf_quotes',
+         |'sym', 'sym', 't_ts', 'q_ts', 'bid', 'last_bid'$strictArg)""".stripMargin)
+      .collect().head.get(0)
+    assert(bid("") == 99.5)             // default strict: ts(10) quote excluded
+    assert(bid(", true") == 99.5)
+    assert(bid(", false") == 99.9)      // non-strict: ties match
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('graft_tvf_trades', 'graft_tvf_quotes')").collect()
+    }
+    assert(e1.getMessage.contains("asof_join takes 8 or 9 arguments"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM asof_join('graft_tvf_trades', 'graft_tvf_quotes',
+          |'sym', 'sym', 't_ts', 'q_ts', 'bid', 42)""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("must be a string literal"))
+  }
+
   test("plan shape: AsOfJoinExec fed by key exchanges and (key,time) sorts; no NLJ") {
     val ev = Tables.events(spark, sf01)
     val df = AsOfJoin.asof(
