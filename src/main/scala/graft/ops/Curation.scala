@@ -1,0 +1,265 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 training-data-curation operators (q69–q74): the sampling,
+  * weighting, packing, compression, decontamination, and mixing steps a
+  * 100 TB pretraining pipeline runs between dedup and the trainer. Every query keeps the repo's
+  * determinism contract — portable hashes (md5 hex, identical in Spark and
+  * DuckDB), exact integer/decimal math, raw IEEE doubles for quotients,
+  * rounding only on transcendentals (ln, the q27 pattern).
+  *
+  * Scale postures:
+  *  - q69 sampling is a pure projection + filter — no shuffle at all; the
+  *    sampling decision is a hash of the row's own key, so it is stable
+  *    under re-partitioning, retries, and incremental re-runs (the property
+  *    that makes hash-sampling the production standard vs rand()).
+  *  - q70 TF-IDF is two hash aggregations and a broadcast-size join of
+  *    per-language doc counts — the classic map-side-combinable shape.
+  *  - q71 packing needs a GLOBAL exclusive prefix-sum of token counts;
+  *    the naive form is one task sorting the corpus, so it runs on
+  *    [[Scan.runningSumByRange]] (range-bucketed two-pass scan) over a
+  *    deterministic shuffle permutation — exactly how a real pipeline
+  *    shuffles then packs.
+  *  - q72 quantization is per-row array math (no shuffle); int8 codes and
+  *    reconstruction error come out of one pass over the vectors.
+  */
+object Curation {
+  import Tables._
+
+  /** Portable deterministic bucket in [0, 100): first 15 hex chars of
+    * md5(key) as an int. Identical in DuckDB via
+    * `CAST(('0x' || substring(md5(key),1,15)) AS BIGINT) % 100`. */
+  private def md5Bucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // ---------------------------------------------------------------- q69
+    // Stratified hash sampling: per-language keep rates (en is upweighted,
+    // everything else downsampled) decided by a deterministic hash of
+    // doc_id — re-running the pipeline, re-partitioning the corpus, or
+    // adding new documents never changes the verdict on an existing doc.
+    // No shuffle: the plan is scan → project → filter (+ the output sort,
+    // which only exists for the hash compare).
+    "q69_stratified_sample" -> QDef(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("bucket", md5Bucket(col("doc_id")))
+          .where(col("bucket") < when(col("lang") === "en", 50L).otherwise(20L))
+          .select("doc_id", "lang", "source", "bucket")
+          .orderBy("doc_id"),
+      """SELECT doc_id, lang, source,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q70
+    // TF-IDF top terms per language: idf = ln(n_docs / df) over the
+    // language's corpus, score = total term frequency × idf. Two hash
+    // aggregations (both map-side combinable) + a per-language doc-count
+    // join (|langs| rows — broadcast). ln is transcendental → rounded to 4
+    // like q27; ties on the rounded score break on tok so the top-10 cut
+    // is deterministic.
+    "q70_tfidf_terms" -> QDef(
+      (s, d) => {
+        val docs = documents(s, d)
+        val tf = docs
+          .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok")
+          .agg(count(lit(1)).as("tf_total"), countDistinct(col("doc_id")).as("df"))
+        val nDocs = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(broadcast(nDocs), "lang")
+          .withColumn("score", round(col("tf_total") * log(col("n_docs") / col("df")), 4))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))))
+          .where(col("rk") <= 10)
+          .select("lang", "tok", "tf_total", "df", "score", "rk")
+          .orderBy("lang", "rk")
+      },
+      """WITH tf AS (
+        |  SELECT lang, tok, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
+        |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY lang, tok),
+        |nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |scored AS (
+        |  SELECT tf.lang, tok, tf_total, df,
+        |         round(tf_total * ln(n_docs / df), 4) AS score
+        |  FROM tf JOIN nd ON tf.lang = nd.lang),
+        |rk AS (
+        |  SELECT lang, tok, tf_total, df, score,
+        |         row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rk
+        |  FROM scored)
+        |SELECT lang, tok, tf_total, df, score, rk FROM rk
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q71
+    // Sequence packing (concat-then-chunk): deterministically shuffle the
+    // corpus (the same 7919/104729 permutation as q63), lay documents
+    // end-to-end, and chunk the token stream into 256-token training
+    // windows. Each doc's byte offset is the EXCLUSIVE prefix sum of token
+    // counts over the global shuffle order — computed by the two-pass
+    // range-bucketed scan (Scan.runningSumByRange), not a single-partition
+    // window: at 100 TB the offset assignment stays one partitioned window
+    // + a P-row prefix + a broadcast join. The oracle replays the same
+    // prefix sum as a plain window, which DuckDB can afford at sf.
+    "q71_seq_pack" -> QDef(
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("perm", (col("doc_id") * 7919) % 104729)
+        Scan.runningSumByRange(
+            docs, col("perm"), col("doc_id"), col("n_tok"),
+            "offset", lo = 0L, hi = 104729L)
+          .withColumn("window_id", expr("offset DIV 256"))
+          .withColumn("pos_in_window", col("offset") % 256)
+          .select("doc_id", "n_tok", "offset", "window_id", "pos_in_window")
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         (doc_id * 7919) % 104729 AS perm
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |       COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+        |       COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS window_id,
+        |       COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 256 AS pos_in_window
+        |FROM t ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q72
+    // Int8 scalar quantization of embeddings (the storage/ANN-memory
+    // compression step): per-vector scale = max |x_i|, code_i =
+    // floor(x_i·127/scale), plus the exact reconstruction error. All
+    // per-row array math — no shuffle; floor keeps the codes integral
+    // (exact in both engines, unlike round-on-quotient), and the error
+    // fold is the same sequential left fold both engines use for list
+    // sums, on identical IEEE inputs (float→double casts are exact).
+    "q72_embed_quantize" -> QDef(
+      (s, d) =>
+        embeddings(s, d)
+          .withColumn("maxabs",
+            array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+          .where(col("maxabs") > 0)
+          .withColumn("qsum",
+            aggregate(
+              transform(col("embedding"),
+                x => floor(x.cast("double") * 127.0 / col("maxabs")).cast("long")),
+              lit(0L), (a, v) => a + v))
+          .withColumn("err",
+            aggregate(
+              transform(col("embedding"),
+                x => (x.cast("double")
+                  - floor(x.cast("double") * 127.0 / col("maxabs")) * col("maxabs") / 127.0)
+                  * (x.cast("double")
+                  - floor(x.cast("double") * 127.0 / col("maxabs")) * col("maxabs") / 127.0)),
+              lit(0.0), (a, v) => a + v))
+          .select("vec_id", "maxabs", "qsum", "err")
+          .orderBy("vec_id"),
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id, maxabs,
+        |  list_aggregate(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)), 'sum') AS qsum,
+        |  list_aggregate(list_transform(embedding,
+        |    x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / maxabs) * maxabs / 127.0)
+        |       * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / maxabs) * maxabs / 127.0)),
+        |    'sum') AS err
+        |FROM m WHERE maxabs > 0 ORDER BY vec_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q73
+    // Eval decontamination: the held-out benchmark set (doc_id % 97 — a
+    // deterministic carve of the same distribution, which is exactly how
+    // contamination arises) is checked against the training corpus for
+    // shared token trigrams. Join shape is an equi-join on the gram — the
+    // benchmark side is tiny (1/97 of docs) so Spark broadcasts it and the
+    // corpus side never shuffles; n_shared counts DISTINCT shared grams
+    // per (bench, train) pair. This is the n-gram-collision
+    // decontamination step every pretraining pipeline runs before eval.
+    "q73_decontaminate" -> QDef(
+      (s, d) => {
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", split(col("text"), " "))
+          // guard: Spark's sequence(1, n) runs DESCENDING for n < 1, so a
+          // <3-token doc would index element_at(toks, 0) and throw;
+          // DuckDB's generate_series just comes back empty
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ",
+                element_at(col("toks"), i),
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2))))).as("g"))
+        val docs = documents(s, d)
+        val bench = grams(docs.where(col("doc_id") % 97 === 0))
+          .withColumnRenamed("doc_id", "bench_id")
+        val train = grams(docs.where(col("doc_id") % 97 =!= 0))
+        train.join(broadcast(bench), "g")
+          .groupBy("bench_id", "doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .orderBy("bench_id", "doc_id")
+      },
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |          unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+        |        FROM documents) t),
+        |bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT bench_id, doc_id, COUNT(*) AS n_shared
+        |FROM train JOIN bench USING (g)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY bench_id, doc_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q74
+    // Domain-mixing weights: per-language token counts vs a uniform target
+    // distribution → the per-language sampling weight a mixture loader
+    // would apply. One hash aggregation + a 1-row cross join; fractions
+    // and weights are raw IEEE double quotients (identical in both
+    // engines on identical longs — never rounded, per the determinism
+    // contract).
+    "q74_mix_weights" -> QDef(
+      (s, d) => {
+        val perLang = documents(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .groupBy("lang").agg(sum(col("n_tok")).as("lang_toks"))
+        val totals = perLang.agg(
+          sum(col("lang_toks")).as("total_toks"),
+          count(lit(1)).as("n_langs"))
+        perLang.crossJoin(totals)
+          .withColumn("cur_frac", col("lang_toks") / col("total_toks"))
+          .withColumn("weight", (lit(1.0) / col("n_langs")) / (col("lang_toks") / col("total_toks")))
+          .select("lang", "lang_toks", "total_toks", "cur_frac", "weight")
+          .orderBy("lang")
+      },
+      """WITH pl AS (
+        |  SELECT lang, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS lang_toks
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(lang_toks) AS total_toks, COUNT(*) AS n_langs FROM pl)
+        |SELECT lang, lang_toks, total_toks,
+        |       lang_toks / total_toks AS cur_frac,
+        |       (CAST(1 AS DOUBLE) / n_langs) / (lang_toks / total_toks) AS weight
+        |FROM pl CROSS JOIN t
+        |ORDER BY lang""".stripMargin
+    )
+  )
+}

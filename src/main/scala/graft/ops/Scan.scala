@@ -52,6 +52,36 @@ object Scan {
       .drop("__graft_b", "__graft_local", "__graft_carry")
   }
 
+  /** Exclusive running SUM of `valueCol` over the global order (orderCol
+    * asc, tieCol asc) — the offset assignment of a sequence-packing /
+    * concat-then-chunk pipeline: each row's output is the total of every
+    * row strictly before it in the global order. Same two-pass scan shape
+    * as [[runningMaxByRange]]: per-bucket exclusive sums in parallel, a
+    * P-row prefix over the bucket totals, broadcast the carry back. Sums
+    * must be exact (use integral valueCol) or order-insensitive. */
+  def runningSumByRange(
+      df: DataFrame, orderCol: Column, tieCol: Column, valueCol: Column,
+      outCol: String, lo: Long, hi: Long, buckets: Int = 32): DataFrame = {
+    val span = math.max(1L, (hi - lo + buckets - 1) / buckets)
+    val withBucket = df.withColumn("__graft_b",
+      floor((orderCol - lit(lo)) / lit(span)).cast("long"))
+    val wIn = Window.partitionBy("__graft_b").orderBy(orderCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withBucket.withColumn("__graft_local",
+      coalesce(sum(valueCol).over(wIn), lit(0L)))
+    val wPrev = Window.orderBy("__graft_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = withBucket
+      .groupBy("__graft_b").agg(sum(valueCol).as("__graft_bsum"))
+      .withColumn("__graft_carry",
+        coalesce(sum(col("__graft_bsum")).over(wPrev), lit(0L)))
+      .select("__graft_b", "__graft_carry")
+    local
+      .join(broadcast(carry), Seq("__graft_b"))
+      .withColumn(outCol, col("__graft_local") + col("__graft_carry"))
+      .drop("__graft_b", "__graft_local", "__graft_carry")
+  }
+
   /** q37's late-event classification in the scale-safe form: same arrival
     * permutation, same 10-minute lateness rule, but the running watermark
     * comes from the distributed scan instead of one global window. */

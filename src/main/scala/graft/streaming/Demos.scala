@@ -25,6 +25,18 @@ case class Alert(event_id: Long, user_id: Long, event_type: String, value: Doubl
 /** Per-key state for the pattern detector: the last event seen. */
 case class LastEvent(event_type: String, event_id: Long, tsMillis: Long)
 
+/** A document arriving on the ingest stream (s8). */
+case class DocIngest(doc_id: Long, ts: Timestamp, text: String, lang: String)
+
+/** s8 ingest row after the signature projection. */
+case class DocSigned(doc_id: Long, ts: Timestamp, text: String, lang: String, sig: Long)
+
+/** s8 per-signature state: the first document that claimed this content. */
+case class SeenDoc(canonical_id: Long, tsMillis: Long)
+
+/** s8 verdict: every ingested doc, tagged keep/drop with its canonical. */
+case class DedupVerdict(doc_id: Long, sig: Long, is_first: Boolean, canonical_id: Long)
+
 /** click→purchase match emitted by the pattern detector. */
 case class PatternMatch(user_id: Long, click_event_id: Long, purchase_event_id: Long, purchase_ts: Timestamp)
 
@@ -204,6 +216,56 @@ object Demos {
     ).select(
       col("user_id"), col("click_id"), col("purchase_id"),
       col("click_ts"), col("purchase_ts"))
+  }
+
+  /** s8 — dedup-on-ingest, the streaming form of the exact-dedup family
+    * (q34/q39): documents are keyed by a content signature
+    * (`xxhash64(text)` — the same projection-only id scheme as
+    * minhashLshPairs) and the FIRST arrival in event-time order claims the
+    * signature; every later duplicate is emitted with `is_first = false`
+    * and a pointer to the canonical doc, so downstream can either filter
+    * to `is_first` (dedup) or keep the full mapping (dedup map). Per-key
+    * GroupState holds only (canonical_id, tsMillis) — O(1) per distinct
+    * content — and an event-time timer evicts signatures idle for an hour,
+    * the same bounded-state trade as s3DedupBounded: a duplicate arriving
+    * after eviction is re-admitted (at 100 TB an unbounded seen-set is a
+    * state-store, not a stream).
+    */
+  def s8DedupBySignature(spark: SparkSession, docs: DataFrame): Dataset[DedupVerdict] = {
+    import spark.implicits._
+    docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("sig", xxhash64(col("text"))) // codegen'd, projection-only
+      .as[DocSigned]
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState[SeenDoc, DedupVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (sig: Long, it: Iterator[DocSigned], state: GroupState[SeenDoc]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // impose event-time order so intra- and cross-batch agree
+            val docsSorted = it.toVector.sortBy(d => (d.ts.getTime, d.doc_id))
+            val out = Vector.newBuilder[DedupVerdict]
+            var seen = state.getOption
+            for (d <- docsSorted) {
+              seen match {
+                case None =>
+                  seen = Some(SeenDoc(d.doc_id, d.ts.getTime))
+                  out += DedupVerdict(d.doc_id, sig, is_first = true, d.doc_id)
+                case Some(s) =>
+                  seen = Some(s.copy(tsMillis = math.max(s.tsMillis, d.ts.getTime)))
+                  out += DedupVerdict(d.doc_id, sig, is_first = false, s.canonical_id)
+              }
+            }
+            seen.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.tsMillis + 3600 * 1000L)
+            }
+            out.result().iterator
+          }
+      }
   }
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */

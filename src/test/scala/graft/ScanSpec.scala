@@ -37,6 +37,22 @@ class ScanSpec extends AnyFunSuite {
     assert(got.size == 10000 && got == want)
   }
 
+  test("runningSumByRange == single global exclusive-sum window, with ties") {
+    val df = spark.range(10000).select(
+      col("id"),
+      ((col("id") * 48271) % 997).as("a"),      // order key WITH duplicates
+      ((col("id") * 16807) % 101).as("v"))      // integral values: exact sums
+    val got = Scan.runningSumByRange(df, col("a"), col("id"), col("v"),
+      "off", lo = 0L, hi = 997L, buckets = 16)
+      .select("id", "off")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy("a", "id").rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("off", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "off")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 10000 && got == want)
+  }
+
   test("lateEventsScalable == q37_late_events on real data (both SFs)") {
     for (d <- Seq(sf001, sf01)) {
       val got = Scan.lateEventsScalable(Tables.events(spark, d))

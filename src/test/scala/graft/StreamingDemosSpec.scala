@@ -189,6 +189,43 @@ class StreamingDemosSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s8: dedup-on-ingest — first arrival claims the signature across batches; idle state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIngest]
+    def doc(id: Long, minute: Int, text: String): DocIngest =
+      DocIngest(id, ts(minute), text, "en")
+    val q = Demos.s8DedupBySignature(spark, input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s8_out").start()
+    try {
+      // batch 1: two distinct texts + an intra-batch duplicate arriving
+      // EARLIER in event time than doc 1 — event-time order, not arrival
+      // order, picks the canonical
+      input.addData(doc(1, 10, "alpha beta"), doc(2, 5, "alpha beta"), doc(3, 6, "gamma"))
+      runToCompletion(q)
+      // batch 2: cross-batch duplicate — state remembers doc 2 claimed it
+      input.addData(doc(4, 12, "alpha beta"))
+      runToCompletion(q)
+      val verdicts = spark.table("s8_out")
+        .as[DedupVerdict].collect().map(v => v.doc_id -> (v.is_first, v.canonical_id)).toMap
+      assert(verdicts(2L) == ((true, 2L)), s"event-time-first doc must win: $verdicts")
+      assert(verdicts(1L) == ((false, 2L)))
+      assert(verdicts(3L) == ((true, 3L)))
+      assert(verdicts(4L) == ((false, 2L)), s"cross-batch dup must point at the canonical: $verdicts")
+      // push the watermark ~25h ahead: signature state (idle 1h) evicts,
+      // so the SAME text re-admits as a fresh first
+      input.addData(doc(90, 60 * 25, "pusher text"))
+      runToCompletion(q)
+      input.addData(doc(91, 60 * 25 + 1, "pusher two"))
+      runToCompletion(q)
+      input.addData(doc(5, 60 * 25 + 2, "alpha beta"))
+      runToCompletion(q)
+      val after = spark.table("s8_out")
+        .as[DedupVerdict].collect().map(v => v.doc_id -> (v.is_first, v.canonical_id)).toMap
+      assert(after(5L) == ((true, 5L)),
+        s"signature idle past the horizon must re-admit (bounded state): $after")
+    } finally q.stop()
+  }
+
   test("s5: session windows split on >=30min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
