@@ -4,7 +4,7 @@ import graft.{QDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-5 training-data-curation operators (q69–q74): the sampling,
+/** Round-5 training-data-curation operators (q69–q76): the sampling,
   * weighting, packing, compression, decontamination, and mixing steps a
   * 100 TB pretraining pipeline runs between dedup and the trainer. Every query keeps the repo's
   * determinism contract — portable hashes (md5 hex, identical in Spark and
@@ -260,6 +260,123 @@ object Curation {
         |       (CAST(1 AS DOUBLE) / n_langs) / (lang_toks / total_toks) AS weight
         |FROM pl CROSS JOIN t
         |ORDER BY lang""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q75
+    // Incremental dedup: a DELTA batch (doc_id % 5 == 0 of the q46 sample
+    // universe) arrives against the HISTORICAL corpus (the rest). Only the
+    // delta's minhash band signatures probe the history's — in production
+    // the history side is a persisted signature index (written once,
+    // bucketed by (lang, band, sig)), so ingesting N new docs costs
+    // O(N · bands) index probes, never a rescan of 100 TB of history.
+    // Each colliding pair is exact-Jaccard-verified (array intersection,
+    // the q46 shape) and every duplicate delta doc reports its canonical:
+    // the smallest matching history doc. Same 16-hash/4-band family and
+    // dictionary ids as q46 so DuckDB replays everything.
+    "q75_incremental_dedup" -> QDef(
+      (s, d) => {
+        val P = 104729L
+        val toks = documents(s, d)
+          .where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .localCheckpoint()
+        val dict = LlmExt2.tokenDict(toks)
+        val tokIds = toks.join(dict, "tok")
+          .groupBy("doc_id", "lang")
+          .agg(collect_list(col("tid").cast("long")).as("ids"))
+          .localCheckpoint()
+        val mhArr = transform(
+          sequence(lit(0), lit(15)),
+          i => array_min(transform(col("ids"), id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P)))
+        val posMult = when(col("i") % 4 === 0, 1L)
+          .when(col("i") % 4 === 1, 131L)
+          .when(col("i") % 4 === 2, 17161L)
+          .otherwise(2248091L)
+        val sig = tokIds
+          .select(col("doc_id"), col("lang"), posexplode(mhArr))
+          .withColumnsRenamed(Map("pos" -> "i", "col" -> "mh"))
+          .groupBy(col("doc_id"), col("lang"), (col("i") / 4).cast("long").as("band"))
+          .agg(sum(col("mh") * posMult).as("sig"))
+          .localCheckpoint()
+        val hist = sig.where(col("doc_id") % 5 =!= 0)
+        val delta = sig.where(col("doc_id") % 5 === 0)
+        val cand = delta.as("n")
+          .join(hist.as("h"), col("n.band") === col("h.band") && col("n.sig") === col("h.sig") &&
+            col("n.lang") === col("h.lang"))
+          .select(col("n.doc_id").as("new_id"), col("h.doc_id").as("hist_id"))
+          .distinct()
+        val idArrs = tokIds.select(col("doc_id"), col("ids"))
+        val verified = cand
+          .join(idArrs.select(col("doc_id").as("new_id"), col("ids").as("ids_n")), "new_id")
+          .join(idArrs.select(col("doc_id").as("hist_id"), col("ids").as("ids_h")), "hist_id")
+          .withColumn("n_common", size(array_intersect(col("ids_n"), col("ids_h"))).cast("long"))
+          .withColumn("jaccard",
+            col("n_common") / (size(col("ids_n")) + size(col("ids_h")) - col("n_common")))
+          .where(col("jaccard") >= 0.6)
+        verified
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("new_id").orderBy("hist_id")))
+          .where(col("rk") === 1)
+          .select(col("new_id"), col("hist_id").as("canonical_id"), col("jaccard"))
+          .orderBy("new_id")
+      },
+      s"""WITH toks AS (SELECT DISTINCT doc_id, lang, tok FROM
+         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+         |   WHERE doc_id % 3 = 0) t),
+         |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+         |         FROM (SELECT DISTINCT tok FROM toks) u),
+         |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
+         |mh AS (SELECT doc_id, lang, i, MIN(((4*i+3)*tid + (7*i+5)) % 104729) AS mh
+         |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+         |sig AS (SELECT doc_id, lang, CAST(i // 4 AS BIGINT) AS band,
+         |          CAST(SUM(mh * CASE WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 131
+         |                             WHEN i % 4 = 2 THEN 17161 ELSE 2248091 END) AS BIGINT) AS sig
+         |        FROM mh GROUP BY 1, 2, 3),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+         |         FROM sig n JOIN sig h ON n.band = h.band AND n.sig = h.sig
+         |           AND n.lang = h.lang
+         |         WHERE n.doc_id % 5 = 0 AND h.doc_id % 5 <> 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (SELECT c.new_id, c.hist_id, COUNT(*) AS n_common
+         |          FROM cand c JOIN toks ta ON ta.doc_id = c.new_id
+         |                      JOIN toks tb ON tb.doc_id = c.hist_id AND tb.tok = ta.tok
+         |          GROUP BY 1, 2),
+         |ver AS (SELECT new_id, hist_id,
+         |          n_common / (sa.sz + sb.sz - n_common) AS jaccard
+         |        FROM inter JOIN sizes sa ON sa.doc_id = new_id
+         |                   JOIN sizes sb ON sb.doc_id = hist_id
+         |        WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6)
+         |SELECT new_id, hist_id AS canonical_id, jaccard FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY hist_id) AS rk FROM ver) r
+         |WHERE rk = 1 ORDER BY new_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q76
+    // Exact-k per-stratum sampling: every (lang, source) stratum
+    // contributes exactly min(k, |stratum|) docs, chosen by the portable
+    // md5 hash order — a deterministic "uniform" draw that is stable under
+    // re-partitioning and incremental growth of OTHER strata. The rank
+    // filter plans as a WindowGroupLimit (per-key partial top-k,
+    // PlanShapeSpec's family), so no stratum ever materializes more than k
+    // rows past the limit push.
+    "q76_stratum_topk_sample" -> QDef(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("h", conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang", "source").orderBy("h", "doc_id")))
+          .where(col("rn") <= 2)
+          .select("lang", "source", "doc_id", "h", "rn")
+          .orderBy("lang", "source", "rn"),
+      """SELECT lang, source, doc_id, h, rn FROM (
+        |  SELECT lang, source, doc_id,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |         row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 2
+        |ORDER BY lang, source, rn""".stripMargin
     )
   )
 }

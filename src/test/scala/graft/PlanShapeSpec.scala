@@ -82,6 +82,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("q69 hash sampling shuffles only for the output sort") {
+    // the sampling decision is a pure projection+filter over the scan —
+    // the ONLY exchange in the plan is the rangepartitioning that serves
+    // the deterministic output ORDER BY (which exists for the oracle hash
+    // compare, not for the operator)
+    val df = SparkEntry.queries("q69_stratified_sample")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("rangepartitioning")),
+      s"sampling shuffled beyond the output sort:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q73 decontamination broadcasts the benchmark side (no sort-merge join)") {
+    val p = plan("q73_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side is being shuffled for the gram join")
+  }
+
+  test("q71 packing: global-order windows only see the bucket-reduced carry frame") {
+    // same contract ScanSpec locks for runningMaxByRange, asserted on the
+    // DECLARED packing query: the data-sized running sum is partitioned by
+    // range bucket; any unpartitioned window reads only the P-row
+    // bucket-totals aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("q71_seq_pack")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    val globals = windows.filter(_.partitionSpec.isEmpty)
+    assert(globals.nonEmpty, "the carry prefix window should exist")
+    globals.foreach { w =>
+      assert(w.child.exists(_.isInstanceOf[Aggregate]),
+        "an unpartitioned Window reads the raw corpus — the offset scan is not distributed")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
+
   test("whole-stage codegen covers the hot relational paths") {
     // codegen'd operators render with a "*(n) " stage prefix
     assert(plan("q04_agg_pricing").contains("*(1)"))
