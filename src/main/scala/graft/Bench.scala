@@ -3,11 +3,14 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE machine-readable JSON line to stdout AND
-  * writes the same line to `bench.json` in the working directory, so the
-  * caller can recover the result even if a log framework prefixes stdout
-  * (round-1 failure mode: sbt's `[info]` prefix broke the parse —
-  * build.sbt now also sets `run / outputStrategy := StdoutOutput`).
+/** Benchmark main. Prints ONE compact machine-readable JSON summary line to
+  * stdout (fixed-size — see [[Bench.stdoutLine]]) and writes the FULL record,
+  * including the per-query timing map, to `bench.json` in the working
+  * directory, so the caller can recover per-query numbers even though the
+  * stdout tail window is small (round-1 failure mode: sbt's `[info]` prefix
+  * broke the parse — build.sbt now also sets `run / outputStrategy :=
+  * StdoutOutput`; rounds 3 and 5: the per-query map outgrew the ~2.9 KB
+  * stdout tail window, hence the split).
   *
   * Methodology (noise-proofing, see VERDICT.md round 1):
   *   - queries run in SORTED name order (a Map's hash order misattributed
@@ -22,6 +25,30 @@ import org.apache.spark.sql.SparkSession
   *     is reported under "errors", and the process exits nonzero.
   */
 object Bench {
+  private def jstr(s: String) = "\"" + s + "\""
+  private def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+  /** The ONE stdout line the driver tail-captures. FIXED-SIZE by
+    * construction: no per-query map (that lives only in bench.json), at
+    * most 8 error NAMES (messages stay in bench.json). Round-3 AND round-5
+    * both lost the driver's bench record because the per-query map grew
+    * the line past the ~2.9 KB tail window — the count of queries can
+    * never do that again (BenchLineSpec pins the bound). */
+  def stdoutLine(total: Double, errorNames: Seq[String], reps: Int,
+                 sf: String, nQueries: Int): String = {
+    val errJson = errorNames.take(8).map(jstr).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nQueries,"n_errors":${errorNames.size},"errors":$errJson,"reps":$reps,"sf":"$sf"}"""
+  }
+
+  /** Full record written to bench.json: everything stdoutLine has PLUS the
+    * per-query timing map and full error messages. */
+  def fullJson(total: Double, results: Seq[(String, Double)],
+               errors: collection.Map[String, String], reps: Int, sf: String): String = {
+    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sf"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,19 +81,10 @@ object Bench {
         }
         times.minOption.map(name -> _)
     }
-    def jstr(s: String) = "\"" + s + "\""
-    // 0.1 ms resolution keeps the line compact: round-3 failure mode was
-    // the driver's stdout tail-capture window truncating the FRONT of the
-    // line once 61 full-precision doubles pushed it past ~2.9 KB
-    // (BENCH_r03.json "parsed": null with tail starting mid-JSON). Fixed
-    // 4-decimal formatting caps the line well under 2 KB at 100 queries.
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
-    Files.write(Paths.get("bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    val full = fullJson(total, results, errors, reps, sfDir)
+    val line = stdoutLine(total, errors.keys.toSeq, reps, sfDir, results.size)
+    Files.write(Paths.get("bench.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     spark.stop()
     if (errors.nonEmpty) {

@@ -95,7 +95,7 @@ object Curation {
         |  FROM tf JOIN nd ON tf.lang = nd.lang),
         |rk AS (
         |  SELECT lang, tok, tf_total, df, score,
-        |         row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rk
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS INTEGER) AS rk
         |  FROM scored)
         |SELECT lang, tok, tf_total, df, score, rk FROM rk
         |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
@@ -130,12 +130,12 @@ object Curation {
         |         (doc_id * 7919) % 104729 AS perm
         |  FROM documents)
         |SELECT doc_id, n_tok,
-        |       COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
-        |       COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS window_id,
-        |       COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 256 AS pos_in_window
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS window_id,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 256 AS BIGINT) AS pos_in_window
         |FROM t ORDER BY doc_id""".stripMargin
     ),
 
@@ -173,8 +173,8 @@ object Curation {
         |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
         |  FROM embeddings)
         |SELECT vec_id, maxabs,
-        |  list_aggregate(list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)), 'sum') AS qsum,
+        |  CAST(list_aggregate(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)), 'sum') AS BIGINT) AS qsum,
         |  list_aggregate(list_transform(embedding,
         |    x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / maxabs) * maxabs / 127.0)
         |       * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / maxabs) * maxabs / 127.0)),
@@ -252,9 +252,9 @@ object Curation {
           .orderBy("lang")
       },
       """WITH pl AS (
-        |  SELECT lang, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS lang_toks
+        |  SELECT lang, CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS lang_toks
         |  FROM documents GROUP BY lang),
-        |t AS (SELECT SUM(lang_toks) AS total_toks, COUNT(*) AS n_langs FROM pl)
+        |t AS (SELECT CAST(SUM(lang_toks) AS BIGINT) AS total_toks, COUNT(*) AS n_langs FROM pl)
         |SELECT lang, lang_toks, total_toks,
         |       lang_toks / total_toks AS cur_frac,
         |       (CAST(1 AS DOUBLE) / n_langs) / (lang_toks / total_toks) AS weight
@@ -372,8 +372,8 @@ object Curation {
       """SELECT lang, source, doc_id, h, rn FROM (
         |  SELECT lang, source, doc_id,
         |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
-        |         row_number() OVER (PARTITION BY lang, source
-        |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+        |         CAST(row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS INTEGER) AS rn
         |  FROM documents) t
         |WHERE rn <= 2
         |ORDER BY lang, source, rn""".stripMargin

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards that need no SparkSession: the bench stdout line
+  * must stay inside the driver's tail-capture window no matter how the query
+  * inventory grows (rounds 3 and 5 both lost the driver's bench record to
+  * this), and the counts quoted in README.md / CLAUDE.md must track the code
+  * (drifted in rounds 2 and 4).
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+
+  test("Bench stdout line stays under 1.5 KB regardless of query and error count") {
+    // Worst realistic case: a huge inventory AND a mass failure. The line
+    // carries no per-query map and at most 8 error names, so neither axis
+    // can grow it past the driver's ~2.9 KB tail window.
+    val manyErrors = (1 to 500).map(i => f"q$i%03d_some_very_long_query_name")
+    val line = Bench.stdoutLine(
+      total = 123456.7891, errorNames = manyErrors, reps = 2,
+      sf = "/root/testdata/sf0.1", nQueries = 1000)
+    assert(line.getBytes(StandardCharsets.UTF_8).length < 1500,
+      s"bench stdout line is ${line.length} bytes: $line")
+    assert(!line.contains("\n"))
+    // and the healthy-path line for the real inventory is tiny
+    val healthy = Bench.stdoutLine(30.74, Nil, 2, "/root/testdata/sf0.1",
+      SparkEntry.queries.size)
+    assert(healthy.getBytes(StandardCharsets.UTF_8).length < 200, healthy)
+  }
+
+  test("README.md and CLAUDE.md query counts match SparkEntry.queries.size") {
+    val n = SparkEntry.queries.size
+    val patterns = Seq(
+      raw"(\d+) declared".r,
+      raw"(\d+) deterministic".r,
+      raw"\((\d+) queries\)".r,
+      raw"\(q01–q(\d+)\)".r, // the full-inventory claim; per-file ranges like "q01–q30:" are exempt
+      raw"expect (\d+) pass".r)
+    for (f <- Seq("README.md", "CLAUDE.md")) {
+      val text = read(f)
+      for (p <- patterns; m <- p.findAllMatchIn(text))
+        assert(m.group(1).toInt == n,
+          s"$f quotes '${m.matched}' but SparkEntry declares $n queries")
+    }
+    // the inventory is dense q01..qNN: the highest declared number is the size
+    val maxQ = SparkEntry.queries.keys.map(_.drop(1).takeWhile(_.isDigit).toInt).max
+    assert(maxQ == n, s"query names not dense: max q$maxQ vs $n declared")
+  }
+
+  test("README.md and CLAUDE.md test/suite counts match the test tree") {
+    val testDir = Paths.get("src/test/scala/graft")
+    val files = Files.list(testDir).iterator().asScala.toVector
+      .filter(_.getFileName.toString.endsWith("Spec.scala"))
+    val nSuites = files.size
+    val nTests = files.map { p: Path =>
+      raw"""(?m)^\s+test\(""".r.findAllIn(read(p.toString)).size
+    }.sum
+    for (f <- Seq("README.md", "CLAUDE.md")) {
+      val text = read(f)
+      raw"(\d+) tests".r.findAllMatchIn(text).foreach(m =>
+        assert(m.group(1).toInt == nTests,
+          s"$f quotes '${m.matched}' but the tree has $nTests test(...) calls"))
+      raw"(\d+) suites".r.findAllMatchIn(text).foreach(m =>
+        assert(m.group(1).toInt == nSuites,
+          s"$f quotes '${m.matched}' but the tree has $nSuites *Spec.scala suites"))
+    }
+  }
+}

@@ -60,4 +60,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!scan.contains("payload") && !scan.contains("text"), s"unpruned: $scan")
     assert(stats.count() == 1)
   }
+
+  test("q77 media metadata query prunes the scan to n_chars (no text/payload)") {
+    // The declared, oracle-gated metadata aggregation must behave like a
+    // catalog scan: column pruning pushes through synthesize's projection
+    // and the parquet read touches ONLY the metadata source column.
+    val df = SparkEntry.queries("q77_media_meta")(spark, sf001)
+    df.collect() // finalize adaptive plan
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("n_chars"), s"expected n_chars-only scan: $scan")
+    assert(!scan.contains("text") && !scan.contains("payload"), s"unpruned: $scan")
+  }
 }

@@ -85,12 +85,14 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_rel = con.execute(
+            spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = [d[0] for d in spark_rel.description]
+            s_cols = list(spark_rel.columns)
+            s_types = dict(zip(s_cols, map(str, spark_rel.types)))
             s_rows = spark_rel.fetchall()
-            o_rel = con.execute(oracles[name])
-            o_cols = [d[0] for d in o_rel.description]
+            o_rel = con.sql(oracles[name])
+            o_cols = list(o_rel.columns)
+            o_types = dict(zip(o_cols, map(str, o_rel.types)))
             o_rows = o_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: execution error: {e}")
@@ -99,6 +101,18 @@ def main():
         if sorted(s_cols) != sorted(o_cols):
             print(f"FAIL {name}: columns spark={sorted(s_cols)} "
                   f"oracle={sorted(o_cols)}")
+            n_fail += 1
+            continue
+        # The driver hashes TYPED values, so representation mismatches
+        # (e.g. DuckDB promoting SUM(BIGINT) -> HUGEINT while Spark emits
+        # int64) fail its gate even when every value compares equal in
+        # Python. Enforce exact type equality per column so that failure
+        # class can never again pass locally (round-5 q71/q72/q74 lesson).
+        ty_bad = [(c, s_types[c], o_types[c])
+                  for c in sorted(s_cols) if s_types[c] != o_types[c]]
+        if ty_bad:
+            msgs = [f"{c}: spark={st} oracle={ot}" for c, st, ot in ty_bad]
+            print(f"FAIL {name}: column types differ: " + "; ".join(msgs[:4]))
             n_fail += 1
             continue
         s_ix = [s_cols.index(c) for c in sorted(s_cols)]
