@@ -275,7 +275,6 @@ object Curation {
     // dictionary ids as q46 so DuckDB replays everything.
     "q75_incremental_dedup" -> QDef(
       (s, d) => {
-        val P = 104729L
         val toks = documents(s, d)
           .where(col("doc_id") % 3 === 0)
           .select(col("doc_id"), col("lang"),
@@ -286,18 +285,11 @@ object Curation {
           .groupBy("doc_id", "lang")
           .agg(collect_list(col("tid").cast("long")).as("ids"))
           .localCheckpoint()
-        val mhArr = transform(
-          sequence(lit(0), lit(15)),
-          i => array_min(transform(col("ids"), id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P)))
-        val posMult = when(col("i") % 4 === 0, 1L)
-          .when(col("i") % 4 === 1, 131L)
-          .when(col("i") % 4 === 2, 17161L)
-          .otherwise(2248091L)
+        // band signatures via LlmExt2.bandSigsFromIds: one projection, no
+        // per-band exchange — identical values to the oracle's groupBy form.
         val sig = tokIds
-          .select(col("doc_id"), col("lang"), posexplode(mhArr))
-          .withColumnsRenamed(Map("pos" -> "i", "col" -> "mh"))
-          .groupBy(col("doc_id"), col("lang"), (col("i") / 4).cast("long").as("band"))
-          .agg(sum(col("mh") * posMult).as("sig"))
+          .select(col("doc_id"), col("lang"), posexplode(LlmExt2.bandSigsFromIds(col("ids"))))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
           .localCheckpoint()
         val hist = sig.where(col("doc_id") % 5 =!= 0)
         val delta = sig.where(col("doc_id") % 5 === 0)

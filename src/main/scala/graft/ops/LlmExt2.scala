@@ -71,6 +71,32 @@ object LlmExt2 {
 
   private val P = 104729L // prime modulus shared by the hash families
 
+  /** The 4 LSH band signatures from a token-id array column, as ONE
+    * projection. Exactly the groupBy-sum family every oracle replays —
+    * minhash h_i(id) = ((4i+3)·id + 7i+5) mod P, band b chains mh[4b..4b+3]
+    * in base 131 — but computed with per-row HOF math instead of
+    * posexplode → groupBy(doc, lang, band) → sum, which removes a full
+    * 16-rows-per-doc exchange from every signature build (q46, q75,
+    * minhashLshPairs). Also the form a STREAM can compute: a pure
+    * projection needs no shuffle, so s9 ingests sign docs on the fly. */
+  private[graft] def bandSigsFromIds(ids: Column): Column = {
+    val mh = transform(
+      sequence(lit(0), lit(15)),
+      i => array_min(transform(ids, id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P)))
+    transform(
+      sequence(lit(0), lit(3)),
+      b => element_at(mh, b * 4 + 1)
+        + element_at(mh, b * 4 + 2) * 131L
+        + element_at(mh, b * 4 + 3) * 17161L
+        + element_at(mh, b * 4 + 4) * 2248091L)
+  }
+
+  /** text → band signatures with the production hashed token ids
+    * (pmod(xxhash64(tok), P)) — the streaming-safe signature projection
+    * shared by streaming/Demos.s9 and its batch-equivalence test. */
+  def bandSigs(text: Column): Column =
+    bandSigsFromIds(transform(array_distinct(split(text, " ")), t => pmod(xxhash64(t), lit(P))))
+
   /** PRODUCTION MinHash+LSH near-dup pairs over an arbitrary document set
     * — the scale path the curation pipeline uses (vs q46, which is the
     * ORACLE form: sampled, LIMITed, and tied to the sfDir tables so DuckDB
@@ -122,20 +148,9 @@ object LlmExt2 {
     val tokIds = withIds
       .groupBy("doc_id", "lang")
       .agg(collect_list(col("tid")).as("ids"))
-    val mhArr = transform(
-      sequence(lit(0), lit(15)),
-      i => array_min(transform(col("ids"), id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P))
-    )
-    val mh = tokIds
-      .select(col("doc_id"), col("lang"), posexplode(mhArr))
-      .withColumnsRenamed(Map("pos" -> "i", "col" -> "mh"))
-    val posMult = when(col("i") % 4 === 0, 1L)
-      .when(col("i") % 4 === 1, 131L)
-      .when(col("i") % 4 === 2, 17161L)
-      .otherwise(2248091L)
-    val sig = mat(mh
-      .groupBy(col("doc_id"), col("lang"), (col("i") / 4).cast("long").as("band"))
-      .agg(sum(col("mh") * posMult).as("sig")))
+    val sig = mat(tokIds
+      .select(col("doc_id"), col("lang"), posexplode(bandSigsFromIds(col("ids"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig")))
     val cand = sig.as("x")
       .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
@@ -188,20 +203,12 @@ object LlmExt2 {
           .groupBy("doc_id", "lang")
           .agg(collect_list(col("tid").cast("long")).as("ids"))
           .localCheckpoint() // feeds the minhash chain AND the verify join (×2)
-        val mhArr = transform(
-          sequence(lit(0), lit(15)),
-          i => array_min(transform(col("ids"), id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P))
-        )
-        val mh = tokIds
-          .select(col("doc_id"), col("lang"), posexplode(mhArr))
-          .withColumnsRenamed(Map("pos" -> "i", "col" -> "mh"))
-        val posMult = when(col("i") % 4 === 0, 1L)
-          .when(col("i") % 4 === 1, 131L)
-          .when(col("i") % 4 === 2, 17161L)
-          .otherwise(2248091L)
-        val sig = mh
-          .groupBy(col("doc_id"), col("lang"), (col("i") / 4).cast("long").as("band"))
-          .agg(sum(col("mh") * posMult).as("sig"))
+        // band signatures as ONE projection (bandSigsFromIds): same values
+        // as the oracle's posexplode→groupBy→sum replay, minus the
+        // 16-rows-per-doc exchange that groupBy cost.
+        val sig = tokIds
+          .select(col("doc_id"), col("lang"), posexplode(bandSigsFromIds(col("ids"))))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
           .localCheckpoint()
         val cand = sig.as("x")
           .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
