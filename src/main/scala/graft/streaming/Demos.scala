@@ -40,6 +40,17 @@ case class DedupVerdict(doc_id: Long, sig: Long, is_first: Boolean, canonical_id
 /** click→purchase match emitted by the pattern detector. */
 case class PatternMatch(user_id: Long, click_event_id: Long, purchase_event_id: Long, purchase_ts: Timestamp)
 
+/** s9 ingest row after the band-signature projection (4 rows per doc). */
+case class DocBandSig(doc_id: Long, ts: Timestamp, lang: String, band: Int, sig: Long)
+
+/** s9 per-(lang, band, sig) state: docs that have claimed this signature,
+  * newest first, plus the newest event time for timer eviction. */
+case class BandSeen(docIds: List[Long], lastTsMillis: Long)
+
+/** s9 output: a near-dup CANDIDATE — new doc collided with a stored doc on
+  * one band signature. Downstream exact-verifies (the q46/q75 jaccard step). */
+case class NearDupCandidate(new_id: Long, hist_id: Long, lang: String, band: Int, sig: Long)
+
 /** Structured-Streaming-native forms of the reference's operators
   * (SURVEY.md §2.3 s1–s5). The batch-checkable analogs live in
   * graft.ops.StreamingBatch; these are the real `readStream` programs,
@@ -221,15 +232,20 @@ object Demos {
   /** s8 — dedup-on-ingest, the streaming form of the exact-dedup family
     * (q34/q39): documents are keyed by a content signature
     * (`xxhash64(text)` — the same projection-only id scheme as
-    * minhashLshPairs) and the FIRST arrival in event-time order claims the
-    * signature; every later duplicate is emitted with `is_first = false`
-    * and a pointer to the canonical doc, so downstream can either filter
-    * to `is_first` (dedup) or keep the full mapping (dedup map). Per-key
-    * GroupState holds only (canonical_id, tsMillis) — O(1) per distinct
-    * content — and an event-time timer evicts signatures idle for an hour,
-    * the same bounded-state trade as s3DedupBounded: a duplicate arriving
-    * after eviction is re-admitted (at 100 TB an unbounded seen-set is a
-    * state-store, not a stream).
+    * minhashLshPairs) and the first arrival claims the signature; every
+    * later duplicate is emitted with `is_first = false` and a pointer to
+    * the canonical doc, so downstream can either filter to `is_first`
+    * (dedup) or keep the full mapping (dedup map). Ordering contract:
+    * WITHIN a micro-batch ties are broken by event time (the sort below),
+    * but ACROSS batches the canonical is first-ARRIVAL — once a verdict
+    * has been emitted, append mode cannot revise it, so a later batch
+    * carrying an earlier-event-time duplicate is marked `is_first = false`
+    * against the already-claimed canonical (StreamingDemosSpec locks this
+    * in). Per-key GroupState holds only (canonical_id, tsMillis) — O(1)
+    * per distinct content — and an event-time timer evicts signatures idle
+    * for an hour, the same bounded-state trade as s3DedupBounded: a
+    * duplicate arriving after eviction is re-admitted (at 100 TB an
+    * unbounded seen-set is a state-store, not a stream).
     */
   def s8DedupBySignature(spark: SparkSession, docs: DataFrame): Dataset[DedupVerdict] = {
     import spark.implicits._
@@ -263,6 +279,55 @@ object Demos {
               state.update(s)
               state.setTimeoutTimestamp(s.tsMillis + 3600 * 1000L)
             }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** s9 — NEAR-dup candidates on ingest: the streaming form of the
+    * incremental-dedup probe (q75 / `minhashLshPairs`). Each document's 4
+    * minhash band signatures are computed as a pure projection
+    * (`LlmExt2.bandSigs` — the production `pmod(xxhash64(tok), P)` id
+    * scheme; no dictionary, no shuffle beyond the keyed state exchange),
+    * then `flatMapGroupsWithState` keyed by (lang, band, sig) emits a
+    * candidate pair for every stored doc the new doc collides with — the
+    * exact probe the batch q75 runs against its persisted band index, but
+    * with the index living in the state store. Downstream exact-verifies
+    * candidates (jaccard on token sets, the q46/q75 step);
+    * StreamingEquivalenceSpec proves the finalized candidate set equals
+    * the batch band-join on the same data. State per signature is the doc
+    * ids that claimed it — O(cluster size), the same growth as the batch
+    * bucket; a production cap would keep only the first K (dedup needs
+    * one collision, not all), and the event-time timer evicts signatures
+    * idle for an hour, as in s8.
+    */
+  def s9NearDupCandidates(spark: SparkSession, docs: DataFrame): Dataset[NearDupCandidate] = {
+    import spark.implicits._
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"), col("lang"),
+        posexplode(graft.ops.LlmExt2.bandSigs(col("text"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+      .as[DocBandSig]
+      .groupByKey(d => (d.lang, d.band, d.sig))
+      .flatMapGroupsWithState[BandSeen, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Int, Long), it: Iterator[DocBandSig], state: GroupState[BandSeen]) =>
+          val (lang, band, sig) = key
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // intra-batch ties in event-time order, as s8
+            val arrived = it.toVector.sortBy(d => (d.ts.getTime, d.doc_id))
+            val out = Vector.newBuilder[NearDupCandidate]
+            var seen = state.getOption.getOrElse(BandSeen(Nil, 0L))
+            for (d <- arrived) {
+              seen.docIds.foreach(h => out += NearDupCandidate(d.doc_id, h, lang, band, sig))
+              seen = BandSeen(d.doc_id :: seen.docIds, math.max(seen.lastTsMillis, d.ts.getTime))
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(seen.lastTsMillis + 3600 * 1000L)
             out.result().iterator
           }
       }

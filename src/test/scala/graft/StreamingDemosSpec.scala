@@ -211,6 +211,17 @@ class StreamingDemosSpec extends AnyFunSuite {
       assert(verdicts(1L) == ((false, 2L)))
       assert(verdicts(3L) == ((true, 3L)))
       assert(verdicts(4L) == ((false, 2L)), s"cross-batch dup must point at the canonical: $verdicts")
+      // batch 3: an OUT-OF-ORDER cross-batch duplicate — earlier event time
+      // (minute 4) than the doc that claimed "gamma" (doc 3, minute 6), but
+      // arriving in a later batch. The documented contract is first-ARRIVAL
+      // across batches (append mode cannot revise emitted verdicts): doc 7
+      // is a dup pointing at doc 3, even though it "happened" first.
+      input.addData(doc(7, 4, "gamma"))
+      runToCompletion(q)
+      val crossBatch = spark.table("s8_out")
+        .as[DedupVerdict].collect().map(v => v.doc_id -> (v.is_first, v.canonical_id)).toMap
+      assert(crossBatch(7L) == ((false, 3L)),
+        s"cross-batch is first-arrival: earlier-event-time late dup must NOT usurp: $crossBatch")
       // push the watermark ~25h ahead: signature state (idle 1h) evicts,
       // so the SAME text re-admits as a fresh first
       input.addData(doc(90, 60 * 25, "pusher text"))
@@ -223,6 +234,44 @@ class StreamingDemosSpec extends AnyFunSuite {
         .as[DedupVerdict].collect().map(v => v.doc_id -> (v.is_first, v.canonical_id)).toMap
       assert(after(5L) == ((true, 5L)),
         s"signature idle past the horizon must re-admit (bounded state): $after")
+    } finally q.stop()
+  }
+
+  test("s9: near-dup candidates — band-sig collisions emit against every stored doc; idle state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIngest]
+    def doc(id: Long, minute: Int, text: String): DocIngest =
+      DocIngest(id, ts(minute), text, "en")
+    val q = Demos.s9NearDupCandidates(spark, input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("s9_out").start()
+    try {
+      // batch 1: two distinct texts — no collisions yet
+      input.addData(doc(1, 0, "alpha beta gamma"), doc(2, 1, "delta epsilon"))
+      runToCompletion(q)
+      assert(spark.table("s9_out").count() == 0)
+      // batch 2: doc 3 duplicates doc 1's text → collides on ALL 4 bands;
+      // doc 4 is fresh → no candidate
+      input.addData(doc(3, 2, "alpha beta gamma"), doc(4, 2, "zeta"))
+      runToCompletion(q)
+      val c1 = spark.table("s9_out").as[NearDupCandidate].collect().toVector
+      assert(c1.map(c => (c.new_id, c.hist_id)).distinct == Vector((3L, 1L)), s"got $c1")
+      assert(c1.map(_.band).sorted == Vector(0, 1, 2, 3), "identical text must collide on every band")
+      // batch 3: a third copy collides with BOTH stored docs
+      input.addData(doc(5, 3, "alpha beta gamma"))
+      runToCompletion(q)
+      val c2 = spark.table("s9_out").as[NearDupCandidate].collect()
+        .filter(_.new_id == 5L).map(_.hist_id).toSet
+      assert(c2 == Set(1L, 3L), s"new doc must probe every stored claimant: $c2")
+      // watermark far ahead → signature state (idle 1h) evicts; the same
+      // text then re-admits silently (no candidate — bounded-state trade)
+      input.addData(doc(90, 60 * 25, "pusher text"))
+      runToCompletion(q)
+      input.addData(doc(91, 60 * 25 + 1, "pusher two"))
+      runToCompletion(q)
+      input.addData(doc(6, 60 * 25 + 2, "alpha beta gamma"))
+      runToCompletion(q)
+      assert(spark.table("s9_out").as[NearDupCandidate].collect()
+        .count(_.new_id == 6L) == 0, "evicted signature must re-admit without candidates")
     } finally q.stop()
   }
 

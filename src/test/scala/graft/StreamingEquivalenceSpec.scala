@@ -118,4 +118,64 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty)
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  /** s9 == the batch band-signature probe (the q75 shape) on the SAME
+    * production id scheme (`LlmExt2.bandSigs`, pmod(xxhash64(tok), P)).
+    * Literal equality with the DECLARED q75 output is impossible by
+    * construction — q75's oracle uses dictionary token ids, and LSH recall
+    * on borderline pairs depends on the id values the hash family sees —
+    * so the claim locked here is the one that matters: the streaming state
+    * store and a batch self-join over identical signatures produce the
+    * SAME candidate set, with history docs arriving before the delta
+    * exactly as q75's persisted index precedes its probe batch.
+    */
+  test("s9 near-dup candidates over the doc stream == batch band-signature join (q75 probe shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val histMin = 0
+    val deltaMin = 5
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val minute = if (id % 5 == 0) deltaMin else histMin
+        streaming.DocIngest(id, Timestamp.valueOf(f"2024-01-01 00:0$minute:00"), r.getString(2), r.getString(1))
+      }
+    val (delta, hist) = docs.partition(_.doc_id % 5 == 0)
+    assert(hist.nonEmpty && delta.nonEmpty)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[streaming.DocIngest]
+    val q = streaming.Demos.s9NearDupCandidates(spark, input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("eq_s9").start()
+    val got =
+      try {
+        input.addData(hist.toSeq) // the "persisted index" batch
+        q.processAllAvailable()
+        input.addData(delta.toSeq) // the probe batch
+        q.processAllAvailable()
+        spark.table("eq_s9").select("new_id", "hist_id").distinct()
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+
+    // batch twin: identical signature projection, self-joined on
+    // (lang, band, sig) with the stream's arrival order (ts, doc_id)
+    val sig = docs.toSeq.toDF()
+      .select(col("doc_id"), col("ts"), col("lang"),
+        posexplode(ops.LlmExt2.bandSigs(col("text"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+    val want = sig.as("a")
+      .join(sig.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") &&
+          (col("a.ts") < col("b.ts") ||
+            (col("a.ts") === col("b.ts") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("hist_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "the adversarial near-dup corpus must produce collisions")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // and the q75 probe restriction (delta new vs hist stored) is non-empty
+    assert(got.exists { case (n, h) => n % 5 == 0 && h % 5 != 0 })
+  }
 }
