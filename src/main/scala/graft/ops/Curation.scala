@@ -285,12 +285,10 @@ object Curation {
           .groupBy("doc_id", "lang")
           .agg(collect_list(col("tid").cast("long")).as("ids"))
           .localCheckpoint()
-        // band signatures via LlmExt2.bandSigsFromIds: one projection, no
-        // per-band exchange — identical values to the oracle's groupBy form.
-        val sig = tokIds
-          .select(col("doc_id"), col("lang"), posexplode(LlmExt2.bandSigsFromIds(col("ids"))))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
-          .localCheckpoint()
+        // band signatures via LlmExt2.explodeBandSigs: staged per-row
+        // projections, no per-band exchange — identical values to the
+        // oracle's groupBy form.
+        val sig = LlmExt2.explodeBandSigs(tokIds).localCheckpoint()
         val hist = sig.where(col("doc_id") % 5 =!= 0)
         val delta = sig.where(col("doc_id") % 5 === 0)
         val cand = delta.as("n")

@@ -71,31 +71,53 @@ object LlmExt2 {
 
   private val P = 104729L // prime modulus shared by the hash families
 
-  /** The 4 LSH band signatures from a token-id array column, as ONE
-    * projection. Exactly the groupBy-sum family every oracle replays —
-    * minhash h_i(id) = ((4i+3)·id + 7i+5) mod P, band b chains mh[4b..4b+3]
-    * in base 131 — but computed with per-row HOF math instead of
-    * posexplode → groupBy(doc, lang, band) → sum, which removes a full
-    * 16-rows-per-doc exchange from every signature build (q46, q75,
-    * minhashLshPairs). Also the form a STREAM can compute: a pure
-    * projection needs no shuffle, so s9 ingests sign docs on the fly. */
-  private[graft] def bandSigsFromIds(ids: Column): Column = {
-    val mh = transform(
-      sequence(lit(0), lit(15)),
-      i => array_min(transform(ids, id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P)))
-    transform(
-      sequence(lit(0), lit(3)),
-      b => element_at(mh, b * 4 + 1)
-        + element_at(mh, b * 4 + 2) * 131L
-        + element_at(mh, b * 4 + 3) * 17161L
-        + element_at(mh, b * 4 + 4) * 2248091L)
-  }
+  /** All 16 minhashes of a token-id array, h_i(id) = ((4i+3)·id + 7i+5)
+    * mod P, as one per-row projection — O(16·|ids|) work that must run
+    * ONCE per row. Its consumer (`bandSigsFromMh`) therefore lives in a
+    * SEPARATE projection: HOF lambdas are interpreted with no
+    * common-subexpression elimination, so inlining this subtree under the
+    * 16 `element_at` references of the band chain re-evaluated the whole
+    * minhash family 16× per row (the round-6 q46/q75 2-3× regression).
+    * `ids` must itself be a plain attribute for the same reason — the
+    * inner `transform(ids, …)` references it 16×. CollapseProject keeps
+    * the staged projections apart (non-cheap producer referenced >1). */
+  private[graft] def minhashArr(ids: Column): Column = transform(
+    sequence(lit(0), lit(15)),
+    i => array_min(transform(ids, id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P)))
 
-  /** text → band signatures with the production hashed token ids
+  /** Band signatures (4 bands × 4 rows, base-131 chaining) from an
+    * already-materialized 16-minhash array attribute — see minhashArr for
+    * why the two stages must not be fused into one expression. Values are
+    * bit-identical to the oracle's posexplode → groupBy → sum replay. */
+  private[graft] def bandSigsFromMh(mh: Column): Column = transform(
+    sequence(lit(0), lit(3)),
+    b => element_at(mh, b * 4 + 1)
+      + element_at(mh, b * 4 + 2) * 131L
+      + element_at(mh, b * 4 + 3) * 17161L
+      + element_at(mh, b * 4 + 4) * 2248091L)
+
+  /** (doc_id, lang, ids) → one (doc_id, lang, band, sig) row per band, as
+    * staged per-row projections (no 16-rows-per-doc exchange — the
+    * groupBy-sum form this replaced — and no 16× re-evaluation — the
+    * single-expression form this replaced). Shared by q46, q75 and
+    * minhashLshPairs. */
+  private[graft] def explodeBandSigs(tokIds: DataFrame): DataFrame =
+    tokIds
+      .withColumn("__mh", minhashArr(col("ids")))
+      .select(col("doc_id"), col("lang"), posexplode(bandSigsFromMh(col("__mh"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+
+  /** text → (keep…, band, sig) with the production hashed token ids
     * (pmod(xxhash64(tok), P)) — the streaming-safe signature projection
-    * shared by streaming/Demos.s9 and its batch-equivalence test. */
-  def bandSigs(text: Column): Column =
-    bandSigsFromIds(transform(array_distinct(split(text, " ")), t => pmod(xxhash64(t), lit(P))))
+    * shared by streaming/Demos.s9 and its batch-equivalence test. Pure
+    * per-row projections (tokenize, minhash, band-chain — each staged so
+    * nothing re-evaluates), so a stream computes it without a shuffle. */
+  def withBandSigs(df: DataFrame, keep: Column*): DataFrame =
+    df.withColumn("__ids",
+        transform(array_distinct(split(col("text"), " ")), t => pmod(xxhash64(t), lit(P))))
+      .withColumn("__mh", minhashArr(col("__ids")))
+      .select(keep :+ posexplode(bandSigsFromMh(col("__mh"))): _*)
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
 
   /** PRODUCTION MinHash+LSH near-dup pairs over an arbitrary document set
     * — the scale path the curation pipeline uses (vs q46, which is the
@@ -148,9 +170,7 @@ object LlmExt2 {
     val tokIds = withIds
       .groupBy("doc_id", "lang")
       .agg(collect_list(col("tid")).as("ids"))
-    val sig = mat(tokIds
-      .select(col("doc_id"), col("lang"), posexplode(bandSigsFromIds(col("ids"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig")))
+    val sig = mat(explodeBandSigs(tokIds))
     val cand = sig.as("x")
       .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
@@ -203,13 +223,10 @@ object LlmExt2 {
           .groupBy("doc_id", "lang")
           .agg(collect_list(col("tid").cast("long")).as("ids"))
           .localCheckpoint() // feeds the minhash chain AND the verify join (×2)
-        // band signatures as ONE projection (bandSigsFromIds): same values
-        // as the oracle's posexplode→groupBy→sum replay, minus the
-        // 16-rows-per-doc exchange that groupBy cost.
-        val sig = tokIds
-          .select(col("doc_id"), col("lang"), posexplode(bandSigsFromIds(col("ids"))))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
-          .localCheckpoint()
+        // band signatures as staged per-row projections (explodeBandSigs):
+        // same values as the oracle's posexplode→groupBy→sum replay, minus
+        // the 16-rows-per-doc exchange that groupBy cost.
+        val sig = explodeBandSigs(tokIds).localCheckpoint()
         val cand = sig.as("x")
           .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))

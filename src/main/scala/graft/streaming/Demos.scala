@@ -287,7 +287,7 @@ object Demos {
   /** s9 — NEAR-dup candidates on ingest: the streaming form of the
     * incremental-dedup probe (q75 / `minhashLshPairs`). Each document's 4
     * minhash band signatures are computed as a pure projection
-    * (`LlmExt2.bandSigs` — the production `pmod(xxhash64(tok), P)` id
+    * (`LlmExt2.withBandSigs` — the production `pmod(xxhash64(tok), P)` id
     * scheme; no dictionary, no shuffle beyond the keyed state exchange),
     * then `flatMapGroupsWithState` keyed by (lang, band, sig) emits a
     * candidate pair for every stored doc the new doc collides with — the
@@ -303,11 +303,9 @@ object Demos {
     */
   def s9NearDupCandidates(spark: SparkSession, docs: DataFrame): Dataset[NearDupCandidate] = {
     import spark.implicits._
-    docs
-      .withWatermark("ts", "10 minutes")
-      .select(col("doc_id"), col("ts"), col("lang"),
-        posexplode(graft.ops.LlmExt2.bandSigs(col("text"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+    graft.ops.LlmExt2.withBandSigs(
+        docs.withWatermark("ts", "10 minutes"),
+        col("doc_id"), col("ts"), col("lang"))
       .as[DocBandSig]
       .groupByKey(d => (d.lang, d.band, d.sig))
       .flatMapGroupsWithState[BandSeen, NearDupCandidate](

@@ -120,7 +120,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** s9 == the batch band-signature probe (the q75 shape) on the SAME
-    * production id scheme (`LlmExt2.bandSigs`, pmod(xxhash64(tok), P)).
+    * production id scheme (`LlmExt2.withBandSigs`, pmod(xxhash64(tok), P)).
     * Literal equality with the DECLARED q75 output is impossible by
     * construction — q75's oracle uses dictionary token ids, and LSH recall
     * on borderline pairs depends on the id values the hash family sees —
@@ -160,10 +160,8 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // batch twin: identical signature projection, self-joined on
     // (lang, band, sig) with the stream's arrival order (ts, doc_id)
-    val sig = docs.toSeq.toDF()
-      .select(col("doc_id"), col("ts"), col("lang"),
-        posexplode(ops.LlmExt2.bandSigs(col("text"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+    val sig = ops.LlmExt2.withBandSigs(docs.toSeq.toDF(),
+      col("doc_id"), col("ts"), col("lang"))
     val want = sig.as("a")
       .join(sig.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
