@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation operators (q79+): the scale-path decontamination
+  * (bloom pre-filter + exact verify) and repetition-based quality
+  * filtering a pretraining pipeline runs between ingest and packing.
+  *
+  * Determinism contract (CLAUDE.md): integer outputs CAST to BIGINT in
+  * the DuckDB oracles (SUM/COUNT promote to HUGEINT); per-doc ratios are
+  * raw int/int IEEE double quotients (identical in both engines); no
+  * rounding of double quotients anywhere.
+  */
+object Curation2 {
+  import Tables._
+
+  /** Distinct token trigrams per doc — the q73 carve, shared by the exact
+    * (q73) and bloom-prefiltered (q79) decontamination paths. Docs under 3
+    * tokens are excluded on BOTH engines (Spark's sequence(1, n) runs
+    * descending for n < 1 where DuckDB's generate_series comes back
+    * empty). */
+  private def trigrams(df: DataFrame): DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .where(size(col("toks")) >= 3)
+    .select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ",
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))).as("g"))
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // ---------------------------------------------------------------- q79
+    // Bloom-prefiltered decontamination — the 100 TB form of q73. q73
+    // broadcasts the benchmark GRAM TABLE into a hash join; at real
+    // benchmark sizes (10^8-10^9 grams) that table no longer broadcasts,
+    // but its BLOOM FILTER does (~1.2 bits/gram/10x-FP) — so the corpus
+    // side is pre-filtered by graft_might_contain against a
+    // scalar-subquery graft_bloom_agg (Spark's own runtime-filter
+    // expression pair, registered in GraftExtensions), and only the
+    // surviving ~FP+match fraction reaches the exact gram equi-join.
+    // False positives die in the join, false negatives are impossible, so
+    // the result is EXACT — the oracle replays plain exact decontamination
+    // with no bloom at all. Output is the training-side drop list: every
+    // train doc sharing >=2 distinct trigrams with any benchmark doc.
+    "q79_bloom_decontaminate" -> QDef(
+      (s, d) => {
+        val docs = documents(s, d)
+        trigrams(docs.where(col("doc_id") % 97 === 0))
+          .withColumnRenamed("doc_id", "bench_id")
+          .createOrReplaceTempView("q79_bench")
+        trigrams(docs.where(col("doc_id") % 97 =!= 0))
+          .createOrReplaceTempView("q79_train")
+        s.sql("""
+          WITH cand AS (
+            SELECT doc_id, g FROM q79_train
+            WHERE graft_might_contain(
+              (SELECT graft_bloom_agg(xxhash64(g), 100000L, 800000L) FROM q79_bench),
+              xxhash64(g))),
+          hits AS (
+            SELECT cand.doc_id, b.bench_id, COUNT(*) AS n_shared
+            FROM cand JOIN q79_bench b ON cand.g = b.g
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+          SELECT doc_id, COUNT(*) AS n_bench, SUM(n_shared) AS n_shared_total
+          FROM hits GROUP BY doc_id ORDER BY doc_id""")
+      },
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |          unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+        |        FROM documents) t),
+        |bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, bench_id, COUNT(*) AS n_shared
+        |  FROM train t JOIN bench USING (g)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench,
+        |       CAST(SUM(n_shared) AS BIGINT) AS n_shared_total
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q80
+    // Within-document repetition filter (the Gopher-style quality signal
+    // q50's surface ratios can't see): the fraction of duplicate token
+    // 2-grams and 3-grams per document. A doc that loops the same phrase
+    // has high dup fractions at normal length/stopword ratios — exactly
+    // the failure mode that survives q50. Pure per-row projection + one
+    // aggregation-free filter: n-gram lists are per-row HOF arrays (each
+    // staged once — no re-evaluation, see LlmExt2.minhashArr), dup counts
+    // are size - size(array_distinct), fractions are raw int/int IEEE
+    // quotients (never rounded, per the determinism contract). No shuffle
+    // except the output sort. Thresholds flag ~13% of this corpus at
+    // every SF (tuned empirically; real pipelines tune on holdout docs).
+    "q80_repetition_filter" -> QDef(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .where(size(col("toks")) >= 3)
+          .withColumn("bi", transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .withColumn("tri", transform(
+            sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .select(
+            col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_toks"),
+            size(col("bi")).cast("long").as("n_bi"),
+            (size(col("bi")) - size(array_distinct(col("bi")))).cast("long").as("dup2"),
+            size(col("tri")).cast("long").as("n_tri"),
+            (size(col("tri")) - size(array_distinct(col("tri")))).cast("long").as("dup3"))
+          .withColumn("frac2", col("dup2") / col("n_bi"))
+          .withColumn("frac3", col("dup3") / col("n_tri"))
+          .where(col("frac2") >= 0.06 || col("frac3") >= 0.02)
+          .orderBy("doc_id"),
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |bi AS (SELECT doc_id, COUNT(*) AS n_bi, COUNT(*) - COUNT(DISTINCT g) AS dup2
+        |       FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |             FROM (SELECT doc_id, toks,
+        |                     unnest(generate_series(1, len(toks)-1)) AS i FROM t) x) y
+        |       GROUP BY doc_id),
+        |tri AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(*) - COUNT(DISTINCT g) AS dup3
+        |       FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |             FROM (SELECT doc_id, toks,
+        |                     unnest(generate_series(1, len(toks)-2)) AS i FROM t) x) y
+        |       GROUP BY doc_id)
+        |SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks,
+        |       CAST(n_bi AS BIGINT) AS n_bi, CAST(dup2 AS BIGINT) AS dup2,
+        |       CAST(n_tri AS BIGINT) AS n_tri, CAST(dup3 AS BIGINT) AS dup3,
+        |       dup2 / n_bi AS frac2, dup3 / n_tri AS frac3
+        |FROM t JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+        |WHERE dup2 / n_bi >= 0.06 OR dup3 / n_tri >= 0.02
+        |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q81
+    // Token-budget selection: per language, take the highest-quality
+    // documents (the q50/q78 quality formula — int/int IEEE quotients,
+    // deterministic in both engines) until a fixed token budget is spent —
+    // the "best N tokens per language" cut every mixture builder runs
+    // after scoring. A doc is kept iff the tokens BEFORE it (exclusive
+    // prefix sum in (quality DESC, doc_id) order) are under budget, so the
+    // first doc to cross the line is still taken — budgets are floors, not
+    // ceilings, and the verdict per doc is order-stable. ORACLE FORM: one
+    // window per language partition; at 100 TB a language can exceed one
+    // task, and the production path is the q71 two-pass range-bucketed
+    // prefix sum (Scan.runningSumByRange) keyed by (lang, bucket).
+    "q81_budget_pack" -> QDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+          .withColumn("n_stop", size(filter(col("toks"),
+            t => t.isin("a", "the", "row", "value", "table", "and", "of"))).cast("long"))
+          .withColumn("quality",
+            lit(0.5) * (col("n_distinct") / col("n_toks")) +
+              lit(0.3) * (lit(1.0) - col("n_stop") / col("n_toks")) +
+              lit(0.2) * (least(col("n_toks"), lit(100L)) / 100.0))
+          .withColumn("prior_toks", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .where(col("prior_toks") < 2000L)
+          .select("lang", "doc_id", "n_toks", "prior_toks", "quality")
+          .orderBy("lang", "doc_id")
+      },
+      """WITH scored AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    0.5 * (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT))
+        |      + 0.3 * (1.0 - CAST(len(list_filter(toks,
+        |            t -> t IN ('a','the','row','value','table','and','of'))) AS BIGINT)
+        |          / CAST(len(toks) AS BIGINT))
+        |      + 0.2 * (least(CAST(len(toks) AS BIGINT), 100) / 100.0) AS quality
+        |  FROM (SELECT lang, doc_id, string_split(text, ' ') AS toks FROM documents) t),
+        |cum AS (
+        |  SELECT lang, doc_id, n_toks, quality,
+        |    CAST(COALESCE(SUM(n_toks) OVER (
+        |      PARTITION BY lang ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior_toks
+        |  FROM scored)
+        |SELECT lang, doc_id, n_toks, prior_toks, quality
+        |FROM cum WHERE prior_toks < 2000
+        |ORDER BY lang, doc_id""".stripMargin
+    )
+  )
+}

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal,
-  Multiply, NamedLambdaVariable, ZipWith
+  Add, ArrayAggregate, BloomFilterMightContain, Expression, ExpressionInfo,
+  LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith
 }
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -37,6 +38,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    // 5. Bloom-filter surface (q79): Spark's own runtime-filter
+    //    expressions — BloomFilterAggregate builds the sketch as a binary
+    //    aggregate, BloomFilterMightContain probes it (requires a constant
+    //    or scalar-subquery bloom side, exactly the InjectRuntimeFilter
+    //    contract). Registered as SQL functions so user queries can apply
+    //    the semi-join pre-filter pattern declaratively.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, est) => new BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) => new BloomFilterAggregate(c, est, bits)
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1-3 arguments, got ${other.size}")
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))
     ))
     ext.injectOptimizerRule(_ => FoldToDotProduct)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

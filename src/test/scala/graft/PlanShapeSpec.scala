@@ -120,6 +120,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
 
+  test("q79 probes a bloom filter before the exact gram join, and the bloom prunes") {
+    val p = plan("q79_bloom_decontaminate")
+    // the probe must survive optimization as a Filter on the train side
+    // feeding the broadcast join (not be constant-folded away)
+    assert(p.contains("Filter might_contain"), s"bloom pre-filter optimized away:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "exact verify join lost its broadcast")
+    // and it must actually shrink the exact join's input: candidates that
+    // pass the bloom vs all train grams (views registered by the query run)
+    val bloom = "(SELECT graft_bloom_agg(xxhash64(g), 100000L, 800000L) FROM q79_bench)"
+    val nTrain = spark.sql("SELECT COUNT(*) AS n FROM q79_train").head().getLong(0)
+    val nCand = spark.sql(
+      s"SELECT COUNT(*) AS n FROM q79_train WHERE graft_might_contain($bloom, xxhash64(g))"
+    ).head().getLong(0)
+    val nExact = spark.sql(
+      "SELECT COUNT(*) AS n FROM q79_train t JOIN (SELECT DISTINCT g FROM q79_bench) b ON t.g = b.g"
+    ).head().getLong(0)
+    assert(nExact <= nCand, "bloom dropped a true match (false negative — impossible by contract)")
+    assert(nCand < nTrain, s"bloom did not prune: $nCand of $nTrain train grams pass")
+  }
+
   test("whole-stage codegen covers the hot relational paths") {
     // codegen'd operators render with a "*(n) " stage prefix
     assert(plan("q04_agg_pricing").contains("*(1)"))
