@@ -4,9 +4,10 @@ import graft.{QDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-6 curation operators (q79+): the scale-path decontamination
-  * (bloom pre-filter + exact verify) and repetition-based quality
-  * filtering a pretraining pipeline runs between ingest and packing.
+/** Round-6 operators (q79+): the scale-path decontamination (bloom
+  * pre-filter + exact verify), repetition-based quality filtering,
+  * token-budget selection, and the bucketed interval join — the shapes a
+  * pretraining pipeline runs between ingest and packing.
   *
   * Determinism contract (CLAUDE.md): integer outputs CAST to BIGINT in
   * the DuckDB oracles (SUM/COUNT promote to HUGEINT); per-doc ratios are
@@ -192,6 +193,46 @@ object Curation2 {
         |SELECT lang, doc_id, n_toks, prior_toks, quality
         |FROM cum WHERE prior_toks < 2000
         |ORDER BY lang, doc_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q82
+    // Bucketed interval self-join: all event pairs by the same user within
+    // 10 minutes (the batch twin of the s6 stream-stream interval join,
+    // and the scale rewrite of a pure inequality join). A naive
+    // `ON b.ts > a.ts AND b.ts - a.ts <= W` theta join has no equi key
+    // and plans a nested-loop — quadratic per user. Instead each left row
+    // is EXPLODED into its two covering 10-minute buckets (ts DIV W and
+    // +1) and the join runs as an equi-join on (user_id, bucket) with the
+    // interval predicate as a residual filter: every qualifying pair's
+    // right bucket equals exactly one of the left's two, so pairs match
+    // exactly once — 2x row expansion buys a hash join that shuffles
+    // linearly at any scale. PlanShapeSpec asserts no nested-loop /
+    // cartesian product survives in the plan. Gaps are exact long micros.
+    "q82_interval_bucket_join" -> QDef(
+      (s, d) => {
+        val W = 600000000L // 10 minutes in microseconds
+        val ev = events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("b", expr(s"us DIV $W"))
+        val left = ev.select(col("user_id"), col("us").as("us_a"),
+          explode(array(col("b"), col("b") + 1)).as("bk"))
+        val right = ev.select(col("user_id"), col("us").as("us_b"), col("b").as("bk"))
+        left.join(right, Seq("user_id", "bk"))
+          .where(col("us_b") > col("us_a") && col("us_b") - col("us_a") <= W)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            min(col("us_b") - col("us_a")).as("min_gap_us"),
+            max(col("us_b") - col("us_a")).as("max_gap_us"))
+          .orderBy("user_id")
+      },
+      """SELECT a.user_id, COUNT(*) AS n_pairs,
+        |       MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us,
+        |       MAX(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND epoch_us(b.ts) > epoch_us(a.ts)
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
     )
   )
 }

@@ -140,6 +140,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nCand < nTrain, s"bloom did not prune: $nCand of $nTrain train grams pass")
   }
 
+  test("q82 interval join is a bucketed hash join, not a nested loop") {
+    val p = plan("q82_interval_bucket_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"inequality join fell back to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no equi-join on (user_id, bucket) in the plan")
+  }
+
   test("whole-stage codegen covers the hot relational paths") {
     // codegen'd operators render with a "*(n) " stage prefix
     assert(plan("q04_agg_pricing").contains("*(1)"))
