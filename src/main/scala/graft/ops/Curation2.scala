@@ -98,6 +98,15 @@ object Curation2 {
     // quotients (never rounded, per the determinism contract). No shuffle
     // except the output sort. Thresholds flag ~13% of this corpus at
     // every SF (tuned empirically; real pipelines tune on holdout docs).
+    //
+    // The per-doc stats frame is MATERIALIZED (localCheckpoint) before the
+    // threshold filter: predicate pushdown substitutes aliases, so a
+    // filter over the projected fractions re-inlines the whole n-gram
+    // construction (split(text) 12x) into one giant condition whose
+    // per-fresh-plan compile/eval setup cost was ~4s at sf0.01 — 50x the
+    // actual scan. Checkpointing the ~9-column stats table is also what a
+    // scoring pipeline ships anyway; the filter then runs on plain
+    // attributes.
     "q80_repetition_filter" -> QDef(
       (s, d) =>
         documents(s, d)
@@ -117,6 +126,7 @@ object Curation2 {
             (size(col("bi")) - size(array_distinct(col("bi")))).cast("long").as("dup2"),
             size(col("tri")).cast("long").as("n_tri"),
             (size(col("tri")) - size(array_distinct(col("tri")))).cast("long").as("dup3"))
+          .localCheckpoint()
           .withColumn("frac2", col("dup2") / col("n_bi"))
           .withColumn("frac3", col("dup3") / col("n_tri"))
           .where(col("frac2") >= 0.06 || col("frac3") >= 0.02)
