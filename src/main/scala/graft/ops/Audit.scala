@@ -73,8 +73,14 @@ object Audit {
     "q78_pipeline_counts" -> QDef(
       (s, d) => {
         val stops = array(Seq("a", "the", "row", "value", "table", "and", "of").map(lit): _*)
-        val base = documents(s, d).where(col("doc_id") % 3 === 0)
-        val scored = base
+        // Score ONCE and materialize the (doc_id, lang, text, n_toks,
+        // quality) table — every later stage (3 survivor counts, the exact
+        // dedup window, the pair build) derives from it. Before this
+        // checkpoint the stage-count union branches each re-scanned and
+        // re-scored the corpus, and each branch re-compiled its own copy
+        // of the HOF quality expression (the q80 lesson; this was most of
+        // q78's bench cost). Production ships this score table anyway.
+        val scored = documents(s, d).where(col("doc_id") % 3 === 0)
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_toks", size(col("toks")).cast("long"))
           .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
@@ -84,8 +90,11 @@ object Audit {
             lit(0.5) * (col("n_distinct") / col("n_toks")) +
               lit(0.3) * (lit(1.0) - col("n_stop") / col("n_toks")) +
               lit(0.2) * (least(col("n_toks"), lit(100L)) / 100.0))
-        val qual = scored.where(col("quality") >= 0.55 && col("n_toks") >= 10)
-        val langKept = qual.where(col("lang").isin("en", "de", "fr", "es", "zh"))
+          .select("doc_id", "lang", "text", "n_toks", "quality")
+          .localCheckpoint()
+        val qualCond = col("quality") >= 0.55 && col("n_toks") >= 10
+        val langCond = col("lang").isin("en", "de", "fr", "es", "zh")
+        val langKept = scored.where(qualCond && langCond)
         // exact dedup: min doc_id per identical text (xxhash64 pre-grouping
         // keeps the shuffle key 8 bytes; the count equals COUNT(DISTINCT text))
         val w = Window.partitionBy(xxhash64(col("text")), col("text")).orderBy("doc_id")
@@ -100,9 +109,18 @@ object Audit {
         def stage(id: Int, nm: String, df: DataFrame) =
           df.agg(count(lit(1)).as("n"))
             .select(lit(id).as("stage_id"), lit(nm).as("stage"), col("n"))
-        stage(1, "input", base)
-          .unionAll(stage(2, "quality", qual))
-          .unionAll(stage(3, "lang", langKept))
+        // stages 1-3 are ONE pass over the score table (conditional counts)
+        val s123 = scored
+          .agg(
+            count(lit(1)).as("n1"),
+            count(when(qualCond, 1)).as("n2"),
+            count(when(qualCond && langCond, 1)).as("n3"))
+          .select(explode(array(
+            struct(lit(1).as("stage_id"), lit("input").as("stage"), col("n1").as("n")),
+            struct(lit(2).as("stage_id"), lit("quality").as("stage"), col("n2").as("n")),
+            struct(lit(3).as("stage_id"), lit("lang").as("stage"), col("n3").as("n")))))
+          .select("col.*")
+        s123
           .unionAll(stage(4, "exact_dedup", exact))
           .unionAll(stage(5, "near_dedup", near))
           .orderBy("stage_id")

@@ -41,9 +41,12 @@ object TrainingDataPipeline {
       langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
   ): PipelineReport = {
     val docs = Tables.documents(spark, sfDir)
-    val nInput = docs.count()
 
-    // quality scoring (the q50 formula), filter low-quality docs
+    // quality scoring (the q50 formula), filter low-quality docs. Score
+    // ONCE and materialize: every stage count and the dedup chain derive
+    // from this table instead of re-scanning + re-scoring the corpus per
+    // action (the q78/q80 lesson — re-deriving the HOF quality expression
+    // per branch dominated the audit query's cost).
     val stops = array(Seq("a", "the", "row", "value", "table", "and", "of").map(lit): _*)
     val scored = docs
       .withColumn("toks", split(col("text"), " "))
@@ -56,6 +59,9 @@ object TrainingDataPipeline {
           lit(0.3) * (lit(1.0) - col("n_stop") / col("n_toks")) +
           lit(0.2) * (least(col("n_toks"), lit(100L)) / 100.0)
       )
+      .drop("toks", "n_distinct", "n_stop")
+      .localCheckpoint()
+    val nInput = scored.count()
     val qualityKept = scored.where(col("quality") >= minQuality && col("n_toks") >= 10)
     val nQuality = qualityKept.count()
 
