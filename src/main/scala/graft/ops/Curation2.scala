@@ -33,6 +33,26 @@ object Curation2 {
           element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2))))).as("g"))
 
+  /** All (us_a < us_b, gap <= wMicros) same-key pairs of `ev` —
+    * (key, us) rows, key column named user_id — WITHOUT an inequality
+    * nested-loop join: each left row explodes into its two covering
+    * width-W buckets (us DIV W and +1), the join is an equi-join on
+    * (user_id, bucket) and the band predicate is a residual filter. A
+    * qualifying pair's right bucket equals exactly one of the left's two
+    * exploded buckets, so every pair matches exactly once.
+    * PropertySpec checks the exactly-once claim against a naive
+    * all-pairs ground truth on arbitrary inputs; PlanShapeSpec asserts
+    * the declared q82 plan contains no nested-loop/cartesian join. */
+  private[graft] def intervalSelfJoinPairs(ev: DataFrame, wMicros: Long): DataFrame = {
+    val withB = ev.withColumn("b", expr(s"us DIV $wMicros"))
+    val left = withB.select(col("user_id"), col("us").as("us_a"),
+      explode(array(col("b"), col("b") + 1)).as("bk"))
+    val right = withB.select(col("user_id"), col("us").as("us_b"), col("b").as("bk"))
+    left.join(right, Seq("user_id", "bk"))
+      .where(col("us_b") > col("us_a") && col("us_b") - col("us_a") <= wMicros)
+      .select("user_id", "us_a", "us_b")
+  }
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // ---------------------------------------------------------------- q79
@@ -221,14 +241,8 @@ object Curation2 {
     "q82_interval_bucket_join" -> QDef(
       (s, d) => {
         val W = 600000000L // 10 minutes in microseconds
-        val ev = events(s, d)
-          .select(col("user_id"), unix_micros(col("ts")).as("us"))
-          .withColumn("b", expr(s"us DIV $W"))
-        val left = ev.select(col("user_id"), col("us").as("us_a"),
-          explode(array(col("b"), col("b") + 1)).as("bk"))
-        val right = ev.select(col("user_id"), col("us").as("us_b"), col("b").as("bk"))
-        left.join(right, Seq("user_id", "bk"))
-          .where(col("us_b") > col("us_a") && col("us_b") - col("us_a") <= W)
+        intervalSelfJoinPairs(
+          events(s, d).select(col("user_id"), unix_micros(col("ts")).as("us")), W)
           .groupBy("user_id")
           .agg(
             count(lit(1)).as("n_pairs"),

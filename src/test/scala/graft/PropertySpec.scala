@@ -112,6 +112,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: bucketed interval self-join == naive all-pairs, any width") {
+    // duplicates in (user, us) allowed: us_b > us_a keeps ties unpaired on
+    // both sides, so equality still holds
+    val genRows: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        uid <- Gen.choose(0L, 2L)
+        us <- Gen.choose(0L, 5000L)
+      } yield (uid, us))
+    } yield rows
+    for ((rows, w) <- samples(genRows, 5).zip(Seq(1L, 7L, 100L, 1000L, 10000L))) {
+      val got = ops.Curation2.intervalSelfJoinPairs(rows.toDF("user_id", "us"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val want = for {
+        (ua, ta) <- rows
+        (ub, tb) <- rows
+        if ua == ub && tb > ta && tb - ta <= w
+      } yield (ua, ta, tb)
+      // multiset compare: exactly-once matching is the whole claim
+      assert(got.sorted == want.sorted, s"w=$w n=${rows.size}")
+    }
+  }
+
   test("property: native DotProduct equals a Scala-side sequential fold") {
     val genVec = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0))
     val pairs = samples(genVec, 20).zip(samples(genVec, 20).reverse)
