@@ -22,7 +22,7 @@ object Curation2 {
     * tokens are excluded on BOTH engines (Spark's sequence(1, n) runs
     * descending for n < 1 where DuckDB's generate_series comes back
     * empty). */
-  private def trigrams(df: DataFrame): DataFrame = df
+  private[graft] def trigrams(df: DataFrame): DataFrame = df
     .withColumn("toks", split(col("text"), " "))
     .where(size(col("toks")) >= 3)
     .select(col("doc_id"),

@@ -51,6 +51,10 @@ case class BandSeen(docIds: List[Long], lastTsMillis: Long)
   * one band signature. Downstream exact-verifies (the q46/q75 jaccard step). */
 case class NearDupCandidate(new_id: Long, hist_id: Long, lang: String, band: Int, sig: Long)
 
+/** s10 output: a contamination drop verdict — the ingested doc shares >= 2
+  * distinct trigrams with `n_bench` benchmark docs (q73's rule). */
+case class DropVerdict(doc_id: Long, n_bench: Long)
+
 /** Structured-Streaming-native forms of the reference's operators
   * (SURVEY.md §2.3 s1–s5). The batch-checkable analogs live in
   * graft.ops.StreamingBatch; these are the real `readStream` programs,
@@ -329,6 +333,48 @@ object Demos {
             out.result().iterator
           }
       }
+  }
+
+  /** s10 — decontamination on ingest: the broadcast-state pattern (s1)
+    * applied to the curation layer. The benchmark gram table is the
+    * low-volume CONTROL side — re-resolved and re-broadcast each
+    * micro-batch, so benchmark updates apply to the next batch exactly
+    * like s1's rule updates — and each batch trigram-explodes its
+    * documents and emits a drop verdict for any doc sharing >= 2 distinct
+    * trigrams with a single benchmark doc (the q73/q79 contamination
+    * rule). Verdicts depend only on the doc itself and the then-current
+    * benchmark, so the union of per-batch drops over a fixed benchmark
+    * equals the batch run on the same documents
+    * (StreamingDemosSpec locks this in). At 100 TB the broadcast side is
+    * the benchmark's BLOOM FILTER (q79) and the exact verify join runs in
+    * the batch audit — the same prefilter/verify split, with the bloom as
+    * the MapStateDescriptor analog.
+    */
+  def s10DecontaminateOnIngest(
+      docs: DataFrame,
+      currentBenchGrams: () => DataFrame,
+      onBatch: (Seq[DropVerdict], Long) => Unit
+  ): StreamingQuery = {
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bench = currentBenchGrams()
+          .select(col("doc_id").as("bench_id"), col("g"))
+        val drops = graft.ops.Curation2.trigrams(batch.toDF())
+          .join(broadcast(bench), "g")
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bench"))
+          .as[DropVerdict]
+          .collect()
+          .toSeq
+        onBatch(drops, batchId)
+      }
+      .start()
   }
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */

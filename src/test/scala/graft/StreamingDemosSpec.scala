@@ -275,6 +275,44 @@ class StreamingDemosSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s10: decontamination on ingest == the batch contamination rule, across batches") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val sf001 = SharedSpark.sf001
+    val base = Tables.documents(spark, sf001).select("doc_id", "lang", "text")
+    val benchGrams = ops.Curation2.trigrams(base.where(col("doc_id") % 97 === 0))
+      .localCheckpoint() // fixed benchmark — re-broadcast per batch, never recomputed
+    val train = base.where(col("doc_id") % 97 =!= 0).collect().map { r =>
+      DocIngest(r.getLong(0), ts((r.getLong(0) % 60).toInt), r.getString(2), r.getString(1))
+    }
+    val (b1, b2) = train.partition(_.doc_id % 2 == 0)
+
+    val input = MemoryStream[DocIngest]
+    val seen = mutable.Buffer[DropVerdict]()
+    val q = Demos.s10DecontaminateOnIngest(
+      input.toDF(), () => benchGrams,
+      (drops, _) => seen.synchronized { seen ++= drops })
+    val got =
+      try {
+        input.addData(b1.toSeq)
+        runToCompletion(q)
+        input.addData(b2.toSeq)
+        runToCompletion(q)
+        seen.synchronized(seen.map(d => d.doc_id -> d.n_bench).toMap)
+      } finally q.stop()
+
+    // batch twin: the q73/q79 rule over the same docs in one pass
+    val want = ops.Curation2.trigrams(base.where(col("doc_id") % 97 =!= 0))
+      .join(broadcast(benchGrams.select(col("doc_id").as("bench_id"), col("g"))), "g")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bench"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty, "the carve must produce contaminated docs")
+    assert(got == want,
+      s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("s5: session windows split on >=30min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
