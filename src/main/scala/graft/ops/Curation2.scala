@@ -257,6 +257,86 @@ object Curation2 {
         |  AND epoch_us(b.ts) > epoch_us(a.ts)
         |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q83
+    // LSH recall audit: the dedup-quality report a curation run ships
+    // alongside its dedup pass. Ground truth = ALL same-lang pairs at
+    // exact Jaccard >= 0.6 (the q40 all-pairs shape, bounded by the q46
+    // doc_id % 3 carve); candidates = the q46 band equi-join (same hash
+    // family, same dictionary ids). One row: exact pair count, candidate
+    // count, hits, and recall (raw long/long IEEE quotient). On this
+    // corpus s≈0.6 pairs collide with prob 1-(1-s^4)^4 ≈ 0.43, so the
+    // audit's job — telling you the band config's real recall so you can
+    // add bands/rows — has signal. The ground-truth side is the sampled
+    // oracle twin; at 100 TB recall is estimated on exactly such a carve
+    // (all-pairs on the full corpus is the thing LSH exists to avoid).
+    "q83_lsh_recall" -> QDef(
+      (s, d) => {
+        val docsT = documents(s, d).where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"),
+            array_distinct(split(col("text"), " ")).as("toks"))
+          .withColumn("sz", size(col("toks")).cast("long"))
+          .localCheckpoint() // feeds both sides of the all-pairs join
+        val exact = docsT.as("a")
+          .join(docsT.as("b"),
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+            size(array_intersect(col("a.toks"), col("b.toks"))).cast("long").as("n_common"))
+          .withColumn("jaccard",
+            col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+          .where(col("jaccard") >= 0.6)
+          .select("doc_a", "doc_b")
+          .localCheckpoint() // feeds n_exact and the hit semi-join
+        val toks = docsT.select(col("doc_id"), col("lang"),
+          explode(col("toks")).as("tok"))
+        val tokIds = toks.join(LlmExt2.tokenDict(toks), "tok")
+          .groupBy("doc_id", "lang")
+          .agg(collect_list(col("tid").cast("long")).as("ids"))
+        val sig = LlmExt2.explodeBandSigs(tokIds)
+        val cand = sig.as("x")
+          .join(sig.as("y"), col("x.band") === col("y.band") &&
+            col("x.sig") === col("y.sig") && col("x.lang") === col("y.lang") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+          .localCheckpoint() // feeds n_cand and the hit semi-join
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hit")))
+          .withColumn("recall", col("n_hit") / col("n_exact"))
+      },
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+        |toks AS (SELECT DISTINCT doc_id, lang, tok FROM
+        |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM d) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |          FROM toks a JOIN toks b
+        |            ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = doc_a
+        |          JOIN sizes sb ON sb.doc_id = doc_b
+        |          WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6),
+        |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+        |         FROM (SELECT DISTINCT tok FROM toks) u),
+        |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
+        |mh AS (SELECT doc_id, lang, i, MIN(((4*i+3)*tid + (7*i+5)) % 104729) AS mh
+        |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+        |sig AS (SELECT doc_id, lang, CAST(i // 4 AS BIGINT) AS band,
+        |          CAST(SUM(mh * CASE WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 131
+        |                             WHEN i % 4 = 2 THEN 17161 ELSE 2248091 END) AS BIGINT) AS sig
+        |        FROM mh GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+        |           AND x.lang = y.lang AND x.doc_id < y.doc_id)
+        |SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+        |       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+        |       CAST((SELECT COUNT(*) FROM exact e JOIN cand c USING (doc_a, doc_b)) AS BIGINT) AS n_hit,
+        |       CAST((SELECT COUNT(*) FROM exact e JOIN cand c USING (doc_a, doc_b)) AS BIGINT)
+        |         / CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS recall""".stripMargin
     )
   )
 }
