@@ -262,8 +262,9 @@ object Curation2 {
     // ---------------------------------------------------------------- q83
     // LSH recall audit: the dedup-quality report a curation run ships
     // alongside its dedup pass. Ground truth = ALL same-lang pairs at
-    // exact Jaccard >= 0.6 (the q40 all-pairs shape, bounded by the q46
-    // doc_id % 3 carve); candidates = the q46 band equi-join (same hash
+    // exact Jaccard >= 0.6 (the q40 all-pairs shape on its doc_id % 7
+    // carve — all-pairs cost is quadratic in the carve, so the audit
+    // samples 1/7, not q46's 1/3); candidates = the q46 band equi-join (same hash
     // family, same dictionary ids). One row: exact pair count, candidate
     // count, hits, and recall (raw long/long IEEE quotient). On this
     // corpus s≈0.6 pairs collide with prob 1-(1-s^4)^4 ≈ 0.43, so the
@@ -273,7 +274,7 @@ object Curation2 {
     // (all-pairs on the full corpus is the thing LSH exists to avoid).
     "q83_lsh_recall" -> QDef(
       (s, d) => {
-        val docsT = documents(s, d).where(col("doc_id") % 3 === 0)
+        val docsT = documents(s, d).where(col("doc_id") % 7 === 0)
           .select(col("doc_id"), col("lang"),
             array_distinct(split(col("text"), " ")).as("toks"))
           .withColumn("sz", size(col("toks")).cast("long"))
@@ -308,7 +309,7 @@ object Curation2 {
             .agg(count(lit(1)).as("n_hit")))
           .withColumn("recall", col("n_hit") / col("n_exact"))
       },
-      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
         |toks AS (SELECT DISTINCT doc_id, lang, tok FROM
         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM d) t),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
