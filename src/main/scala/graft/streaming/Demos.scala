@@ -55,6 +55,13 @@ case class NearDupCandidate(new_id: Long, hist_id: Long, lang: String, band: Int
   * distinct trigrams with `n_bench` benchmark docs (q73's rule). */
 case class DropVerdict(doc_id: Long, n_bench: Long)
 
+/** s11 ingest row after the token-count projection. */
+case class DocTok(doc_id: Long, ts: Timestamp, lang: String, n_toks: Long)
+
+/** s11 output: admission verdict under the per-language token budget —
+  * `prior_toks` is the tokens admitted to `lang` BEFORE this doc. */
+case class AdmitVerdict(doc_id: Long, lang: String, n_toks: Long, prior_toks: Long, admitted: Boolean)
+
 /** Structured-Streaming-native forms of the reference's operators
   * (SURVEY.md §2.3 s1–s5). The batch-checkable analogs live in
   * graft.ops.StreamingBatch; these are the real `readStream` programs,
@@ -375,6 +382,41 @@ object Demos {
         onBatch(drops, batchId)
       }
       .start()
+  }
+
+  /** s11 — token-budget admission on ingest: the streaming complement of
+    * q81's batch budget pack. q81 picks the BEST docs per language given
+    * the whole corpus; an ingest stream cannot reorder by quality, so
+    * admission is first-come-first-served: per-language `GroupState` holds
+    * the tokens admitted so far, and a doc is admitted iff the tokens
+    * BEFORE it are under budget — budgets are floors, the crossing doc is
+    * still taken, exactly q81's rule. Intra-batch ties are processed in
+    * event-time order (the s8 contract; across batches arrival order
+    * rules). State is ONE long per language — no timer: a budget is a
+    * lifetime quota, and |langs| longs is O(1) state at any corpus size.
+    */
+  def s11BudgetAdmission(
+      spark: SparkSession, docs: DataFrame, budget: Long): Dataset[AdmitVerdict] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("ts"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .as[DocTok]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, AdmitVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[DocTok], state: GroupState[Long]) =>
+          val arrived = it.toVector.sortBy(d => (d.ts.getTime, d.doc_id))
+          var used = state.getOption.getOrElse(0L)
+          val out = arrived.map { d =>
+            val prior = used
+            val admit = prior < budget
+            if (admit) used += d.n_toks
+            AdmitVerdict(d.doc_id, lang, d.n_toks, prior, admit)
+          }
+          state.update(used)
+          out.iterator
+      }
   }
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */

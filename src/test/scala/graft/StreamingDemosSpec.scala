@@ -313,6 +313,46 @@ class StreamingDemosSpec extends AnyFunSuite {
       s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
   }
 
+  test("s11: budget admission — FCFS per-lang quota matches a sequential fold, across batches") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 2000L
+    val docs = Tables.documents(spark, SharedSpark.sf001)
+      .select("doc_id", "lang", "text").collect().map { r =>
+        DocIngest(r.getLong(0), ts((r.getLong(0) % 60).toInt), r.getString(2), r.getString(1))
+      }
+    val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+
+    val input = MemoryStream[DocIngest]
+    val q = Demos.s11BudgetAdmission(spark, input.toDF(), budget)
+      .writeStream.outputMode("append").format("memory").queryName("s11_out").start()
+    val got =
+      try {
+        input.addData(b1.toSeq)
+        runToCompletion(q)
+        input.addData(b2.toSeq)
+        runToCompletion(q)
+        spark.table("s11_out").as[AdmitVerdict].collect()
+          .map(v => v.doc_id -> ((v.prior_toks, v.admitted))).toMap
+      } finally q.stop()
+
+    // ground truth: sequential fold per lang in (batch, event-time, doc_id)
+    // arrival order — the s11 contract
+    val want = mutable.Map[Long, (Long, Boolean)]()
+    val used = mutable.Map[String, Long]().withDefaultValue(0L)
+    for (batch <- Seq(b1, b2); d <- batch.sortBy(x => (x.ts.getTime, x.doc_id))) {
+      val nToks = d.text.split(" ", -1).length.toLong
+      val prior = used(d.lang)
+      val admit = prior < budget
+      if (admit) used(d.lang) = prior + nToks
+      want(d.doc_id) = (prior, admit)
+    }
+    assert(got.nonEmpty && got.values.exists(_._2) && got.values.exists(!_._2),
+      "the budget must both admit and reject on this corpus")
+    assert(got == want.toMap,
+      s"diff=${(got.toSet -- want.toSet).take(3)} / ${(want.toSet -- got.toSet).take(3)}")
+  }
+
   test("s5: session windows split on >=30min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
