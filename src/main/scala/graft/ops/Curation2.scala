@@ -266,7 +266,7 @@ object Curation2 {
     // carve — all-pairs cost is quadratic in the carve, so the audit
     // samples 1/7, not q46's 1/3); candidates = the q46 band equi-join (same hash
     // family, same dictionary ids). One row: exact pair count, candidate
-    // count, hits, and recall (raw long/long IEEE quotient). On this
+    // count, hits, recall, and candidate precision (raw long/long quotients). On this
     // corpus s≈0.6 pairs collide with prob 1-(1-s^4)^4 ≈ 0.43, so the
     // audit's job — telling you the band config's real recall so you can
     // add bands/rows — has signal. The ground-truth side is the sampled
@@ -308,6 +308,7 @@ object Curation2 {
           .crossJoin(exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
             .agg(count(lit(1)).as("n_hit")))
           .withColumn("recall", col("n_hit") / col("n_exact"))
+          .withColumn("cand_precision", col("n_hit") / col("n_cand"))
       },
       """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
         |toks AS (SELECT DISTINCT doc_id, lang, tok FROM
@@ -337,7 +338,9 @@ object Curation2 {
         |       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
         |       CAST((SELECT COUNT(*) FROM exact e JOIN cand c USING (doc_a, doc_b)) AS BIGINT) AS n_hit,
         |       CAST((SELECT COUNT(*) FROM exact e JOIN cand c USING (doc_a, doc_b)) AS BIGINT)
-        |         / CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS recall""".stripMargin
+        |         / CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS recall,
+        |       CAST((SELECT COUNT(*) FROM exact e JOIN cand c USING (doc_a, doc_b)) AS BIGINT)
+        |         / CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS cand_precision""".stripMargin
     )
   )
 }
