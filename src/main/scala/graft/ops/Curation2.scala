@@ -42,7 +42,12 @@ object Curation2 {
     * exploded buckets, so every pair matches exactly once.
     * PropertySpec checks the exactly-once claim against a naive
     * all-pairs ground truth on arbitrary inputs; PlanShapeSpec asserts
-    * the declared q82 plan contains no nested-loop/cartesian join. */
+    * the declared q82 plan contains no nested-loop/cartesian join.
+    *
+    * Precondition: `us >= 0` (post-epoch). Spark's `DIV` truncates toward
+    * zero, so the two-bucket cover argument would break for negative
+    * timestamps (floor != truncate there); a pre-1970 corpus would need
+    * `floor(us / W)` instead. */
   private[graft] def intervalSelfJoinPairs(ev: DataFrame, wMicros: Long): DataFrame = {
     val withB = ev.withColumn("b", expr(s"us DIV $wMicros"))
     val left = withB.select(col("user_id"), col("us").as("us_a"),

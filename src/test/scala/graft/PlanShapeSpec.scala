@@ -140,6 +140,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nCand < nTrain, s"bloom did not prune: $nCand of $nTrain train grams pass")
   }
 
+  test("q81 budget pack runs one lang-partitioned window — no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q81_budget_pack")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"an unpartitioned window would serialize the corpus through one task: $windows")
+  }
+
   test("q82 interval join is a bucketed hash join, not a nested loop") {
     val p = plan("q82_interval_bucket_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
