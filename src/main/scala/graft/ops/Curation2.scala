@@ -346,6 +346,41 @@ object Curation2 {
         |         / CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS recall,
         |       CAST((SELECT COUNT(*) FROM exact e JOIN cand c USING (doc_a, doc_b)) AS BIGINT)
         |         / CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS cand_precision""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q84
+    // The custom DataSource V2 under the gate: read 100k rows from the
+    // `graft-gen` generator source (sources/GraftGenSource — full DSv2
+    // with range-partitioned parallel read, column pruning, and
+    // filter-driven partition pruning), aggregate per lang. The id-range
+    // predicate is pushed into the source and prunes whole partitions
+    // (GenSourceSpec asserts it); doubles are only MIN/MAXed (order-free,
+    // no double-sum nondeterminism). The oracle REGENERATES the source's
+    // rows with generate_series + the same integer arithmetic — the
+    // source's generator contract itself is what the hash gate checks.
+    // sfDir is deliberately unused: the source is its own data.
+    "q84_gen_source" -> QDef(
+      (s, _) =>
+        s.read.format("graft-gen")
+          .option("rows", "100000").option("partitions", "8").load()
+          .where(col("id") >= 20000L && col("id") < 90000L)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_toks")).as("sum_toks"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+          .orderBy("lang"),
+      """WITH g AS (
+        |  SELECT id,
+        |         ['en','de','fr','es','zh'][CAST(id % 5 AS INT) + 1] AS lang,
+        |         20 + (id * 37) % 300 AS n_toks,
+        |         (id % 97) / CAST(97 AS DOUBLE) AS score
+        |  FROM (SELECT unnest(generate_series(0, 99999)) AS id) t
+        |  WHERE id >= 20000 AND id < 90000)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |       MIN(score) AS min_score, MAX(score) AS max_score
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin
     )
   )
 }
