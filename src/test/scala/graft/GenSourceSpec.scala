@@ -52,4 +52,15 @@ class GenSourceSpec extends AnyFunSuite {
     val scan = scanOf(read(100, 2).select("lang", "n_toks"))
     assert(scan.scan.readSchema().fieldNames.toSet == Set("lang", "n_toks"))
   }
+
+  test("graft-stats sink: commit protocol aggregates exactly what tasks wrote") {
+    sources.StatsSinkRegistry.reports.remove("spec")
+    val df = read(10000, 6).where(col("id") % 3 === 0)
+    df.write.format("graft-stats").option("key", "spec").mode("append").save()
+    val report = sources.StatsSinkRegistry.reports.get("spec")
+    assert(report.isDefined, "commit() never published a report")
+    assert(report.get.rows == df.count(), s"committed row count is wrong: $report")
+    assert(report.get.tasks > 1, s"write should run in parallel tasks: $report")
+    assert(report.get.bytesApprox > 0)
+  }
 }
