@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 event-analytics operators: ordered funnel conversion and
+  * time-series gap-fill/resample — the product-analytics surfaces a
+  * behavioral events table gets queried with, beyond the windowed
+  * aggregations of q31–q33.
+  *
+  * Determinism contract (CLAUDE.md): counts are int64 on both engines
+  * (DuckDB COUNT is BIGINT, never HUGEINT); conversion rates are raw
+  * IEEE long/long double quotients, never rounded; gap-fill carries
+  * observed doubles verbatim (no arithmetic), so values hash exactly.
+  */
+object Analytics {
+  import Tables._
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // ---------------------------------------------------------------- q85
+    // Ordered funnel: view -> click (at/after the user's FIRST view) ->
+    // purchase (at/after that first qualifying click). Each stage is an
+    // equi-join of the (type-pruned) events scan against the previous
+    // stage's one-row-per-user table, then a min() re-aggregation — the
+    // scalable funnel shape: per-stage tables shrink monotonically, every
+    // shuffle is on user_id (exchange reuse across stages), and the
+    // event_type predicate pushes to the parquet scan. The alternative
+    // single-shuffle form (collect_list per user, driver-side fold) holds
+    // a user's whole history in one buffer — unbounded per-key memory at
+    // 100 TB — so the join chain is the deliberate choice.
+    "q85_funnel" -> QDef(
+      (s, d) => {
+        val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val c = e.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("ts") >= col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val p = e.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("ts") >= col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_purchase"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+          .select(
+            col("n_view"), col("n_click"), col("n_purchase"),
+            (col("n_click").cast("double") / col("n_view").cast("double"))
+              .as("r_click"),
+            (col("n_purchase").cast("double") / col("n_click").cast("double"))
+              .as("r_purchase"))
+      },
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT n_view, n_click, n_purchase,
+        |       CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS r_click,
+        |       CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE) AS r_purchase
+        |FROM (SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |             (SELECT COUNT(*) FROM c) AS n_click,
+        |             (SELECT COUNT(*) FROM p) AS n_purchase)""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q86
+    // Time-series resample + forward gap-fill: each sampled user's events
+    // land on an hourly grid spanning [first, last] observed hour; empty
+    // hours carry the last observed value forward (`last(value, ignore
+    // nulls)` over an unbounded-preceding row frame). The carried value is
+    // copied, never computed, so doubles hash exactly. Per-(user,hour) the
+    // latest event wins (ts DESC, event_id DESC — events have no unique
+    // (user,ts) key). Everything partitions by user_id: the grid explode
+    // is per-user (`sequence` is bounded by that user's span, no global
+    // time table), and both windows + the join shuffle on the same key.
+    // user_id % 13 carves the demo corpus; at 100 TB the same plan runs
+    // unsampled because no operator here is more than per-user-linear.
+    "q86_gap_fill" -> QDef(
+      (s, d) => {
+        val e = events(s, d).where(col("user_id") % 13 === 0)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+            col("ts"), col("event_id"), col("value"))
+        val latest = Window.partitionBy("user_id", "hr")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val obs = e.withColumn("rn", row_number().over(latest))
+          .where(col("rn") === 1).select("user_id", "hr", "value")
+        val grid = obs.groupBy("user_id")
+          .agg(min("hr").as("hr_min"), max("hr").as("hr_max"))
+          .select(col("user_id"),
+            explode(sequence(col("hr_min"), col("hr_max"),
+              expr("interval 1 hour"))).as("hr"))
+        val fill = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "hr"), "left")
+          .select(
+            col("user_id"), col("hr"),
+            last(col("value"), ignoreNulls = true).over(fill).as("v_fill"),
+            col("value").isNotNull.cast("int").as("had_obs"))
+          .orderBy("user_id", "hr")
+      },
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id, value
+        |           FROM events WHERE user_id % 13 = 0),
+        |obs AS (SELECT user_id, hr, value FROM (
+        |          SELECT user_id, hr, value,
+        |                 row_number() OVER (PARTITION BY user_id, hr
+        |                                    ORDER BY ts DESC, event_id DESC) AS rn
+        |          FROM e) WHERE rn = 1),
+        |grid AS (SELECT user_id,
+        |                unnest(generate_series(hr_min, hr_max, INTERVAL 1 HOUR)) AS hr
+        |         FROM (SELECT user_id, MIN(hr) AS hr_min, MAX(hr) AS hr_max
+        |               FROM obs GROUP BY 1))
+        |SELECT g.user_id, g.hr,
+        |       last_value(o.value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+        |       CAST(o.value IS NOT NULL AS INTEGER) AS had_obs
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin
+    )
+  )
+}

@@ -157,6 +157,24 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "no equi-join on (user_id, bucket) in the plan")
   }
 
+  test("q85 funnel pushes the event_type stage predicate into the events scan") {
+    val p = plan("q85_funnel")
+    assert(p.contains("EqualTo(event_type,view)") ||
+      p.contains("EqualTo(event_type, view)"),
+      s"stage filter not pushed to parquet:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"),
+      "1-row stage-count combine must be a broadcast nested loop, not a cartesian")
+  }
+
+  test("q86 gap-fill windows are all user-partitioned — no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q86_gap_fill")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size >= 2 && windows.forall(_.partitionSpec.nonEmpty),
+      s"gap-fill must window per user (latest-obs + forward-fill), got: $windows")
+  }
+
   test("whole-stage codegen covers the hot relational paths") {
     // codegen'd operators render with a "*(n) " stage prefix
     assert(plan("q04_agg_pricing").contains("*(1)"))
