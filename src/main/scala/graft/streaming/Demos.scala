@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.Encoders
 
 /** The events record (mirrors the events table / FIXTURES.md). */
 case class Event(
@@ -61,6 +62,71 @@ case class DocTok(doc_id: Long, ts: Timestamp, lang: String, n_toks: Long)
 /** s11 output: admission verdict under the per-language token budget —
   * `prior_toks` is the tokens admitted to `lang` BEFORE this doc. */
 case class AdmitVerdict(doc_id: Long, lang: String, n_toks: Long, prior_toks: Long, admitted: Boolean)
+
+/** s12 per-key state: the open session accumulator. `timerMs` is the
+  * registered close timer, re-registered whenever the session extends
+  * (top-level case class — nested ones break encoder codegen, CLAUDE.md). */
+case class OpenSession(startMs: Long, endMs: Long, nEvents: Long, sumValue: Double, timerMs: Long)
+
+/** s12 output: a session finalized by an event-time timer. */
+case class TwsSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)
+
+/** s12 — the Spark 4.x arbitrary-state API (`transformWithState`):
+  * gap-based sessionization with EXPLICIT event-time timers, the operator
+  * shape `session_window` (s5) compiles to, hand-held. One `ValueState`
+  * per user holds the open session; every batch extends it and re-arms a
+  * timer at `end + gap`; the session is emitted ONLY from
+  * `handleExpiredTimer`, i.e. once the watermark proves no in-gap event
+  * can still arrive. State is O(1) per key (5 fixed-width fields — no
+  * event buffering) and lives in RocksDB (the API requires that provider,
+  * which is also the 100 TB posture: state spills to executor disk, never
+  * heap). Late events for a closed session open a NEW session — exactly
+  * `session_window`'s watermark semantics.
+  *
+  * vs s4/s11's `GroupState`: timers here are first-class (register/delete
+  * per key, fire on watermark) instead of a single per-key timeout, and
+  * state/timer lifecycles are independent — the pattern the old API could
+  * only fake with sentinel values.
+  */
+class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, TwsSession] {
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "open_session", Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[Event], tv: TimerValues): Iterator[TwsSession] = {
+    var s = if (open.exists()) open.get() else null
+    rows.foreach { e =>
+      val ms = e.ts.getTime
+      s = if (s == null) OpenSession(ms, ms, 1L, e.value, 0L)
+      else OpenSession(math.min(s.startMs, ms), math.max(s.endMs, ms),
+        s.nEvents + 1, s.sumValue + e.value, s.timerMs)
+    }
+    val timer = s.endMs + gapMs
+    if (s.timerMs != timer) { // session extended: re-arm the close timer
+      if (s.timerMs != 0L) getHandle.deleteTimer(s.timerMs)
+      getHandle.registerTimer(timer)
+    }
+    open.update(s.copy(timerMs = timer))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[TwsSession] = {
+    if (!open.exists()) Iterator.empty
+    else {
+      val s = open.get()
+      // a deleted-then-fired race would surface as a stale expiry: ignore
+      if (info.getExpiryTimeInMs() != s.timerMs) Iterator.empty
+      else {
+        open.clear()
+        Iterator.single(TwsSession(key, s.startMs, s.endMs, s.nEvents, s.sumValue))
+      }
+    }
+  }
+}
 
 /** Structured-Streaming-native forms of the reference's operators
   * (SURVEY.md §2.3 s1–s5). The batch-checkable analogs live in
@@ -417,6 +483,18 @@ object Demos {
           state.update(used)
           out.iterator
       }
+  }
+
+  /** s12 — sessionization on the new arbitrary-state API (see
+    * [[SessionProcessor]]). Requires the RocksDB state-store provider at
+    * query start (`transformWithState` rejects the HDFS-backed one). */
+  def s12SessionsTws(spark: SparkSession, events: DataFrame, gapMs: Long): Dataset[TwsSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */

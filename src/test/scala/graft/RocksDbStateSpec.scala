@@ -87,4 +87,41 @@ class RocksDbStateSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("s12 transformWithState sessions: timers fire on watermark, state clears, reopens") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val q = Demos.s12SessionsTws(spark, input.toDF(), gapMs = 30 * 60 * 1000L)
+        .writeStream.outputMode("append").format("memory").queryName("rocks_s12").start()
+      try {
+        // two open sessions; nothing may emit before the watermark passes end+gap
+        input.addData(ev(1, 5, 1, "click", 1.0), ev(2, 20, 1, "view", 2.0),
+          ev(3, 10, 2, "view", 5.0))
+        q.processAllAvailable()
+        assert(spark.table("rocks_s12").isEmpty,
+          "sessions emitted before their close timer could have fired")
+        // watermark pusher: wm -> min 110, past both timers (50 and 40)
+        input.addData(ev(4, 120, 3, "view", 1.0))
+        q.processAllAvailable()
+        val first = spark.table("rocks_s12").as[TwsSession].collect()
+          .map(s => s.user_id -> s).toMap
+        assert(first.size == 2, s"expected users 1 and 2 closed: ${first.keySet}")
+        assert(first(1L) == TwsSession(1L, ts(5).getTime, ts(20).getTime, 2L, 3.0))
+        assert(first(2L) == TwsSession(2L, ts(10).getTime, ts(10).getTime, 1L, 5.0))
+        // user 1's state was CLEARED on emit: a later event opens a fresh session
+        input.addData(ev(5, 115, 1, "view", 7.0))
+        q.processAllAvailable()
+        input.addData(ev(6, 60 * 5, 4, "view", 0.0)) // push wm past 115+30
+        q.processAllAvailable()
+        val again = spark.table("rocks_s12").as[TwsSession].collect()
+          .filter(_.user_id == 1L).sortBy(_.start_ms)
+        assert(again.toVector == Vector(
+          TwsSession(1L, ts(5).getTime, ts(20).getTime, 2L, 3.0),
+          TwsSession(1L, ts(115).getTime, ts(115).getTime, 1L, 7.0)),
+          s"second session wrong: ${again.toVector}")
+        assert(sawRocksDb(q), "no state operator reported RocksDB metrics")
+      } finally q.stop()
+    }
+  }
 }
