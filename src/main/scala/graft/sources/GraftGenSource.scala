@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns
 }
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{
   Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual
 }
@@ -51,7 +52,8 @@ class GraftGenSource extends TableProvider
       properties: util.Map[String, String]): Table =
     new GenTable(
       properties.asScala.getOrElse("rows", "1000").toLong,
-      properties.asScala.getOrElse("partitions", "4").toInt)
+      properties.asScala.getOrElse("partitions", "4").toInt,
+      properties.asScala.getOrElse("rowsPerBatch", "100").toLong)
 }
 
 object GraftGen {
@@ -70,16 +72,17 @@ object GraftGen {
     (id, langs((id % 5).toInt), 20L + (id * 37L) % 300L, (id % 97L) / 97.0)
 }
 
-private[sources] class GenTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+private[sources] class GenTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GraftGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, partitions)
+    new GenScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-private[sources] class GenScanBuilder(rows: Long, partitions: Int)
+private[sources] class GenScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = GraftGen.schema
@@ -101,17 +104,22 @@ private[sources] class GenScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
 
-  override def build(): Scan = new GenScan(rows, partitions, lo, hi, requiredSchema)
+  override def build(): Scan =
+    new GenScan(rows, partitions, lo, hi, requiredSchema, rowsPerBatch)
 }
 
 private[sources] case class GenRangePartition(start: Long, end: Long) extends InputPartition
 
 private[sources] class GenScan(
-    rows: Long, partitions: Int, lo: Long, hi: Long, required: StructType)
+    rows: Long, partitions: Int, lo: Long, hi: Long, required: StructType,
+    rowsPerBatch: Long)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenMicroBatchStream(rows, partitions, lo, hi, required, rowsPerBatch,
+      checkpointLocation)
   override def description(): String =
     s"graft-gen rows=$rows pruned=[$lo,${math.max(lo, hi)}) cols=${required.fieldNames.mkString(",")}"
 
@@ -127,6 +135,89 @@ private[sources] class GenScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GenReaderFactory(required)
+}
+
+/** Stream position: the next id to serve. JSON form is the bare long. */
+private[sources] case class GenOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** The generator as a MICRO-BATCH STREAM — the streaming-read rung of the
+  * source ladder. Offsets are positions in the deterministic id sequence,
+  * so any [start, end) range replays to bit-identical rows: restart from a
+  * checkpoint re-plans the exact same batch (exactly-once with an
+  * idempotent sink), which is the whole DSv2 streaming-source contract.
+  * Each `latestOffset()` poll admits at most `rowsPerBatch` new ids
+  * (admission control), and every batch range splits into `partitions`
+  * parallel readers — the same [[GenReaderFactory]] the batch side uses.
+  *
+  * Restart correctness: the engine polls `latestOffset()` on a FRESH
+  * stream instance before replaying any logged offset to us, so a
+  * counter-based source must recover its own admission cursor or the
+  * offset sequence runs backwards and committed batches replay (observed:
+  * a restart re-emitted every batch after the first). The cursor is
+  * therefore persisted under the engine-provided `checkpointLocation` on
+  * every `commit()` — exactly what that callback is for ("offsets at or
+  * below this will never be requested again") — and restored on
+  * construction; `deserializeOffset` additionally fast-forwards it, which
+  * covers the engine's replay-last-uncommitted-batch path where the
+  * offset log is ahead of the cursor file. GenSourceSpec locks
+  * restart-no-duplicates end-to-end through a checkpointed parquet sink.
+  */
+private[sources] class GenMicroBatchStream(
+    rows: Long, partitions: Int, lo: Long, hi: Long, required: StructType,
+    rowsPerBatch: Long, checkpointLocation: String)
+    extends MicroBatchStream {
+
+  import org.apache.hadoop.fs.Path
+
+  private val end = math.max(lo, math.min(rows, hi))
+  private val cursorPath = new Path(checkpointLocation, "graft-gen-cursor")
+  private def fs = cursorPath.getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  @volatile private var cursor: Long = {
+    val f = fs
+    if (f.exists(cursorPath)) {
+      val in = f.open(cursorPath)
+      try math.max(lo, new String(
+        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    } else lo
+  }
+
+  override def initialOffset(): Offset = GenOffset(lo)
+
+  override def latestOffset(): Offset = {
+    cursor = math.min(end, cursor + math.max(1L, rowsPerBatch))
+    GenOffset(cursor)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.trim.toLong
+    cursor = math.max(cursor, pos) // replayed log entries never rewind admission
+    GenOffset(pos)
+  }
+
+  override def planInputPartitions(start: Offset, stop: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].pos
+    val e = stop.asInstanceOf[GenOffset].pos
+    val per = math.max(1L, (e - s + partitions - 1) / partitions)
+    (s until e by per)
+      .map(p => GenRangePartition(p, math.min(p + per, e)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GenReaderFactory(required)
+
+  override def commit(offset: Offset): Unit = {
+    val out = fs.create(cursorPath, true)
+    try out.write(offset.asInstanceOf[GenOffset].pos.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def stop(): Unit = ()
 }
 
 private[sources] class GenReaderFactory(required: StructType)

@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
   Write, WriteBuilder, WriterCommitMessage
 }
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -50,19 +51,28 @@ case class WriteReport(rows: Long, tasks: Int, bytesApprox: Long)
   * a catalog/metrics system here instead. */
 object StatsSinkRegistry {
   val reports: TrieMap[String, WriteReport] = TrieMap.empty
+
+  /** Streaming reports, keyed (key, epochId). A replayed epoch (restart
+    * re-runs the last uncommitted batch) overwrites its slot with the
+    * identical deterministic report — per-epoch idempotence is exactly
+    * the DSv2 StreamingWrite exactly-once contract. */
+  val epochReports: TrieMap[(String, Long), WriteReport] = TrieMap.empty
 }
 
 private[sources] class StatsTable(writeSchema: StructType) extends Table with SupportsWrite {
   override def name(): String = "graft_stats"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val key = info.options.get("key")
     require(key != null, "graft-stats sink requires a 'key' option")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new StatsBatchWrite(key)
+        override def toStreaming: StreamingWrite = new StatsStreamingWrite(key)
       }
     }
   }
@@ -80,6 +90,27 @@ private[sources] class StatsBatchWrite(key: String) extends BatchWrite {
       key, WriteReport(ms.map(_.rows).sum, ms.length, ms.map(_.bytesApprox).sum))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming commit protocol: same per-task counting writers, but the
+  * driver-side commit is PER EPOCH — the engine only advances the offset
+  * log after this returns, so each micro-batch's report is published
+  * atomically with the batch itself. */
+private[sources] class StatsStreamingWrite(key: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StatsStreamingWriterFactory
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: StatsMessage => m }
+    StatsSinkRegistry.epochReports.put(
+      (key, epochId),
+      WriteReport(ms.map(_.rows).sum, ms.length, ms.map(_.bytesApprox).sum))
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class StatsStreamingWriterFactory extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new StatsWriterFactory().createWriter(partitionId, taskId)
 }
 
 private[sources] class StatsWriterFactory extends DataWriterFactory {

@@ -53,6 +53,63 @@ class GenSourceSpec extends AnyFunSuite {
     assert(scan.scan.readSchema().fieldNames.toSet == Set("lang", "n_toks"))
   }
 
+  test("graft-gen streams in rowsPerBatch micro-batches; content equals the batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("gen_stream").toString
+    val q = spark.readStream.format("graft-gen")
+      .option("rows", "1000").option("partitions", "4").option("rowsPerBatch", "300")
+      .load()
+      .writeStream.format("memory").queryName("gen_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gen_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == (0L until 1000L).map(sources.GraftGen.expected).toSet)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 4, // 300+300+300+100
+        s"expected >=4 admission-controlled micro-batches: ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 300),
+        s"a batch exceeded rowsPerBatch: ${batches.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+    val _ = dir
+  }
+
+  test("graft-gen stream restart from checkpoint re-emits nothing (exactly-once)") {
+    val base = java.nio.file.Files.createTempDirectory("gen_restart").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-gen")
+        .option("rows", "800").option("partitions", "4").option("rowsPerBatch", "250")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // drains all 800 rows
+    run() // restart: offset log says done; nothing may re-emit
+    val ids = spark.read.parquet(s"$base/out").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 800, s"restart duplicated or lost rows: ${ids.length}")
+    assert(ids.sorted == (0L until 800L).toSeq)
+  }
+
+  test("graft-stats streaming sink: one idempotent report per committed epoch") {
+    sources.StatsSinkRegistry.epochReports.filterInPlace { case ((k, _), _) => k != "sspec" }
+    val ckpt = java.nio.file.Files.createTempDirectory("stats_stream").toString
+    val q = spark.readStream.format("graft-gen")
+      .option("rows", "1000").option("partitions", "4").option("rowsPerBatch", "400")
+      .load()
+      .writeStream.format("graft-stats")
+      .option("key", "sspec").option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val epochs = sources.StatsSinkRegistry.epochReports.collect {
+      case ((k, e), r) if k == "sspec" => e -> r
+    }.toMap
+    assert(epochs.values.map(_.rows).sum == 1000L,
+      s"epoch reports must sum to the stream total: $epochs")
+    assert(epochs.size >= 3, s"expected one report per micro-batch: $epochs")
+    assert(epochs.values.forall(_.tasks >= 1))
+  }
+
   test("graft-stats sink: commit protocol aggregates exactly what tasks wrote") {
     sources.StatsSinkRegistry.reports.remove("spec")
     val df = read(10000, 6).where(col("id") % 3 === 0)
