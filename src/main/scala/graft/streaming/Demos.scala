@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
 
 /** The events record (mirrors the events table / FIXTURES.md). */
@@ -125,6 +125,49 @@ class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, TwsSe
         Iterator.single(TwsSession(key, s.startMs, s.endMs, s.nEvents, s.sumValue))
       }
     }
+  }
+}
+
+/** s13 batch-side bootstrap row: the per-signature canonical a prior
+  * (batch or streaming) run persisted. */
+case class InitSeen(sig: Long, canonical_id: Long, tsMillis: Long)
+
+/** s13 — s8's dedup-on-ingest, WARM-STARTED from a batch table via
+  * `StatefulProcessorWithInitialState`: the production "day-2" pattern
+  * where a new streaming job must not re-admit content the existing
+  * corpus already holds. The initial state (one `SeenDoc` per signature,
+  * canonical = first doc in event-time order — exactly what s8 would
+  * have left in the store) is loaded through `handleInitialState` on the
+  * job's FIRST batch, then live ingest proceeds under s8's rules:
+  * intra-batch event-time order, first-arrival across batches.
+  */
+class DedupWarmStartProcessor
+    extends StatefulProcessorWithInitialState[Long, DocSigned, DedupVerdict, SeenDoc] {
+  @transient private var seen: ValueState[SeenDoc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[SeenDoc]("seen", Encoders.product[SeenDoc], TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, s: SeenDoc, tv: TimerValues): Unit =
+    seen.update(s)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[DocSigned], tv: TimerValues): Iterator[DedupVerdict] = {
+    val docsSorted = rows.toVector.sortBy(d => (d.ts.getTime, d.doc_id))
+    val out = Vector.newBuilder[DedupVerdict]
+    var s = if (seen.exists()) Option(seen.get()) else None
+    for (d <- docsSorted) {
+      s match {
+        case None =>
+          s = Some(SeenDoc(d.doc_id, d.ts.getTime))
+          out += DedupVerdict(d.doc_id, key, is_first = true, d.doc_id)
+        case Some(prev) =>
+          s = Some(prev.copy(tsMillis = math.max(prev.tsMillis, d.ts.getTime)))
+          out += DedupVerdict(d.doc_id, key, is_first = false, prev.canonical_id)
+      }
+    }
+    s.foreach(seen.update)
+    out.result().iterator
   }
 }
 
@@ -495,6 +538,33 @@ object Demos {
       .as[Event]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** s13 — dedup-on-ingest warm-started from the existing corpus (see
+    * [[DedupWarmStartProcessor]]). `history` is a BATCH docs table; its
+    * per-signature canonicals become the job's initial state, so the
+    * stream never re-admits content the corpus already holds. RocksDB
+    * provider required (transformWithState). */
+  def s13DedupWarmStart(
+      spark: SparkSession, docs: DataFrame, history: DataFrame): Dataset[DedupVerdict] = {
+    import spark.implicits._
+    val initState = history
+      .withColumn("sig", xxhash64(col("text")))
+      .groupBy(col("sig"))
+      .agg(
+        min(struct(col("ts"), col("doc_id"))).as("first"),
+        max(col("ts")).as("last_ts"))
+      .select(col("sig"), col("first.doc_id").as("canonical_id"),
+        unix_millis(col("last_ts")).as("tsMillis"))
+      .as[InitSeen]
+      .groupByKey(_.sig)
+      .mapValues(r => SeenDoc(r.canonical_id, r.tsMillis))
+    docs
+      .withColumn("sig", xxhash64(col("text")))
+      .as[DocSigned]
+      .groupByKey(_.sig)
+      .transformWithState(
+        new DedupWarmStartProcessor, TimeMode.None(), OutputMode.Append(), initState)
   }
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */

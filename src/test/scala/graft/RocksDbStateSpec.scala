@@ -88,6 +88,35 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 warm-start dedup: batch-bootstrapped state blocks re-admission, live state grows") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def doc(id: Long, minute: Int, text: String): DocIngest =
+        DocIngest(id, ts(minute), text, "en")
+      // existing corpus: "X" claimed by doc 1 (doc 2 is a history dup), "Y" by doc 3
+      val history = Seq(doc(1, 0, "X"), doc(2, 5, "X"), doc(3, 0, "Y")).toDF()
+      val input = MemoryStream[DocIngest]
+      val q = Demos.s13DedupWarmStart(spark, input.toDF(), history)
+        .writeStream.outputMode("append").format("memory").queryName("rocks_s13").start()
+      try {
+        // batch 1: a corpus dup (must point at the WARM-STARTED canonical) + fresh content
+        input.addData(doc(10, 60, "X"), doc(11, 60, "Z"))
+        q.processAllAvailable()
+        // batch 2: dups of both the live-claimed and the warm-started content
+        input.addData(doc(12, 70, "Z"), doc(13, 70, "Y"))
+        q.processAllAvailable()
+        val v = spark.table("rocks_s13").as[DedupVerdict].collect()
+          .map(d => d.doc_id -> ((d.is_first, d.canonical_id))).toMap
+        assert(v(10L) == ((false, 1L)), s"corpus dup must hit the warm-started state: $v")
+        assert(v(11L) == ((true, 11L)), s"fresh content admits: $v")
+        assert(v(12L) == ((false, 11L)), s"live-claimed dup points at the live canonical: $v")
+        assert(v(13L) == ((false, 3L)), s"warm state survives across batches: $v")
+        assert(sawRocksDb(q), "no state operator reported RocksDB metrics")
+      } finally q.stop()
+    }
+  }
+
   test("s12 transformWithState sessions: timers fire on watermark, state clears, reopens") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
