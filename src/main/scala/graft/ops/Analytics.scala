@@ -121,6 +121,97 @@ object Analytics {
         |       CAST(o.value IS NOT NULL AS INTEGER) AS had_obs
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr
         |ORDER BY g.user_id, g.hr""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q87
+    // Cohort retention: users grouped by their first-conversion week, then
+    // counted per (cohort, week offset) with the retention fraction
+    // against the cohort's own week-0 size. "Conversion" is the sampled
+    // purchase stream (event_id % 5) — the raw event stream is so dense on
+    // this corpus (every user active every week) that the matrix would be
+    // all-1.0; a real retention analysis picks the business event for the
+    // same reason. Both engines truncate weeks to Monday and the offsets
+    // are exact multiples of 7 days, so the grid aligns; retention is a
+    // raw long/long IEEE quotient. Plan: one distinct + one min() agg +
+    // three user_id-keyed shuffles; the week-0 base table is an
+    // already-aggregated frame (<= |cohorts| rows), so its join
+    // broadcasts at any corpus size.
+    "q87_cohort_retention" -> QDef(
+      (s, d) => {
+        val act = events(s, d)
+          .where(col("event_type") === "purchase" && col("event_id") % 5 === 0)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_week"))
+        val ret = act.join(cohort, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val base = ret.where(col("week_offset") === 0)
+          .select(col("cohort_week"), col("n_users").as("cohort_size"))
+        ret.join(base, "cohort_week")
+          .select(
+            col("cohort_week"), col("week_offset"), col("n_users"),
+            (col("n_users").cast("double") / col("cohort_size").cast("double"))
+              .as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+        |             WHERE event_type = 'purchase' AND event_id % 5 = 0),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY 1),
+        |ret AS (SELECT cohort_week,
+        |               CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+        |               COUNT(DISTINCT a.user_id) AS n_users
+        |        FROM act a JOIN cohort c ON a.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT r.cohort_week, r.week_offset, r.n_users,
+        |       CAST(r.n_users AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS retention
+        |FROM ret r JOIN ret b ON r.cohort_week = b.cohort_week AND b.week_offset = 0
+        |ORDER BY r.cohort_week, r.week_offset""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q88
+    // Gap-based sessionization, batch form: a session breaks where the
+    // same user's gap exceeds 30 minutes (lag → flag → running sum =
+    // session id → per-session aggregate). This is s12's batch TWIN — the
+    // transformWithState sessionizer emits exactly these rows once the
+    // watermark closes each session (StreamingEquivalenceSpec proves it on
+    // real events), the same q31↔s2 pairing the other streaming demos
+    // have. All windows and the aggregate share the user_id partitioning;
+    // ties break on event_id (events carry a unique id). sum_value uses
+    // the decimal bridge (order-independent; the 2-decimal money data is
+    // tie-free at DECIMAL(18,4)).
+    "q88_session_stats" -> QDef(
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 1800000000L // 30 minutes
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_sess"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(
+            min("ts").as("session_start"), max("ts").as("session_end"),
+            count(lit(1)).as("n_events"), graft.Det.dsum(col("value")).as("sum_value"))
+          .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+          .orderBy("user_id", "session_start")
+      },
+      s"""WITH g AS (SELECT user_id, ts, event_id, value,
+         |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |       THEN 1 ELSE 0 END AS new_sess
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                       ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |       COUNT(*) AS n_events, ${graft.Det.sqlDsum("value")} AS sum_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin
     )
   )
 }

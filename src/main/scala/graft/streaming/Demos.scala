@@ -74,10 +74,14 @@ case class TwsSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Lon
 /** s12 — the Spark 4.x arbitrary-state API (`transformWithState`):
   * gap-based sessionization with EXPLICIT event-time timers, the operator
   * shape `session_window` (s5) compiles to, hand-held. One `ValueState`
-  * per user holds the open session; every batch extends it and re-arms a
-  * timer at `end + gap`; the session is emitted ONLY from
-  * `handleExpiredTimer`, i.e. once the watermark proves no in-gap event
-  * can still arrive. State is O(1) per key (5 fixed-width fields — no
+  * per user holds the open session; each batch gap-splits its events in
+  * event-time order (interior sessions emit immediately — see
+  * handleInputRows for the late-bridge caveat vs s5), extends the tail
+  * session, and re-arms a timer at `end + gap`; the tail session is
+  * emitted from `handleExpiredTimer`, i.e. once the watermark proves no
+  * in-gap event can still arrive. Batch twin: q88_session_stats
+  * (StreamingEquivalenceSpec proves session-for-session equality on real
+  * events). State is O(1) per key (5 fixed-width fields — no
   * event buffering) and lives in RocksDB (the API requires that provider,
   * which is also the 100 TB posture: state spills to executor disk, never
   * heap). Late events for a closed session open a NEW session — exactly
@@ -97,20 +101,34 @@ class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, TwsSe
 
   override def handleInputRows(
       key: Long, rows: Iterator[Event], tv: TimerValues): Iterator[TwsSession] = {
+    // Event-time order, then gap-split WITHIN the batch: interior sessions
+    // (provably closed by a later same-batch event beyond the gap) emit
+    // immediately; only the tail session stays open under a timer. Without
+    // the split, a batch carrying a key's whole history would collapse
+    // into one session. Caveat vs `session_window` (s5): an emitted
+    // interior session cannot retro-merge if a later batch delivers a
+    // within-watermark event that bridges its gap — the built-in operator
+    // buffers sessions in state until the watermark to handle exactly
+    // that; this processor trades it for O(1) state per key.
+    val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
     var s = if (open.exists()) open.get() else null
-    rows.foreach { e =>
+    val out = Vector.newBuilder[TwsSession]
+    for (e <- sorted) {
       val ms = e.ts.getTime
-      s = if (s == null) OpenSession(ms, ms, 1L, e.value, 0L)
-      else OpenSession(math.min(s.startMs, ms), math.max(s.endMs, ms),
+      if (s == null) s = OpenSession(ms, ms, 1L, e.value, 0L)
+      else if (ms > s.endMs + gapMs) {
+        out += TwsSession(key, s.startMs, s.endMs, s.nEvents, s.sumValue)
+        s = OpenSession(ms, ms, 1L, e.value, 0L)
+      } else s = OpenSession(math.min(s.startMs, ms), math.max(s.endMs, ms),
         s.nEvents + 1, s.sumValue + e.value, s.timerMs)
     }
     val timer = s.endMs + gapMs
-    if (s.timerMs != timer) { // session extended: re-arm the close timer
+    if (s.timerMs != timer) { // session extended/replaced: re-arm the close timer
       if (s.timerMs != 0L) getHandle.deleteTimer(s.timerMs)
       getHandle.registerTimer(timer)
     }
     open.update(s.copy(timerMs = timer))
-    Iterator.empty
+    out.result().iterator
   }
 
   override def handleExpiredTimer(

@@ -20,4 +20,20 @@ object SharedSpark {
   }
   val sf001 = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
+
+  /** Run `body` with the RocksDB state-store provider active (required by
+    * transformWithState); restores the previous provider afterwards. The
+    * provider is captured at query START, so concurrent suites on the
+    * shared session are unaffected. */
+  def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

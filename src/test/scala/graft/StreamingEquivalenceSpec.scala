@@ -176,4 +176,30 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the q75 probe restriction (delta new vs hist stored) is non-empty
     assert(got.exists { case (n, h) => n % 5 == 0 && h % 5 != 0 })
   }
+
+  test("s12 transformWithState sessions over the file stream == batch q88 (all sessions closed)") {
+    SharedSpark.withRocksDb {
+      val got = runStream(
+        streaming.Demos.s12SessionsTws(spark, eventStream, gapMs = 30 * 60 * 1000L).toDF(),
+        "eq_s12")
+        .where(col("user_id") =!= FlushUser)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val want = SparkEntry.queries("q88_session_stats")(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4)))
+      assert(want.length > got.count(_ => false) && want.nonEmpty)
+      val gotKeys = got.map(t => (t._1, t._2, t._3, t._4)).toSet
+      val wantKeys = want.map(t => (t._1, t._2, t._3, t._4)).toSet
+      assert(gotKeys == wantKeys,
+        s"missing=${(wantKeys -- gotKeys).take(3)} extra=${(gotKeys -- wantKeys).take(3)}")
+      // value sums: the stream folds doubles sequentially in event-time
+      // order, the batch uses the order-free decimal bridge — equal to ulps
+      val gotSum = got.map(t => (t._1, t._2) -> t._5).toMap
+      for (w <- want)
+        assert(math.abs(gotSum((w._1, w._2)) - w._5) < 1e-6,
+          s"session sum diverged for user ${w._1} @ ${w._2}: ${gotSum((w._1, w._2))} vs ${w._5}")
+    }
+  }
 }
