@@ -22,29 +22,37 @@ object Analytics {
 
     // ---------------------------------------------------------------- q85
     // Ordered funnel: view -> click (at/after the user's FIRST view) ->
-    // purchase (at/after that first qualifying click). Each stage is an
-    // equi-join of the (type-pruned) events scan against the previous
-    // stage's one-row-per-user table, then a min() re-aggregation — the
-    // scalable funnel shape: per-stage tables shrink monotonically, every
-    // shuffle is on user_id (exchange reuse across stages), and the
-    // event_type predicate pushes to the parquet scan. The alternative
-    // single-shuffle form (collect_list per user, driver-side fold) holds
-    // a user's whole history in one buffer — unbounded per-key memory at
-    // 100 TB — so the join chain is the deliberate choice.
+    // purchase (at/after that first qualifying click), computed in ONE
+    // pass: three stacked whole-partition windows over the same user_id
+    // partitioning derive each stage's timestamp from the previous
+    // column (conditional min ignores nulls), so the plan is one
+    // type-pruned scan + one user_id shuffle + three pipelined Window
+    // operators + a co-partitioned per-user rollup. The join-chain form
+    // (each stage joined against the previous stage's agg) recomputed
+    // every stage subtree per consumer — 11 event scans / 26 exchanges in
+    // PlanAudit — and the collect_list fold holds unbounded per-key agg
+    // buffers; WindowExec instead buffers one user's funnel events in a
+    // SPILLABLE sorter. PlanShapeSpec locks the single-scan shape.
     "q85_funnel" -> QDef(
       (s, d) => {
-        val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-        val v = e.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("t_view"))
-        val c = e.where(col("event_type") === "click")
-          .join(v, "user_id").where(col("ts") >= col("t_view"))
-          .groupBy("user_id").agg(min("ts").as("t_click"))
-        val p = e.where(col("event_type") === "purchase")
-          .join(c, "user_id").where(col("ts") >= col("t_click"))
-          .groupBy("user_id").agg(min("ts").as("t_purchase"))
-        v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        val w = Window.partitionBy("user_id")
+        val perUser = events(s, d)
+          .where(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+              col("ts"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+              col("ts"))).over(w))
+          .groupBy("user_id") // co-partitioned with the windows: no exchange
+          .agg(max("t_view").as("tv"), max("t_click").as("tc"),
+            max("t_purchase").as("tp"))
+        perUser
+          .agg(count(col("tv")).as("n_view"), count(col("tc")).as("n_click"),
+            count(col("tp")).as("n_purchase"))
           .select(
             col("n_view"), col("n_click"), col("n_purchase"),
             (col("n_click").cast("double") / col("n_view").cast("double"))
@@ -132,25 +140,28 @@ object Analytics {
     // all-1.0; a real retention analysis picks the business event for the
     // same reason. Both engines truncate weeks to Monday and the offsets
     // are exact multiples of 7 days, so the grid aligns; retention is a
-    // raw long/long IEEE quotient. Plan: one distinct + one min() agg +
-    // three user_id-keyed shuffles; the week-0 base table is an
-    // already-aggregated frame (<= |cohorts| rows), so its join
-    // broadcasts at any corpus size.
+    // raw long/long IEEE quotient. Plan: ONE scan — the per-user cohort
+    // week is a whole-partition window min (not an agg + self-join, which
+    // recomputed the activity subtree per consumer), and the week-0
+    // cohort size is a window max over the already-aggregated retention
+    // frame (every cohort contains its own offset-0 row), not a self-join
+    // against it.
     "q87_cohort_retention" -> QDef(
       (s, d) => {
         val act = events(s, d)
           .where(col("event_type") === "purchase" && col("event_id") % 5 === 0)
           .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
           .distinct()
-        val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_week"))
-        val ret = act.join(cohort, "user_id")
+        val ret = act
+          .withColumn("cohort_week", min("wk").over(Window.partitionBy("user_id")))
           .withColumn("week_offset",
             (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
           .groupBy("cohort_week", "week_offset")
           .agg(countDistinct(col("user_id")).as("n_users"))
-        val base = ret.where(col("week_offset") === 0)
-          .select(col("cohort_week"), col("n_users").as("cohort_size"))
-        ret.join(base, "cohort_week")
+        ret
+          .withColumn("cohort_size",
+            max(when(col("week_offset") === 0, col("n_users")))
+              .over(Window.partitionBy("cohort_week")))
           .select(
             col("cohort_week"), col("week_offset"), col("n_users"),
             (col("n_users").cast("double") / col("cohort_size").cast("double"))

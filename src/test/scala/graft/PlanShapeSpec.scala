@@ -157,13 +157,21 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "no equi-join on (user_id, bucket) in the plan")
   }
 
-  test("q85 funnel pushes the event_type stage predicate into the events scan") {
+  test("q85 funnel is ONE type-pruned scan + stacked user-partitioned windows") {
     val p = plan("q85_funnel")
-    assert(p.contains("EqualTo(event_type,view)") ||
-      p.contains("EqualTo(event_type, view)"),
-      s"stage filter not pushed to parquet:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
-    assert(!p.contains("CartesianProduct"),
-      "1-row stage-count combine must be a broadcast nested loop, not a cartesian")
+    assert(p.contains("In(event_type") || p.contains("in(event_type"),
+      s"funnel-type filter not pushed to parquet:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+    // an executed AQE plan prints "== Initial Plan ==" after the final
+    // plan — count scans in the FINAL section only
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert("FileScan|Scan parquet".r.findAllIn(finalPlan).size == 1,
+      "the funnel must read events exactly once (the join-chain form scanned it 11 times)")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q85_funnel")(spark, sf001).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 3 && windows.forall(_.partitionSpec.nonEmpty),
+      s"expected 3 user-partitioned stage windows: $windows")
   }
 
   test("q86 gap-fill windows are all user-partitioned — no global window") {
