@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
@@ -583,6 +584,50 @@ object Demos {
       .groupByKey(_.sig)
       .transformWithState(
         new DedupWarmStartProcessor, TimeMode.None(), OutputMode.Append(), initState)
+  }
+
+  /** s14 — the `foreachBatch` exactly-once UPSERT pattern: maintain a
+    * "latest event per user" snapshot table from the stream. Each
+    * micro-batch merges the previous snapshot VERSION with the batch and
+    * writes version `batchId`. Exactly-once falls out of determinism +
+    * idempotence, the documented foreachBatch contract: a replayed batch
+    * N re-reads the highest version BELOW N (never its own possibly
+    * half-written output) and overwrites v=N with identical bytes.
+    * Production points this at a transactional table format's MERGE; the
+    * versioned-parquet form demonstrates the identical protocol with the
+    * directory overwrite as the commit. StreamingDemosSpec drives it over
+    * a stream AND replays a batch directly to prove idempotence.
+    */
+  def s14SnapshotUpsert(spark: SparkSession, events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        upsertBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One snapshot-merge step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def upsertBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value").map(col)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the newest snapshot STRICTLY below this batch: a replay of batch N
+    // must never read N's own (possibly uncommitted) output
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v").select(cols: _*)
+      case None    => batch.select(cols: _*).limit(0)
+    }
+    val latest = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base.unionByName(batch.select(cols: _*))
+      .withColumn("rn", row_number().over(latest)).where(col("rn") === 1).drop("rn")
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId")
   }
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */

@@ -113,4 +113,56 @@ class CheckpointRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     try q3.processAllAvailable() finally q3.stop()
     assert(sink.count() == finalRows.size.toLong, "idempotent restart added rows")
   }
+
+  test("transformWithState restarted from checkpoint: open session + timer survive") {
+    SharedSpark.withRocksDb {
+      Files.createDirectories(root.resolve("in2"))
+      def addFile2(name: String, events: Seq[streaming.Event]): Unit = {
+        val tmp = Files.createTempDirectory("graft_ckpt_w2")
+        events.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.resolve("o").toString)
+        val part = tmp.resolve("o").toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, root.resolve("in2").resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      def startS12(): StreamingQuery = {
+        val stream = spark.readStream
+          .schema(Seq.empty[streaming.Event].toDF().schema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(root.resolve("in2").toString)
+        streaming.Demos.s12SessionsTws(spark, stream, gapMs = 30 * 60 * 1000L).toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ck2").toString)
+          .start(root.resolve("out2").toString)
+      }
+      def evV(id: Long, minute: Int, uid: Long, v: Double): streaming.Event =
+        streaming.Event(id, ts(minute), uid, "view", v, "{}")
+
+      // phase 1: user 1's session is OPEN (events at 0 and 5), user 2's too
+      addFile2("a.parquet", Seq(evV(1, 0, 1, 1.0), evV(2, 5, 1, 2.0), evV(3, 3, 2, 5.0)))
+      val q1 = startS12()
+      try q1.processAllAvailable() finally q1.stop()
+      // nothing may be committed yet — both sessions live ONLY in RocksDB state
+      val out2 = root.resolve("out2").toString
+      assert(spark.read.parquet(out2).isEmpty,
+        "sessions emitted before any close timer could fire")
+
+      // phase 2: restart; an in-gap event EXTENDS the recovered session,
+      // then a pusher closes everything
+      addFile2("b.parquet", Seq(evV(4, 10, 1, 3.0), evV(5, 300, 9, 0.0)))
+      val q2 = startS12()
+      try q2.processAllAvailable() finally q2.stop()
+      val sessions = spark.read.parquet(out2).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      // (0→10, 3 events, sum 6.0) is only possible if the checkpointed open
+      // session AND its re-armed timer crossed the restart intact
+      assert(sessions.get(1L).contains((ts(0).getTime, ts(10).getTime, 3L, 6.0)),
+        s"user 1's recovered session is wrong: $sessions")
+      assert(sessions.get(2L).contains((ts(3).getTime, ts(3).getTime, 1L, 5.0)),
+        s"user 2's session lost across restart: $sessions")
+      assert(!sessions.contains(9L), "the pusher's own session must still be open")
+    }
+  }
 }

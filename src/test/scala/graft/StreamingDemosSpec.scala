@@ -370,4 +370,30 @@ class StreamingDemosSpec extends AnyFunSuite {
       assert(sessions.map(s => (s._2, s._4)) == Vector((ts(0), 2L), (ts(50), 1L)))
     } finally q.stop()
   }
+
+  test("s14: foreachBatch upsert — versioned snapshot holds the latest row per user; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s14").toString + "/snap"
+    val input = MemoryStream[Event]
+    val q = Demos.s14SnapshotUpsert(spark, input.toDF(), dir)
+    def snapshot(v: Long): Map[Long, (Long, Double)] =
+      spark.read.parquet(s"$dir/v=$v").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+    try {
+      input.addData(ev(1, 5, 1, "view", 1.0), ev(2, 3, 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(snapshot(0) == Map(1L -> ((1L, 1.0)), 2L -> ((2L, 2.0))))
+      // batch 1: user 1 gets a NEWER event; user 3 appears
+      input.addData(ev(3, 10, 1, "view", 7.0), ev(4, 1, 3, "view", 4.0))
+      q.processAllAvailable()
+      assert(snapshot(1) == Map(1L -> ((3L, 7.0)), 2L -> ((2L, 2.0)), 3L -> ((4L, 4.0))))
+    } finally q.stop()
+    // replay batch 1 directly (the post-crash re-execution): the merge must
+    // read v=0 — never its own v=1 output — and rewrite v=1 byte-identically
+    Demos.upsertBatch(spark,
+      Seq(ev(3, 10, 1, "view", 7.0), ev(4, 1, 3, "view", 4.0)).toDF(), dir, 1L)
+    assert(snapshot(1) == Map(1L -> ((3L, 7.0)), 2L -> ((2L, 2.0)), 3L -> ((4L, 4.0))),
+      "replaying a committed batch changed the snapshot")
+  }
 }
