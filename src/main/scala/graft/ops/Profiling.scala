@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-6 data-quality operators: table profiling (the ANALYZE/summary
+  * pass every ingestion job runs before trusting a drop) and corpus drift
+  * (the distribution monitor a continuously-ingesting pipeline alarms
+  * on). Both are single-scan conditional aggregations.
+  *
+  * Determinism: counts/ndv are exact int64 (CAST-bridged where DuckDB
+  * promotes); means use the decimal bridge; the drift metric is computed
+  * in EXACT integer arithmetic (common-denominator L1) with exactly one
+  * final double division — summing per-term double quotients would be
+  * order-dependent.
+  */
+object Profiling {
+  import Tables._
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // ---------------------------------------------------------------- q89
+    // Table profile of the documents corpus: row/ndv/null counts, length
+    // extremes and mean — one scan, one aggregate. Exact COUNT(DISTINCT)
+    // is the deliberate choice at profile time (a profile is run once and
+    // cached); q54 documents the approx_count_distinct escape hatch for
+    // always-on variants. Multiple distinct aggregates plan via Expand
+    // (k× row replication pre-shuffle) — acceptable for k=2 here, and the
+    // reason the profile doesn't ask for ndv of every column.
+    "q89_profile" -> QDef(
+      (s, d) => documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("ndv_lang"),
+        countDistinct(col("source")).as("ndv_source"),
+        count(when(col("text").isNull, 1)).as("n_null_text"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        Det.davg(col("n_chars")).as("mean_chars")),
+      s"""SELECT COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT lang) AS ndv_lang,
+         |  COUNT(DISTINCT source) AS ndv_source,
+         |  COUNT(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+         |  MIN(n_chars) AS min_chars,
+         |  MAX(n_chars) AS max_chars,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  ${Det.sqlDavg("n_chars")} AS mean_chars
+         |FROM documents""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q90
+    // Corpus drift: L1 distance between the token distributions of two
+    // corpus halves (doc_id parity stands in for yesterday/today) — the
+    // alarm metric of a continuously-ingesting pipeline. ONE token scan:
+    // per-token counts for both halves come from conditional counts in a
+    // single groupBy (no join of two frequency tables), totals ride the
+    // same pass as a 1-row broadcast. The L1 sum runs in EXACT integer
+    // space — sum |c_a*T_b - c_b*T_a| as DECIMAL(38,0), one final double
+    // division by T_a*T_b — because a sum of per-term double quotients
+    // would depend on addition order.
+    "q90_corpus_drift" -> QDef(
+      (s, d) => {
+        val toks = documents(s, d)
+          .select((col("doc_id") % 2).as("half"),
+            explode(split(col("text"), " ")).as("tok"))
+        val perTok = toks.groupBy("tok").agg(
+          count(when(col("half") === 0, 1)).as("c_a"),
+          count(when(col("half") === 1, 1)).as("c_b"))
+        val totals = toks.agg(
+          count(when(col("half") === 0, 1)).as("t_a"),
+          count(when(col("half") === 1, 1)).as("t_b"))
+        perTok.crossJoin(totals) // 1-row side: broadcast, never a shuffle
+          .agg(
+            sum(abs(col("c_a") * col("t_b") - col("c_b") * col("t_a"))
+              .cast("decimal(38,0)")).as("l1_num"),
+            max(col("t_a")).as("t_a"), max(col("t_b")).as("t_b"),
+            count(lit(1)).as("n_terms"))
+          .select(
+            col("n_terms"), col("t_a"), col("t_b"),
+            (col("l1_num").cast("double") /
+              (col("t_a").cast("double") * col("t_b").cast("double"))).as("l1"))
+      },
+      """WITH toks AS (SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |per_tok AS (SELECT tok,
+        |              COUNT(CASE WHEN half = 0 THEN 1 END) AS c_a,
+        |              COUNT(CASE WHEN half = 1 THEN 1 END) AS c_b
+        |            FROM toks GROUP BY 1),
+        |totals AS (SELECT COUNT(CASE WHEN half = 0 THEN 1 END) AS t_a,
+        |                  COUNT(CASE WHEN half = 1 THEN 1 END) AS t_b FROM toks)
+        |SELECT COUNT(*) AS n_terms, MAX(t_a) AS t_a, MAX(t_b) AS t_b,
+        |  CAST(SUM(CAST(abs(c_a * t_b - c_b * t_a) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / (CAST(MAX(t_a) AS DOUBLE) * CAST(MAX(t_b) AS DOUBLE)) AS l1
+        |FROM per_tok, totals""".stripMargin
+    )
+  )
+}
