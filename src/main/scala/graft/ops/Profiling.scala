@@ -51,18 +51,22 @@ object Profiling {
     // ---------------------------------------------------------------- q90
     // Corpus drift: L1 distance between the token distributions of two
     // corpus halves (doc_id parity stands in for yesterday/today) — the
-    // alarm metric of a continuously-ingesting pipeline. ONE token scan:
-    // per-token counts for both halves come from conditional counts in a
-    // single groupBy (no join of two frequency tables), totals ride the
-    // same pass as a 1-row broadcast. The L1 sum runs in EXACT integer
-    // space — sum |c_a*T_b - c_b*T_a| as DECIMAL(38,0), one final double
-    // division by T_a*T_b — because a sum of per-term double quotients
-    // would depend on addition order.
+    // alarm metric of a continuously-ingesting pipeline. ONE corpus scan:
+    // the exploded token table is MATERIALIZED (the q46 shared-subplan
+    // pattern) so the per-token frequency table and the 1-row totals both
+    // derive from it instead of re-exploding the corpus — exactly how a
+    // production monitor runs off its token-count table. Per-token counts
+    // for both halves are conditional counts in a single groupBy (no join
+    // of two frequency tables); totals join back as a 1-row broadcast.
+    // The L1 sum runs in EXACT integer space — sum |c_a*T_b - c_b*T_a| as
+    // DECIMAL(38,0), one final double division by T_a*T_b — because a sum
+    // of per-term double quotients would depend on addition order.
     "q90_corpus_drift" -> QDef(
       (s, d) => {
         val toks = documents(s, d)
           .select((col("doc_id") % 2).as("half"),
             explode(split(col("text"), " ")).as("tok"))
+          .localCheckpoint() // feeds per-token counts AND totals: scan once
         val perTok = toks.groupBy("tok").agg(
           count(when(col("half") === 0, 1)).as("c_a"),
           count(when(col("half") === 1, 1)).as("c_b"))

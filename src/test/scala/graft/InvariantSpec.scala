@@ -109,4 +109,31 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == 20)
     rows.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) <= 9))
   }
+
+  test("round-6 analytics invariants: funnel monotone, retention bounded, gap-fill dense, drift in [0,2]") {
+    // q85: each funnel stage can only shrink, rates in (0, 1]
+    val f = run("q85_funnel").collect()(0)
+    val (nv, nc, np) = (f.getLong(0), f.getLong(1), f.getLong(2))
+    assert(nv >= nc && nc >= np && np >= 0, s"funnel not monotone: $nv $nc $np")
+    assert(f.getDouble(3) > 0 && f.getDouble(3) <= 1.0)
+    // q87: retention in (0, 1]; every cohort's offset-0 cell is exactly 1.0
+    val ret = run("q87_cohort_retention").collect()
+    assert(ret.nonEmpty)
+    ret.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0, s"retention out of range: $r")
+      if (r.getInt(1) == 0) assert(r.getDouble(3) == 1.0, s"week-0 must be 1.0: $r")
+    }
+    // q86: the grid is dense per user (rows == span hours) and v_fill is
+    // never null (the first grid hour is an observed hour by construction)
+    val gf = run("q86_gap_fill")
+    assert(gf.where(col("v_fill").isNull).isEmpty, "forward fill left a hole")
+    val spans = gf.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        ((unix_seconds(max(col("hr"))) - unix_seconds(min(col("hr")))) / 3600 + 1).as("want"))
+      .where(col("n") =!= col("want"))
+    assert(spans.isEmpty, s"grid not dense: ${spans.collect().mkString(",")}")
+    // q90: L1 distance between distributions lives in [0, 2]
+    val l1 = run("q90_corpus_drift").collect()(0).getDouble(3)
+    assert(l1 >= 0.0 && l1 <= 2.0, s"L1 out of range: $l1")
+  }
 }
