@@ -58,9 +58,13 @@ object Profiling {
     // production monitor runs off its token-count table. Per-token counts
     // for both halves are conditional counts in a single groupBy (no join
     // of two frequency tables); totals join back as a 1-row broadcast.
-    // The L1 sum runs in EXACT integer space — sum |c_a*T_b - c_b*T_a| as
-    // DECIMAL(38,0), one final double division by T_a*T_b — because a sum
-    // of per-term double quotients would depend on addition order.
+    // The L1 sum runs in EXACT integer space — each operand is cast to
+    // DECIMAL(19,0) BEFORE the multiply so the products (DECIMAL(38,0) in
+    // both engines) cannot overflow int64 at corpus scale; one final double
+    // division by T_a*T_b — because a sum of per-term double quotients
+    // would depend on addition order. DECIMAL(19,0) operands, not (38,0):
+    // DuckDB sizes a decimal product at w1+w2 capped at 38 and rejects
+    // wider operands at bind time.
     "q90_corpus_drift" -> QDef(
       (s, d) => {
         val toks = documents(s, d)
@@ -75,8 +79,9 @@ object Profiling {
           count(when(col("half") === 1, 1)).as("t_b"))
         perTok.crossJoin(totals) // 1-row side: broadcast, never a shuffle
           .agg(
-            sum(abs(col("c_a") * col("t_b") - col("c_b") * col("t_a"))
-              .cast("decimal(38,0)")).as("l1_num"),
+            sum(abs(col("c_a").cast("decimal(19,0)") * col("t_b").cast("decimal(19,0)")
+              - col("c_b").cast("decimal(19,0)") * col("t_a").cast("decimal(19,0)")))
+              .as("l1_num"),
             max(col("t_a")).as("t_a"), max(col("t_b")).as("t_b"),
             count(lit(1)).as("n_terms"))
           .select(
@@ -93,7 +98,8 @@ object Profiling {
         |totals AS (SELECT COUNT(CASE WHEN half = 0 THEN 1 END) AS t_a,
         |                  COUNT(CASE WHEN half = 1 THEN 1 END) AS t_b FROM toks)
         |SELECT COUNT(*) AS n_terms, MAX(t_a) AS t_a, MAX(t_b) AS t_b,
-        |  CAST(SUM(CAST(abs(c_a * t_b - c_b * t_a) AS DECIMAL(38,0))) AS DOUBLE)
+        |  CAST(SUM(ABS(CAST(c_a AS DECIMAL(19,0)) * CAST(t_b AS DECIMAL(19,0))
+        |              - CAST(c_b AS DECIMAL(19,0)) * CAST(t_a AS DECIMAL(19,0)))) AS DOUBLE)
         |    / (CAST(MAX(t_a) AS DOUBLE) * CAST(MAX(t_b) AS DOUBLE)) AS l1
         |FROM per_tok, totals""".stripMargin
     )

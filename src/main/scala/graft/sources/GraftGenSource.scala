@@ -211,10 +211,20 @@ private[sources] class GenMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory = new GenReaderFactory(required)
 
   override def commit(offset: Offset): Unit = {
-    val out = fs.create(cursorPath, true)
+    // Write-then-atomic-rename: a crash mid-write may leave a stale .tmp
+    // but never a truncated cursor file (which would make the restore
+    // block at construction throw and wedge the stream). FileContext
+    // rename with OVERWRITE is a single POSIX rename on local/HDFS —
+    // FileSystem.rename can't replace an existing destination, and
+    // delete-then-rename would reopen a lost-cursor window.
+    val f = fs
+    val tmp = new Path(checkpointLocation, "graft-gen-cursor.tmp")
+    val out = f.create(tmp, true)
     try out.write(offset.asInstanceOf[GenOffset].pos.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, f.getConf)
+      .rename(tmp, cursorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def stop(): Unit = ()

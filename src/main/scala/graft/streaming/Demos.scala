@@ -123,12 +123,14 @@ class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, TwsSe
       } else s = OpenSession(math.min(s.startMs, ms), math.max(s.endMs, ms),
         s.nEvents + 1, s.sumValue + e.value, s.timerMs)
     }
-    val timer = s.endMs + gapMs
-    if (s.timerMs != timer) { // session extended/replaced: re-arm the close timer
-      if (s.timerMs != 0L) getHandle.deleteTimer(s.timerMs)
-      getHandle.registerTimer(timer)
+    if (s != null) { // defensive: an empty rows iterator with no prior state
+      val timer = s.endMs + gapMs
+      if (s.timerMs != timer) { // session extended/replaced: re-arm the close timer
+        if (s.timerMs != 0L) getHandle.deleteTimer(s.timerMs)
+        getHandle.registerTimer(timer)
+      }
+      open.update(s.copy(timerMs = timer))
     }
-    open.update(s.copy(timerMs = timer))
     out.result().iterator
   }
 
