@@ -12,15 +12,25 @@ import org.apache.spark.sql.SparkSession
   * StdoutOutput`; rounds 3 and 5: the per-query map outgrew the ~2.9 KB
   * stdout tail window, hence the split).
   *
-  * Methodology (noise-proofing, see VERDICT.md round 1):
+  * Methodology (noise-proofing, see VERDICT.md rounds 1 and 6):
   *   - queries run in SORTED name order (a Map's hash order misattributed
   *     JVM/codegen warmup to whichever query happened to come first);
   *   - one untimed session warmup action before any timing;
-  *   - each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and the
-  *     reported time is the MINIMUM — rep 1 absorbs per-query codegen and
-  *     page-cache warmup, and external machine contention (the dominant
-  *     round-1 noise source, 2–10× spikes) can only inflate, never
-  *     deflate, so min-of-reps is the honest steady-state number;
+  *   - reps are interleaved BY SWEEP, not per-query: the whole sorted
+  *     inventory runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and each
+  *     query reports its MINIMUM across sweeps. Round 6's official record
+  *     was inflated 7.3× by a minutes-long external-contention window that
+  *     swallowed both back-to-back reps of each query it covered; with
+  *     sweep interleaving a contention window must span the entire run
+  *     twice to survive the min. Contention can only inflate, never
+  *     deflate, so min-of-sweeps is the honest steady-state number;
+  *   - a fixed CALIBRATION PROBE (the warmup aggregate) is timed before
+  *     and after the sweeps and reported as `calib` in both outputs: a
+  *     contaminated run is machine-evident (probe times blow past their
+  *     ~0.1–0.3 s steady state) instead of needing cross-round forensics;
+  *   - log level is ERROR and the JSON line is printed LAST after a flush,
+  *     so a WARN flood (round 6: 2 KB of WindowExec warnings) can never
+  *     push the line out of the driver's tail window;
   *   - failures are NOT swallowed: a failing query contributes no time,
   *     is reported under "errors", and the process exits nonzero.
   */
@@ -30,23 +40,25 @@ object Bench {
 
   /** The ONE stdout line the driver tail-captures. FIXED-SIZE by
     * construction: no per-query map (that lives only in bench.json), at
-    * most 8 error NAMES (messages stay in bench.json). Round-3 AND round-5
-    * both lost the driver's bench record because the per-query map grew
-    * the line past the ~2.9 KB tail window — the count of queries can
-    * never do that again (BenchLineSpec pins the bound). */
+    * most 8 error NAMES (messages stay in bench.json), exactly two
+    * calibration floats. Round-3 AND round-5 both lost the driver's bench
+    * record because the per-query map grew the line past the ~2.9 KB tail
+    * window — the count of queries can never do that again (ContractSpec
+    * pins the bound). */
   def stdoutLine(total: Double, errorNames: Seq[String], reps: Int,
-                 sf: String, nQueries: Int): String = {
+                 sf: String, nQueries: Int, calib: (Double, Double)): String = {
     val errJson = errorNames.take(8).map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nQueries,"n_errors":${errorNames.size},"errors":$errJson,"reps":$reps,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nQueries,"n_errors":${errorNames.size},"errors":$errJson,"reps":$reps,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"sf":"$sf"}"""
   }
 
   /** Full record written to bench.json: everything stdoutLine has PLUS the
     * per-query timing map and full error messages. */
   def fullJson(total: Double, results: Seq[(String, Double)],
-               errors: collection.Map[String, String], reps: Int, sf: String): String = {
+               errors: collection.Map[String, String], reps: Int, sf: String,
+               calib: (Double, Double)): String = {
     val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,37 +71,52 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-query WARN flood (WindowExec single-partition
+    // carry frames) nearly evicted the JSON line from the driver's tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
-    // Untimed warmup: spin up executor threads, parquet footer reads, and
-    // the groupBy/shuffle machinery once before the first timed query.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
+    // Fixed probe, also the warmup: parquet scan + groupBy/shuffle. The
+    // first (untimed) call absorbs executor spin-up, codegen, and footer
+    // reads; subsequent calls are steady-state and any large pre/post
+    // asymmetry or absolute blowup flags machine contention.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // untimed warmup
+    val calibPre = probe()
 
+    val sorted = SparkEntry.queries.toVector.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toVector.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val times = (1 to reps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
-            case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-              None
-          }
-        }
-        times.minOption.map(name -> _)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to reps; (name, fn) <- sorted) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
     }
+    val calibPost = probe()
+
+    val results = sorted.map(_._1).flatMap(n => best.get(n).map(n -> _))
+    val calib = (calibPre, calibPost)
     val total = results.map(_._2).sum
-    val full = fullJson(total, results, errors, reps, sfDir)
-    val line = stdoutLine(total, errors.keys.toSeq, reps, sfDir, results.size)
+    val full = fullJson(total, results, errors, reps, sfDir, calib)
+    val line = stdoutLine(total, errors.keys.toSeq, reps, sfDir, results.size, calib)
     Files.write(Paths.get("bench.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
-    println(line)
-    spark.stop()
-    if (errors.nonEmpty) {
+    if (errors.nonEmpty)
       System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
-      sys.exit(1)
-    }
+    spark.stop() // stop BEFORE the line: nothing may print after it
+    System.out.flush()
+    println(line)
+    System.out.flush()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -23,13 +23,13 @@ class ContractSpec extends AnyFunSuite {
     val manyErrors = (1 to 500).map(i => f"q$i%03d_some_very_long_query_name")
     val line = Bench.stdoutLine(
       total = 123456.7891, errorNames = manyErrors, reps = 2,
-      sf = "/root/testdata/sf0.1", nQueries = 1000)
+      sf = "/root/testdata/sf0.1", nQueries = 1000, calib = (123.4567, 123.4567))
     assert(line.getBytes(StandardCharsets.UTF_8).length < 1500,
       s"bench stdout line is ${line.length} bytes: $line")
     assert(!line.contains("\n"))
     // and the healthy-path line for the real inventory is tiny
     val healthy = Bench.stdoutLine(30.74, Nil, 2, "/root/testdata/sf0.1",
-      SparkEntry.queries.size)
+      SparkEntry.queries.size, calib = (0.1234, 0.1234))
     assert(healthy.getBytes(StandardCharsets.UTF_8).length < 200, healthy)
   }
 
