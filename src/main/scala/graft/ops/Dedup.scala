@@ -54,15 +54,54 @@ object Dedup {
       // new labels (each node has exactly one own=true row, so
       // min(own label) is the previous label) — one cheap count over the
       // checkpointed result instead of a second join+count job per round.
-      val next = labels
+      val once = labels
         .select(col("node"), col("label"), lit(true).as("own"))
         .unionAll(propagated)
         .unionAll(shortcut)
         .groupBy("node")
         .agg(min("label").as("label"), min(when(col("own"), col("label"))).as("prev"))
+      // Second jump WITHIN the round, on the just-updated labels: reach per
+      // round goes from 2(r+1) to 4(r+1) hops, and the dominant cost of a
+      // round at bench scale — the fixed localCheckpoint/job overhead, ~1 s
+      // regardless of data size — is paid once for both jumps. At cluster
+      // scale this is the same total join work in ~half the sync barriers.
+      // `prev` survives the re-group: each node has exactly one `once` row
+      // carrying it and min() ignores the jump rows' nulls.
+      // Convergence piggybacks on the checkpoint's own materialization job
+      // via an accumulator (no separate isEmpty job per round). The
+      // accumulator can only err toward MORE rounds (a task retry
+      // double-counts an improvement), never toward early exit, so the
+      // fixpoint guarantee is unchanged.
+      val acc = pairs.sparkSession.sparkContext.longAccumulator(s"cc-improved-$i")
+      val improved = udf { (label: Long, prev: java.lang.Long) =>
+        if (prev == null || label < prev.longValue) acc.add(1L); label
+      }
+      // After the groupBy every node has EXACTLY ONE row, so a jump is a
+      // pure function composition: inner-join label→(that node's label) and
+      // take the target's label (labels are monotone: l(l(x)) <= l(x), and
+      // every label value is itself a node of the same component, so the
+      // join never drops rows and needs no re-group). Two composed jumps
+      // square the once-reach twice: reach goes 2(r+1) → 8(r+1) per round
+      // for two extra (broadcast-sized at bench, shuffle at scale) joins —
+      // one whole round of checkpoint+job overhead cheaper on long chains.
+      // (A pure function-composition jump — join once's label to its own
+      // node without re-grouping — would save a shuffle here, but any plan
+      // that puts the bare self-join of this union+groupBy subplan on top
+      // trips a Catalyst union-constraint rewrite [NoSuchElementException
+      // in UnionBase.rewriteConstraints]; the union-then-regroup shape
+      // below is the one the analyzer accepts.)
+      val next = once
+        .unionAll(once.as("a")
+          .join(once.select(col("node").as("jn"), col("label").as("jl")),
+            col("a.label") === col("jn"))
+          .select(col("a.node").as("node"), col("jl").as("label"),
+            lit(null).cast("long").as("prev")))
+        .groupBy("node")
+        .agg(min("label").as("label"), min("prev").as("prev"))
+        .select(col("node"), improved(col("label"), col("prev")).as("label"))
         .localCheckpoint()
-      converged = next.where(col("label") < col("prev")).isEmpty
-      labels = next.select("node", "label")
+      converged = acc.value == 0L
+      labels = next
       i += 1
     }
     // Unconverged labels would silently over- or under-dedup downstream

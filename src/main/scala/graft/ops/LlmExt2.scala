@@ -155,35 +155,58 @@ object LlmExt2 {
       docs: DataFrame, threshold: Double = 0.6, materialize: Boolean = true,
       portableIds: Boolean = false): DataFrame = {
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
-    val toks = mat(docs.select(
+    // (doc_id, lang, toks): the distinct-token ARRAY, carried whole — it
+    // feeds the signature build and both sides of the verify join. The
+    // verify compares token STRINGS (array_intersect), never hashed ids:
+    // id collisions may perturb signatures (more candidates, which verify
+    // filters) but must never perturb the emitted exact Jaccard.
+    val base0 = docs.select(
       col("doc_id"), col("lang"),
-      explode(array_distinct(split(col("text"), " "))).as("tok")
-    )) // feeds ids, verify×2, sizes — materialize once
+      array_distinct(split(col("text"), " ")).as("toks"))
+    // Materialized only on the hashed path, where it feeds the signature
+    // build AND both verify joins; the dict path re-groups into `withIds`
+    // (materialized below) and reads base0 just once on the way there.
+    lazy val base = mat(base0)
     // `portableIds` swaps the production hashed id for the rank dictionary
     // (q46's id space) so a DuckDB oracle can replay the minhash family —
-    // used by the oracle-gated pipeline audit (q78). Same plan shape either
-    // way; the dict path adds the distinct+join the scaladoc above prices.
+    // used by the oracle-gated pipeline audit (q78). The dict path pays an
+    // explode + dict join + collect_list re-group; the production path is a
+    // pure per-row projection — NO shuffle at all before the band join.
     val withIds =
-      if (portableIds)
-        toks.join(tokenDict(toks), "tok").withColumn("tid", col("tid").cast("long"))
-      else toks.withColumn("tid", pmod(xxhash64(col("tok")), lit(P)))
-    val tokIds = withIds
-      .groupBy("doc_id", "lang")
-      .agg(collect_list(col("tid")).as("ids"))
-    val sig = mat(explodeBandSigs(tokIds))
+      if (portableIds) {
+        val toks = mat(base0.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok")))
+        mat(toks.join(tokenDict(toks), "tok")
+          .groupBy("doc_id", "lang")
+          .agg(collect_list(col("tid").cast("long")).as("ids")))
+      } else
+        base.select(col("doc_id"), col("lang"),
+          transform(col("toks"), t => pmod(xxhash64(t), lit(P))).as("ids"))
+    val sig = mat(explodeBandSigs(withIds))
     val cand = sig.as("x")
       .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Exact-Jaccard verify as per-candidate array intersection of the two
+    // carried per-doc sets — one join per side against the doc-level table
+    // instead of the token-exploded twin joins + re-group this replaced
+    // (two fewer shuffles, and the shuffled token table was |corpus| rows).
+    // The dict path intersects the LONG id arrays (the rank dictionary is
+    // injective, so id-set Jaccard IS token-set Jaccard, and long equality
+    // is several times cheaper than UTF8String equality — pushdown inlines
+    // this expression into the filter, so per-evaluation cost matters);
+    // the hashed path MUST intersect token strings, since xxhash64-mod-P
+    // collisions may only ever add LSH candidates, never perturb jaccard.
+    val vset =
+      if (portableIds) withIds.select(col("doc_id"), col("ids").as("vset"))
+      else base.select(col("doc_id"), col("toks").as("vset"))
     cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .join(vset.select(col("doc_id").as("doc_a"), col("vset").as("__ta")), "doc_a")
+      .join(vset.select(col("doc_id").as("doc_b"), col("vset").as("__tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("n_common"),
+        size(col("__ta")).cast("long").as("sz_a"),
+        size(col("__tb")).cast("long").as("sz_b"))
       .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
