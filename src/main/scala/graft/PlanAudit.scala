@@ -1,12 +1,58 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
-/** Dev tool: dump per-query physical-plan stats (exchanges, broadcasts,
-  * codegen stages, scans) so shuffle regressions are visible at a glance.
+/** Dev tool AND build-time gate: dump per-query physical-plan stats
+  * (exchanges, broadcasts, codegen stages, scans) so shuffle regressions
+  * are visible at a glance, and FAIL (nonzero exit) when any query plans
+  * an unpartitioned Window outside the documented-bounded whitelist — an
+  * un-whitelisted global window is how a 100 TB query silently collapses
+  * onto one task (round-6 verdict, Next round #5).
   * Usage: runMain graft.PlanAudit [sfDir]
   */
 object PlanAudit {
+
+  /** Queries ALLOWED to plan a single-partition Window, each bounded by
+    * construction (the frame the window runs over is O(P) rows — P =
+    * shuffle partitions — or a documented oracle twin of a separately
+    * gated distributed form). Deliberately MINIMAL: only queries whose
+    * final executed plan carries a global Window today. (Queries that
+    * materialize intermediate stages via localCheckpoint — q46/q75/q78
+    * etc. — hide their checkpointed subplans from this audit; their
+    * tokenDict prefix frames are pinned bounded by MinhashLshSpec
+    * instead. If one surfaces here after a refactor, that is the gate
+    * asking for a fresh bounded-by-construction justification.)
+    *  - q37_late_events: deliberate global-window oracle twin; the
+    *    distributed split is gated separately as q63_late_events_scan.
+    *  - q51_fingerprint: tokenDict's alphabet-bucket offset prefix-sum —
+    *    the global frame is the ≤|alphabet|-row per-bucket count
+    *    aggregate (MinhashLshSpec pins the shape).
+    *  - q62_ivf_ann: Ann centroid ranking — the frames are k-row
+    *    (k = nlist) centroid tables, broadcast-scale by construction.
+    *  - q63_late_events_scan / q71_seq_pack: the Scan two-pass prefix
+    *    carry — the global window sees only the P-row per-bucket carry
+    *    table, never the data (Scan.scala, ScanSpec).
+    */
+  private val globalWindowWhitelist: Set[String] = Set(
+    "q37_late_events", "q51_fingerprint", "q62_ivf_ann",
+    "q63_late_events_scan", "q71_seq_pack")
+
+  /** Walk the EXECUTED plan including adaptive and reused wrappers —
+    * collect() on an AQE plan does not descend into query stages. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case o => o.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -17,17 +63,37 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"${"query"}%-26s ${"exch"}%5s ${"bcast"}%5s ${"smj"}%4s ${"bhj"}%4s ${"nlj"}%4s ${"scans"}%5s")
+    var bad = Vector.empty[String]
+    println(f"${"query"}%-26s ${"exch"}%5s ${"bcast"}%5s ${"smj"}%4s ${"bhj"}%4s ${"nlj"}%4s ${"scans"}%5s ${"gwin"}%4s")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.collect()
-        val p = df.queryExecution.executedPlan.toString
+        // drain the DataFrame's OWN plan so AQE finalizes THIS plan (a
+        // derived count() would plan a separate query — CLAUDE.md gotcha)
+        df.toLocalIterator().forEachRemaining(_ => ())
+        val nodes = allNodes(df.queryExecution.executedPlan)
+        val globalWins = nodes.count {
+          case w: WindowExec => w.partitionSpec.isEmpty
+          case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+          case _ => false
+        }
+        if (globalWins > 0 && !globalWindowWhitelist.contains(name))
+          bad :+= s"$name ($globalWins unpartitioned Window nodes)"
+        val p = nodes.map(_.nodeName).mkString("\n")
         def n(pat: String) = pat.r.findAllIn(p).size
         println(f"$name%-26s ${n("Exchange")}%5d ${n("BroadcastExchange")}%5d " +
-          f"${n("SortMergeJoin")}%4d ${n("BroadcastHashJoin")}%4d ${n("NestedLoop")}%4d ${n("FileScan|Scan parquet")}%5d")
+          f"${n("SortMergeJoin")}%4d ${n("BroadcastHashJoin")}%4d ${n("NestedLoop")}%4d " +
+          f"${n("FileScan|Scan parquet")}%5d $globalWins%4d")
       } catch { case e: Throwable => println(f"$name%-26s ERROR ${e.getMessage.take(60)}") }
     }
     spark.stop()
+    if (bad.nonEmpty) {
+      System.err.println(
+        s"planaudit: ${bad.size} quer${if (bad.size == 1) "y has" else "ies have"} an " +
+          s"un-whitelisted unpartitioned Window:\n  ${bad.mkString("\n  ")}\n" +
+          "Either partition the window or add the query to globalWindowWhitelist " +
+          "with a bounded-by-construction justification.")
+      sys.exit(1)
+    }
   }
 }
