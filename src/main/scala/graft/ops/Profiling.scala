@@ -102,6 +102,63 @@ object Profiling {
         |              - CAST(c_b AS DECIMAL(19,0)) * CAST(t_a AS DECIMAL(19,0)))) AS DOUBLE)
         |    / (CAST(MAX(t_a) AS DOUBLE) * CAST(MAX(t_b) AS DOUBLE)) AS l1
         |FROM per_tok, totals""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q92
+    // SKETCHED corpus drift — the always-on form of q90. A continuous
+    // monitor cannot hold the full vocabulary; instead it tracks only the
+    // token TYPES landing in a deterministic 1-in-7 portable-hash carve
+    // (md5 of the token, the q69/q83 sampling family) and computes the
+    // same common-denominator L1 over that subspace, with totals taken
+    // over the SAMPLED occurrences so the sampled counts form a proper
+    // distribution. State is |vocab|/7 counters; the carve is a pure
+    // projection (filter BEFORE the aggregation shuffle, so the monitor
+    // also shuffles 1/7 of the occurrences); re-running, re-partitioning,
+    // or growing the corpus never changes which types are tracked —
+    // unlike a CMS, every retained count is exact and DuckDB-replayable.
+    // SCALE.md §"Sketched drift" carries the design note.
+    "q92_sketch_drift" -> QDef(
+      (s, d) => {
+        val toks = documents(s, d)
+          .select((col("doc_id") % 2).as("half"),
+            explode(split(col("text"), " ")).as("tok"))
+          .where(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+            .cast("long") % 7 === 0)
+          .localCheckpoint() // feeds per-token counts AND totals: scan once
+        val perTok = toks.groupBy("tok").agg(
+          count(when(col("half") === 0, 1)).as("c_a"),
+          count(when(col("half") === 1, 1)).as("c_b"))
+        val totals = toks.agg(
+          count(when(col("half") === 0, 1)).as("t_a"),
+          count(when(col("half") === 1, 1)).as("t_b"))
+        perTok.crossJoin(totals)
+          .agg(
+            sum(abs(col("c_a").cast("decimal(19,0)") * col("t_b").cast("decimal(19,0)")
+              - col("c_b").cast("decimal(19,0)") * col("t_a").cast("decimal(19,0)")))
+              .as("l1_num"),
+            max(col("t_a")).as("t_a"), max(col("t_b")).as("t_b"),
+            count(lit(1)).as("n_terms"))
+          .select(
+            col("n_terms"), col("t_a"), col("t_b"),
+            (col("l1_num").cast("double") /
+              (col("t_a").cast("double") * col("t_b").cast("double"))).as("l1"))
+      },
+      """WITH toks AS (
+        |  SELECT half, tok FROM (
+        |    SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) u
+        |  WHERE CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 7 = 0),
+        |per_tok AS (SELECT tok,
+        |              COUNT(CASE WHEN half = 0 THEN 1 END) AS c_a,
+        |              COUNT(CASE WHEN half = 1 THEN 1 END) AS c_b
+        |            FROM toks GROUP BY 1),
+        |totals AS (SELECT COUNT(CASE WHEN half = 0 THEN 1 END) AS t_a,
+        |                  COUNT(CASE WHEN half = 1 THEN 1 END) AS t_b FROM toks)
+        |SELECT COUNT(*) AS n_terms, MAX(t_a) AS t_a, MAX(t_b) AS t_b,
+        |  CAST(SUM(ABS(CAST(c_a AS DECIMAL(19,0)) * CAST(t_b AS DECIMAL(19,0))
+        |              - CAST(c_b AS DECIMAL(19,0)) * CAST(t_a AS DECIMAL(19,0)))) AS DOUBLE)
+        |    / (CAST(MAX(t_a) AS DOUBLE) * CAST(MAX(t_b) AS DOUBLE)) AS l1
+        |FROM per_tok, totals""".stripMargin
     )
   )
 }
