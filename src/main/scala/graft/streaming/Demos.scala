@@ -149,6 +149,89 @@ class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, TwsSe
   }
 }
 
+/** s15 per-key state: the user's funnel stage timestamps (ms; MaxValue =
+  * stage not reached), the latest event time seen, and the armed
+  * finalize timer (top-level — nested case classes break encoder codegen). */
+case class FunnelState(v: Long, c: Long, p: Long, lastMs: Long, timerMs: Long)
+
+/** s15 output: one finalized funnel row per user (-1 = stage never
+  * reached), emitted when the watermark proves the user quiet. */
+case class FunnelDone(user_id: Long, t_view: Long, t_click: Long, t_purchase: Long)
+
+/** s15 — the streaming twin of q85's ordered funnel (view → click at/after
+  * the first view → purchase at/after that first qualifying click), as a
+  * `transformWithState` per-user stage tracker. Each batch replays its
+  * events in event-time order through the funnel recurrence (view lowers
+  * t_view; a click/purchase claims its stage iff it is at/after the
+  * previous stage and earlier than the stage's current holder) — in
+  * sorted order this IS q85's stacked-window semantics whenever a user's
+  * history arrives within one batch, because every view with a smaller
+  * timestamp is applied before any later click. State is O(1) per key
+  * (5 longs — no event buffering, RocksDB-resident). The funnel row is
+  * emitted ONCE, from an event-time timer armed at lastSeen + quietMs —
+  * the watermark proving the user quiet is what finalizes the funnel,
+  * exactly the s12 session-close shape.
+  *
+  * Cross-batch caveat (the s12 trade, mirrored): stage claims are
+  * monotone — a LATER batch's within-watermark view with a smaller
+  * timestamp lowers t_view but cannot resurrect a click already rejected
+  * against the old t_view; the batch-exact form over the full corpus is
+  * q85 itself (StreamingEquivalenceSpec proves stream==batch per-user on
+  * the real events table).
+  */
+class FunnelProcessor(quietMs: Long) extends StatefulProcessor[Long, Event, FunnelDone] {
+  private val Unset = Long.MaxValue
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[Event], tv: TimerValues): Iterator[FunnelDone] = {
+    // stage rank breaks timestamp ties: q85's min-based stages are
+    // order-free at equal ts (a purchase AT its qualifying click's exact
+    // ts counts), so the replay must apply view < click < purchase there
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val sorted = rows.toVector.sortBy(e => (e.ts.getTime, rank.getOrElse(e.event_type, 3), e.event_id))
+    var s = if (st.exists()) st.get()
+            else FunnelState(Unset, Unset, Unset, Long.MinValue, 0L)
+    for (e <- sorted) {
+      val ms = e.ts.getTime
+      e.event_type match {
+        case "view" => if (ms < s.v) s = s.copy(v = ms)
+        case "click" => if (ms >= s.v && ms < s.c) s = s.copy(c = ms)
+        case "purchase" => if (ms >= s.c && ms < s.p) s = s.copy(p = ms)
+        case _ => // wrapper filters; be robust anyway
+      }
+      if (ms > s.lastMs) s = s.copy(lastMs = ms)
+    }
+    if (sorted.nonEmpty) {
+      val timer = s.lastMs + quietMs
+      if (s.timerMs != timer) { // user active again: push the finalize out
+        if (s.timerMs != 0L) getHandle.deleteTimer(s.timerMs)
+        getHandle.registerTimer(timer)
+      }
+      st.update(s.copy(timerMs = timer))
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[FunnelDone] = {
+    if (!st.exists()) Iterator.empty
+    else {
+      val s = st.get()
+      if (info.getExpiryTimeInMs() != s.timerMs) Iterator.empty // stale expiry
+      else {
+        st.clear()
+        def out(x: Long) = if (x == Unset) -1L else x
+        Iterator.single(FunnelDone(key, out(s.v), out(s.c), out(s.p)))
+      }
+    }
+  }
+}
+
 /** s13 batch-side bootstrap row: the per-signature canonical a prior
   * (batch or streaming) run persisted. */
 case class InitSeen(sig: Long, canonical_id: Long, tsMillis: Long)
@@ -559,6 +642,19 @@ object Demos {
       .as[Event]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** s15 — the per-user funnel-stage tracker (see [[FunnelProcessor]]),
+    * completing the q85↔stream pairing the way q88↔s12 pairs sessions.
+    * RocksDB provider required (transformWithState). */
+  def s15FunnelTws(spark: SparkSession, events: DataFrame, quietMs: Long): Dataset[FunnelDone] = {
+    import spark.implicits._
+    events
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(quietMs), TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** s13 — dedup-on-ingest warm-started from the existing corpus (see

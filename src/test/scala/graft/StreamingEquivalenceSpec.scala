@@ -202,4 +202,46 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"session sum diverged for user ${w._1} @ ${w._2}: ${gotSum((w._1, w._2))} vs ${w._5}")
     }
   }
+
+  test("s15 funnel tracker over the file stream == batch q85 (per-user stages and corpus counts)") {
+    SharedSpark.withRocksDb {
+      val got = runStream(
+        streaming.Demos.s15FunnelTws(spark, eventStream, quietMs = 60 * 60 * 1000L).toDF(),
+        "eq_s15")
+        .where(col("user_id") =!= FlushUser)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.nonEmpty)
+      assert(got.map(_._1).distinct.length == got.length,
+        "the finalize timer must emit exactly one funnel row per user")
+      // independent batch derivation: the oracle's sequential join-chain
+      // shape, NOT q85's stacked windows — so stream, declared query, and
+      // this derivation are three independent spellings of the semantics
+      val ev = Tables.events(spark, sf001)
+        .where(col("event_type").isin("view", "click", "purchase"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") >= col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") >= col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      def ms(r: Row, i: Int): Long =
+        Option(r.getTimestamp(i)).map(_.getTime).getOrElse(-1L)
+      val want = ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .collect()
+        .map(r => (r.getLong(0), ms(r, 1), ms(r, 2), ms(r, 3)))
+      assert(got.toSet == want.toSet,
+        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+      // and the corpus-level q85 row agrees with the stream's aggregate
+      val q85 = SparkEntry.queries("q85_funnel")(spark, sf001).collect().head
+      assert(q85.getLong(0) == got.count(_._2 >= 0L))
+      assert(q85.getLong(1) == got.count(_._3 >= 0L))
+      assert(q85.getLong(2) == got.count(_._4 >= 0L))
+    }
+  }
 }
