@@ -223,6 +223,98 @@ object Analytics {
          |       COUNT(*) AS n_events, ${graft.Det.sqlDsum("value")} AS sum_value
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q93
+    // Z-score anomaly detection: flag events whose value sits more than
+    // 3σ from their event-type's mean. Per-type moments come from EXACT
+    // decimal sums (value is 2-decimal money data: Σx at DECIMAL(38,4),
+    // Σx² at DECIMAL(38,8) — both tie-free), cast to double only at the
+    // end; mean/var/std/z are then pure IEEE double arithmetic on
+    // identical inputs, so they hash bit-for-bit WITHOUT rounding (sqrt
+    // is correctly-rounded by IEEE-754 — it is NOT a libm transcendental,
+    // so no rounding bridge is needed). The stats side is |event_types|
+    // rows — a broadcast join back onto the events scan; one scan, one
+    // shuffle for the aggregate, no window. greatest(var, 0) guards the
+    // classic catastrophic-cancellation sliver identically in both
+    // engines.
+    "q93_anomaly_zscore" -> QDef(
+      (s, d) => {
+        val dec = col("value").cast("decimal(18,4)")
+        val stats = events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(dec).as("sv"),
+            sum(dec * dec).as("svv"))
+          .withColumn("mean", col("sv").cast("double") / col("n"))
+          .withColumn("sd", sqrt(greatest(
+            col("svv").cast("double") / col("n") - col("mean") * col("mean"),
+            lit(0.0))))
+          .select("event_type", "mean", "sd")
+        events(s, d)
+          .join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mean")) / col("sd"))
+          .where(abs(col("z")) > 3.0)
+          .select("event_id", "event_type", "value", "z")
+          .orderBy("event_id")
+      },
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS svv
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, CAST(sv AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(CAST(svv AS DOUBLE) / n
+        |               - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)) AS sd
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value, (e.value - m.mean) / m.sd AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs((e.value - m.mean) / m.sd) > 3
+        |ORDER BY e.event_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q94
+    // SCD type-2 build from a change log: treat each user's event stream
+    // as status changes (status = event_type), collapse consecutive
+    // repeats, and emit validity intervals [valid_from, valid_to) with
+    // NULL valid_to marking the current row — the standard
+    // dimension-table history build. One scan; both windows (the
+    // change-detection lag and the interval-closing lead) share the
+    // (user_id)×(ts, event_id) partitioning+ordering, so the plan is one
+    // user_id exchange + one sort feeding two pipelined WindowExecs.
+    // user_id % 7 carves the demo corpus; the plan is per-user-linear so
+    // the same shape runs unsampled at scale. (ts, event_id) is a unique
+    // order — no tie can flip which row opens an interval.
+    "q94_scd2_intervals" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .where(col("user_id") % 7 === 0)
+          .withColumn("prev_status", lag("event_type", 1).over(w))
+          .where(col("prev_status").isNull || col("prev_status") =!= col("event_type"))
+          .withColumn("valid_to", lead("ts", 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("event_type").as("status"),
+            col("ts").as("valid_from"), col("valid_to"), col("is_current"))
+          // total order: same (user, ts, status) can repeat (A-B-A at one
+          // ts); is_current then valid_to breaks it — the only NULL
+          // valid_to row is the user's single current row, which its
+          // is_current key already ordered alone, so NULL ordering
+          // differences between engines can never surface
+          .orderBy("user_id", "valid_from", "status", "is_current", "valid_to")
+      },
+      """WITH changes AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+        |  FROM events WHERE user_id % 7 = 0),
+        |kept AS (
+        |  SELECT user_id, event_type, ts, event_id FROM changes
+        |  WHERE prev_status IS NULL OR prev_status <> event_type)
+        |SELECT user_id, event_type AS status, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM kept
+        |ORDER BY user_id, valid_from, status, is_current, valid_to""".stripMargin
     )
   )
 }
