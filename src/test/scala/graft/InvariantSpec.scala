@@ -136,4 +136,43 @@ class InvariantSpec extends AnyFunSuite {
     val l1 = run("q90_corpus_drift").collect()(0).getDouble(3)
     assert(l1 >= 0.0 && l1 <= 2.0, s"L1 out of range: $l1")
   }
+
+  test("round-7 invariants: map explode covers keys, sketch drift samples q90's space, z-scores exceed 3, SCD2 intervals tile") {
+    // q91: every (event_type, key) group count is positive and the key
+    // multiset equals a direct json probe of the raw table
+    val m = run("q91_map_explode").collect()
+    assert(m.nonEmpty && m.forall(_.getLong(2) > 0))
+    val nEvents = graft.Tables.events(spark, sf001)
+      .where(get_json_object(col("props"), "$.k").isNotNull).count()
+    assert(m.map(_.getLong(2)).sum == nEvents,
+      "exploded (type,key) counts must cover every event with a parsed key")
+    // q92: the sampled drift tracks a SUBSET of q90's token space with
+    // consistent totals (sampled occurrences <= full occurrences)
+    val full = run("q90_corpus_drift").collect()(0)
+    val sk = run("q92_sketch_drift").collect()(0)
+    assert(sk.getLong(0) <= full.getLong(0), "sampled type count exceeds full vocab")
+    assert(sk.getLong(1) <= full.getLong(1) && sk.getLong(2) <= full.getLong(2))
+    assert(sk.getDouble(3) >= 0.0 && sk.getDouble(3) <= 2.0)
+    // q93: every flagged row is beyond 3 sigma, and no flagged event is
+    // within the bulk (|z| values are finite, not NaN)
+    val z = run("q93_anomaly_zscore").collect()
+    assert(z.nonEmpty && z.forall(r => math.abs(r.getDouble(3)) > 3.0
+      && !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // q94: per user the intervals TILE — exactly one current row (null
+    // valid_to), and each row's valid_to equals the next valid_from in
+    // (valid_from, status) order, so the history has no gap and no overlap
+    val scd = run("q94_scd2_intervals").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(scd.nonEmpty)
+    scd.groupBy(_._1).foreach { case (user, rows) =>
+      assert(rows.count(_._3.isEmpty) == 1, s"user $user: not exactly one current row")
+      assert(rows.forall(r => r._3.isEmpty == r._4), s"user $user: is_current != (valid_to IS NULL)")
+      val sorted = rows.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"user $user: interval [${a._2}, ${a._3}) does not abut ${b._2}")
+        case _ =>
+      }
+    }
+  }
 }
