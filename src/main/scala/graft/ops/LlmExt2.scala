@@ -200,16 +200,15 @@ object LlmExt2 {
     val vset =
       if (portableIds) withIds.select(col("doc_id"), col("ids").as("vset"))
       else base.select(col("doc_id"), col("toks").as("vset"))
-    // shuffle_hash, not broadcast: at corpus scale the doc-level set table
-    // NEVER fits a broadcast, so the shuffle join IS the production plan —
-    // and at test scale the hint stops AQE from broadcasting vset over the
-    // coalesced (~1-partition) candidate table, which would serialize the
-    // per-pair intersection CPU onto one task.
+    // No join-strategy hint: at test scale AQE broadcasts the tiny vset
+    // (fine), at corpus scale vset outgrows the broadcast threshold and
+    // the planner shuffles on doc_id — the right plan falls out adaptively
+    // in both regimes. (A forced shuffle_hash was measured: no gain — AQE
+    // coalesces the post-join stage to the candidate table's byte size
+    // either way, so it only added two exchanges.)
     cand
-      .join(vset.select(col("doc_id").as("doc_a"), col("vset").as("__ta")).hint("shuffle_hash"),
-        "doc_a")
-      .join(vset.select(col("doc_id").as("doc_b"), col("vset").as("__tb")).hint("shuffle_hash"),
-        "doc_b")
+      .join(vset.select(col("doc_id").as("doc_a"), col("vset").as("__ta")), "doc_a")
+      .join(vset.select(col("doc_id").as("doc_b"), col("vset").as("__tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("n_common"),
         size(col("__ta")).cast("long").as("sz_a"),
