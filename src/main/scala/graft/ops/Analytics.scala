@@ -315,6 +315,90 @@ object Analytics {
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM kept
         |ORDER BY user_id, valid_from, status, is_current, valid_to""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q95
+    // Triangle counting on the temporal proximity graph (same-user events
+    // pairwise within 6 h) — the graph-analytics step past q66's
+    // connected components: triangle density is the standard cohesion/
+    // burstiness signal on interaction graphs. Edges come from the q82
+    // two-bucket explode equi-join (exactly-once, no inequality
+    // nested-loop); nodes are totally ordered by (ts, event_id) so each
+    // triangle is counted ONCE in its canonical x<y<z orientation via two
+    // (user_id, endpoint) equi-joins over the materialized edge table —
+    // the standard distributed triangle enumeration, every join
+    // key-partitioned, wedge count bounded by per-user degree (PlanAudit:
+    // no nested-loop). Per-user counts, not one global row: the answer a
+    // burst detector consumes.
+    "q95_triangle_count" -> QDef(
+      (s, d) => {
+        val W = 21600000000L // 6 h in micros
+        val ev = events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        val withB = ev.withColumn("b", expr(s"us DIV $W"))
+        val left = withB.select(col("user_id"), col("us").as("us_a"),
+          col("event_id").as("ea"), explode(array(col("b"), col("b") + 1)).as("bk"))
+        val right = withB.select(col("user_id"), col("us").as("us_b"),
+          col("event_id").as("eb"), col("b").as("bk"))
+        val edges = left.join(right, Seq("user_id", "bk"))
+          .where((col("us_b") > col("us_a") ||
+            (col("us_b") === col("us_a") && col("eb") > col("ea"))) &&
+            col("us_b") - col("us_a") <= W)
+          .select("user_id", "ea", "eb")
+          .localCheckpoint() // feeds all three triangle sides
+        val e2 = edges.select(col("user_id").as("u2"), col("ea").as("y"), col("eb").as("z"))
+        edges
+          .join(e2, col("user_id") === col("u2") && col("eb") === col("y"))
+          .select(col("user_id"), col("ea").as("x"), col("y"), col("z"))
+          .join(edges.select(col("user_id"), col("ea").as("x"), col("eb").as("z")),
+            Seq("user_id", "x", "z"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy("user_id")
+      },
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |edges AS (
+        |  SELECT a.user_id, a.event_id AS ea, b.event_id AS eb
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+        |    AND b.us - a.us <= 21600000000)
+        |SELECT e1.user_id, COUNT(*) AS n_triangles
+        |FROM edges e1
+        |JOIN edges e2 ON e1.user_id = e2.user_id AND e1.eb = e2.ea
+        |JOIN edges e3 ON e1.user_id = e3.user_id AND e3.ea = e1.ea AND e3.eb = e2.eb
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin
+    ),
+
+    // ---------------------------------------------------------------- q96
+    // Event-transition matrix: per-user consecutive event-type bigrams
+    // (the Markov next-event table a recommendation/abuse model trains
+    // on), with per-source transition probabilities. One scan, one
+    // user_id window (unique (ts, event_id) order), one aggregate; the
+    // probability normalizer is a window over the |types|²-row aggregate,
+    // partitioned by from_type. Probabilities are raw double quotients of
+    // exact int64 counts — never rounded.
+    "q96_event_transitions" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum("n").over(Window.partitionBy("from_type")).cast("double"))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |agg AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM agg ORDER BY from_type, to_type""".stripMargin
     )
   )
 }
