@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Relational.defs ++ ops.StreamingBatch.defs ++ ops.LlmExt.defs ++
       ops.LlmExt2.defs ++ ops.Relational2.defs ++ ops.ScaleQueries.defs ++
       ops.Curation.defs ++ ops.Audit.defs ++ ops.Curation2.defs ++
-      ops.Analytics.defs ++ ops.Profiling.defs ++ ops.Nested.defs
+      ops.Analytics.defs ++ ops.Profiling.defs ++ ops.Nested.defs ++
+      ops.Mining.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q35_broadcast_rules IS the reference's reason to exist (the Flink

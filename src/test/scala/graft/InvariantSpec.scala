@@ -175,4 +175,100 @@ class InvariantSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("round-7 mining invariants: q95/q97/q98/q99 match in-memory recomputation, q96 rows normalize") {
+    // shared collected events: (user_id, ts_micros, event_id, event_type, date)
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val byUser = ev.groupBy(_._1)
+
+    // q95: brute-force triangle enumeration over (ts, event_id)-sorted nodes
+    val W = 21600000000L
+    val expTri = byUser.flatMap { case (u, rows) =>
+      val nodes = rows.map(r => (r._2, r._3)).sortBy(identity)
+      var cnt = 0L
+      val n = nodes.length
+      for (i <- 0 until n; j <- i + 1 until n if nodes(j)._1 - nodes(i)._1 <= W;
+           k <- j + 1 until n if nodes(k)._1 - nodes(i)._1 <= W)
+        cnt += 1
+      if (cnt > 0) Some(u -> cnt) else None
+    }
+    val gotTri = run("q95_triangle_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotTri == expTri, "q95 triangle counts differ from brute force")
+
+    // q96: per-source probabilities sum to 1; transitions total Σ(n_u - 1)
+    val tr = run("q96_event_transitions").collect()
+    tr.groupBy(_.getString(0)).foreach { case (ft, rows) =>
+      val p = rows.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"q96 $ft: probabilities sum to $p")
+    }
+    assert(tr.map(_.getLong(2)).sum ==
+      byUser.valuesIterator.map(_.length.toLong - 1).sum)
+
+    // q97: exact match against an all-pairs in-memory blocked levenshtein
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val cust = graft.Tables.customer(spark, sf001)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    val expPairs = (for {
+      a <- cust; b <- cust
+      if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+      dist = lev(a._2, b._2).toLong if dist <= 2
+    } yield (a._1, b._1, dist)).sorted.toList
+    val gotPairs = run("q97_fuzzy_linkage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(gotPairs == expPairs, s"q97: ${gotPairs.size} pairs vs expected ${expPairs.size}")
+
+    // q98: full index recomputation (df, total_tf, top-10 champion list)
+    val docs = graft.Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, text) => text.split(" ").map(t => (t, id)) }
+      .groupBy(identity).map { case ((t, id), xs) => ((t, id), xs.length.toLong) }
+    val expIdx = tf.groupBy(_._1._1).map { case (term, m) =>
+      val post = m.map { case ((_, id), f) => (id, f) }.toList
+      term -> (post.size.toLong, post.map(_._2).sum,
+        post.sortBy { case (id, f) => (-f, id) }.take(10).map(_._1))
+    }
+    val gotIdx = run("q98_inverted_index").collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)
+    }.toMap
+    assert(gotIdx == expIdx, "q98 inverted index differs from recomputation")
+
+    // q99: full recomputation incl. bit-identical support/lift arithmetic
+    val baskets = ev.map(r => (r._1, r._5, r._4)).distinct
+    val nBask = baskets.map(t => (t._1, t._2)).distinct.length.toLong
+    val nSingle = baskets.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+    val expCo = baskets.groupBy(t => (t._1, t._2)).valuesIterator
+      .flatMap { rows =>
+        val ts = rows.map(_._3).distinct.sorted
+        for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j))
+      }
+      .toList.groupBy(identity).map { case ((ta, tb), xs) =>
+        val nAb = xs.length.toLong
+        val (nA, nB) = (nSingle(ta), nSingle(tb))
+        (ta, tb, nAb, nA, nB, nAb.toDouble / nBask.toDouble,
+          (nAb * nBask).toDouble / (nA * nB).toDouble)
+      }.toList.sortBy(t => (t._1, t._2))
+    val gotCo = run("q99_cooccur_lift").collect().map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))
+    }.toList
+    assert(gotCo == expCo, "q99 co-occurrence/lift differs from recomputation")
+  }
 }
