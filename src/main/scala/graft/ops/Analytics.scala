@@ -399,6 +399,37 @@ object Analytics {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM agg ORDER BY from_type, to_type""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q100
+    // Rolling interval-window aggregates: per event, the count and exact
+    // decimal sum of the same user's events in the trailing hour — a
+    // RANGE frame over epoch seconds ([t-3599, t], peers included by
+    // value), the window feature the ROWS-frame q21 can't express and
+    // the per-tick form of q31's tumbling buckets. One scan, one user_id
+    // exchange, one sort feeding both frame aggregates. The frame is a
+    // pure function of the (integer) second values, so tie handling is
+    // identical in both engines; the sum runs in DECIMAL(18,4) (exact,
+    // order-free) and casts to double once.
+    "q100_rolling_window" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("sec"))
+          .rangeBetween(-3599, Window.currentRow)
+        events(s, d)
+          .withColumn("sec", expr("unix_micros(ts) DIV 1000000"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h",
+            round(sum(col("value").cast(graft.Det.D)).over(w), 4).cast("double"))
+          .select("user_id", "event_id", "sec", "n_1h", "sum_1h")
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 4) AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
     )
   )
 }

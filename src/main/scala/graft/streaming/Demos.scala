@@ -728,6 +728,71 @@ object Demos {
       .write.mode("overwrite").parquet(s"$dir/v=$batchId")
   }
 
+  /** s16 — streaming corpus-drift monitor: the ingest-time twin of batch
+    * q92. Each micro-batch of documents updates an EXACT versioned
+    * (tok, c_a, c_b) counter snapshot over the same deterministic 1-in-7
+    * md5 type carve, then publishes the drift row (n_terms, t_a, t_b, l1)
+    * that snapshot implies — the always-on monitor SCALE.md's sketched-
+    * drift note calls for, with every retained counter exact and
+    * replayable. Commit protocol = s14's versioned overwrite: a replayed
+    * batch reads only versions STRICTLY below its id and rewrites its
+    * own version byte-identically, so the monitor is exactly-once under
+    * retries; once the whole corpus has streamed, the last drift row
+    * equals batch q92 EXACTLY (integer counters + the same decimal-space
+    * L1 numerator and final double division).
+    */
+  def s16DriftMonitor(spark: SparkSession, docs: DataFrame, dir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        driftBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One drift-monitor step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def driftBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the micro-batch's sampled token-type count delta (q92's carve)
+    val delta = batch
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long") % 7 === 0)
+      .groupBy("tok").agg(
+        count(when(col("half") === 0, 1)).as("c_a"),
+        count(when(col("half") === 1, 1)).as("c_b"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/counts")
+      case None    => delta.limit(0)
+    }
+    base.unionByName(delta).groupBy("tok")
+      .agg(sum("c_a").as("c_a"), sum("c_b").as("c_b"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
+    // publish the drift row the new snapshot implies — q92's arithmetic:
+    // exact DECIMAL(19,0)-operand products, one final double division
+    val counts = spark.read.parquet(s"$dir/v=$batchId/counts")
+    val totals = counts.agg(sum("c_a").as("t_a"), sum("c_b").as("t_b"))
+    counts.crossJoin(totals)
+      .agg(
+        sum(abs(col("c_a").cast("decimal(19,0)") * col("t_b").cast("decimal(19,0)")
+          - col("c_b").cast("decimal(19,0)") * col("t_a").cast("decimal(19,0)")))
+          .as("l1_num"),
+        max(col("t_a")).as("t_a"), max(col("t_b")).as("t_b"),
+        count(lit(1)).as("n_terms"))
+      .select(
+        col("n_terms"), col("t_a"), col("t_b"),
+        (col("l1_num").cast("double") /
+          (col("t_a").cast("double") * col("t_b").cast("double"))).as("l1"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/drift")
+  }
+
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =
     events

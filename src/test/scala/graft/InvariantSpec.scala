@@ -270,5 +270,22 @@ class InvariantSpec extends AnyFunSuite {
         r.getDouble(5), r.getDouble(6))
     }.toList
     assert(gotCo == expCo, "q99 co-occurrence/lift differs from recomputation")
+
+    // q100: rolling-hour RANGE frame matches a direct per-user scan
+    // (counts exact; sums recomputed in the same scale-4 decimal space)
+    val evVal = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expRoll = evVal.groupBy(_._1).iterator.flatMap { case (u, rows) =>
+      rows.iterator.map { r =>
+        val in = rows.filter(x => x._2 >= r._2 - 3599 && x._2 <= r._2)
+        val sum = in.map(x => BigDecimal(x._4).setScale(4)).sum
+        (u, r._3) -> ((in.length.toLong, sum.toDouble))
+      }
+    }.toMap
+    val gotRoll = run("q100_rolling_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(gotRoll == expRoll, "q100 rolling window differs from direct scan")
   }
 }

@@ -396,4 +396,39 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(snapshot(1) == Map(1L -> ((3L, 7.0)), 2L -> ((2L, 2.0)), 3L -> ((4L, 4.0))),
       "replaying a committed batch changed the snapshot")
   }
+
+  test("s16: streaming drift monitor — final drift row equals batch q92 exactly; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16").toString + "/drift"
+    val docs = graft.Tables.documents(spark, SharedSpark.sf001)
+      .select("doc_id", "text").collect()
+      .map(r => DocIngest(r.getLong(0), new Timestamp(0L), r.getString(1), "en"))
+    val chunks = docs.grouped(200).toVector // 500 docs -> batches 0, 1, 2
+    val input = MemoryStream[DocIngest]
+    val q = Demos.s16DriftMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+    def driftRow(v: Long) = spark.read.parquet(s"$dir/v=$v/drift").collect()(0)
+    val got = driftRow(last)
+    val want = SparkEntry.queries("q92_sketch_drift")(spark, SharedSpark.sf001).collect()(0)
+    // exact equality incl. the double: identical integer counters feeding
+    // identical decimal/double arithmetic
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) ==
+      ((want.getLong(0), want.getLong(1), want.getLong(2), want.getDouble(3))),
+      s"streamed drift $got != batch q92 $want")
+    // intermediate rows are well-formed monitors too (totals grow, L1 in [0,2])
+    val l1s = (0L to last).map(driftRow)
+    assert(l1s.map(_.getLong(1)).sliding(2).forall(p => p.head <= p.last))
+    assert(l1s.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0))
+    // replay the last batch directly (post-crash re-execution): must read
+    // only v<last and rewrite v=last identically
+    Demos.driftBatch(spark, chunks.last.toSeq.toDF().select("doc_id", "text"), dir, last)
+    val replayed = driftRow(last)
+    assert((replayed.getLong(0), replayed.getLong(1), replayed.getLong(2), replayed.getDouble(3)) ==
+      ((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))),
+      "replaying the committed last batch changed the drift row")
+  }
 }
