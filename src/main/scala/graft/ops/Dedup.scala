@@ -33,8 +33,15 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed labels with min(self, direct neighbors) rather than self: the
+    // groupBy replaces the identity seed's distinct (same shuffle, same
+    // checkpoint job), and star/clique components — the common near-dup
+    // cluster shape — are then fully labeled BEFORE round 1, so the loop
+    // pays one less improving round (the fixpoint-confirming round
+    // remains). Label values stay component NODES (min over self+
+    // neighbors), which the shortcut join requires.
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
 
     var converged = false
