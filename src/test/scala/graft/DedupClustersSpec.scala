@@ -47,4 +47,16 @@ class DedupClustersSpec extends AnyFunSuite {
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
     labels.values.toSet.foreach((l: Long) => assert(keptIds.contains(l)))
   }
+
+  test("min-neighbor seed: a clique converges with maxIter = 1") {
+    // The seed labels every star/clique member with the component min
+    // BEFORE round 1, so the single allowed round is purely confirming —
+    // an identity seed would still be improving and maxIter = 1 would
+    // throw. Locks the one-less-round win the seed buys on the common
+    // near-dup cluster shape.
+    val clique = Seq((5L, 6L), (5L, 7L), (6L, 7L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.dupClusters(clique, maxIter = 1).as[(Long, Long)].collect().toMap
+    assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
+  }
 }
