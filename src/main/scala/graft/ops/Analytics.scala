@@ -430,6 +430,41 @@ object Analytics {
         |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q102
+    // Rolling exact distinct users: for every 7-day window end, the exact
+    // count of distinct active users and total events in [wend-6, wend] —
+    // the DAU/WAU overlap curve. COUNT(DISTINCT) is not window-framable in
+    // either engine, so the scale shape is replicate-by-window-length: the
+    // (user, day) grain is reduced FIRST (one shuffle, map-side combined —
+    // the explode factor applies to the reduced grain, not raw events),
+    // each grain row is exploded to the <= 7 window ends it serves, and
+    // one (wend)-keyed exact distinct finishes. Cost scales as 7x the
+    // user-day grain regardless of raw event volume; the approximate
+    // escape hatch at extreme cardinality is q54's HLL, per window.
+    "q102_rolling_distinct" -> QDef(
+      (s, d) => {
+        events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+          .withColumn("wend",
+            explode(expr("sequence(day, date_add(day, 6), interval 1 day)")))
+          .groupBy("wend")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            sum("n").as("n_events"))
+          .orderBy("wend")
+      },
+      """WITH du AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |            FROM events GROUP BY 1, 2),
+        |ex AS (SELECT user_id, n, CAST(uns AS DATE) AS wend FROM
+        |  (SELECT user_id, n,
+        |          unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |                                 INTERVAL 1 DAY)) AS uns
+        |   FROM du) t)
+        |SELECT wend, COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM ex GROUP BY wend ORDER BY wend""".stripMargin
     )
   )
 }

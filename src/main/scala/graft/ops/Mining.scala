@@ -147,6 +147,77 @@ object Mining {
         |JOIN s sa ON p.ta = sa.event_type
         |JOIN s sb ON p.tb = sb.event_type
         |ORDER BY ta, tb""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q101
+    // Prefix-filtered set-similarity join (PPJoin-style): exact token
+    // Jaccard >= 0.9 pairs found WITHOUT all-pairs — each doc's tokens are
+    // sorted by a global rarest-first order (df ASC, tok) and only the
+    // first |t| - ceil(0.9|t|) + 1 tokens are indexed; the prefix-filter
+    // lemma guarantees any qualifying pair shares an indexed token, so the
+    // candidate equi-join loses nothing and the exact verify makes the
+    // output identical to brute force (oracle = all-pairs; InvariantSpec
+    // re-proves it against an in-memory brute force at sf0.001). This is
+    // the EXACT complement of the probabilistic LSH family (q46/q52): same
+    // never-all-pairs plan shape, zero recall loss. Prefix length is pure
+    // int64 arithmetic (ceil(9s/10) = (9s+9) DIV 10) — no float ceil to
+    // flake the bound. The 31-token dense corpus is this technique's worst
+    // case (CLAUDE.md): buckets are vocabulary-bounded here, while a real
+    // Zipfian vocab makes prefixes rare tokens and buckets tiny — the %3
+    // carve keeps the bench-scale candidate set small, same discipline as
+    // q40's sampled oracle twin.
+    "q101_prefix_filter_join" -> QDef(
+      (s, d) => {
+        val docs = documents(s, d)
+          .where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        val dfTab = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        // per-doc tokens re-assembled in (df, tok) order; struct sort gives
+        // the global total order without a single-partition rank window
+        val sorted = tok.join(broadcast(dfTab), "tok")
+          .groupBy("doc_id")
+          .agg(
+            transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+              x => x("tok")).as("toks"),
+            count(lit(1)).as("sz"))
+          .withColumn("pref",
+            slice(col("toks"), lit(1), expr("sz - (9 * sz + 9) DIV 10 + 1")))
+          .localCheckpoint() // feeds the index twice + both verify sides
+        val idx = sorted.select(col("doc_id"), explode(col("pref")).as("ptok"))
+        val cand = idx.as("a")
+          .join(idx.as("b"), col("a.ptok") === col("b.ptok") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+            col("sz").as("sz_a")), "doc_a")
+          .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+            col("sz").as("sz_b")), "doc_b")
+          .withColumn("n_common",
+            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("jaccard",
+            col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+          .where(col("jaccard") >= 0.9)
+          .select("doc_a", "doc_b", "sz_a", "sz_b", "n_common", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |toks AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS nc
+        |          FROM toks a JOIN toks b
+        |            ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(nc AS BIGINT) AS n_common,
+        |       nc / (sa.sz + sb.sz - nc) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = da
+        |           JOIN sizes sb ON sb.doc_id = db
+        |WHERE nc / (sa.sz + sb.sz - nc) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin
     )
   )
 }

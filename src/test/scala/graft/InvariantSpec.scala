@@ -288,4 +288,79 @@ class InvariantSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getDouble(4)))).toMap
     assert(gotRoll == expRoll, "q100 rolling window differs from direct scan")
   }
+
+  test("round-7b invariants: q101 prefix filter loses nothing, q102/q103 match " +
+    "recomputation, q104 depths follow the heap closed form") {
+    // q101: the prefix-filtered join must equal brute-force all-pairs
+    // Jaccard >= 0.9 on the same carve — exactness is the whole claim
+    val docs = graft.Tables.documents(spark, sf001).select("doc_id", "text")
+      .where(col("doc_id") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+    val expPf = (for {
+      a <- docs; b <- docs if a._1 < b._1
+      nc = (a._2 & b._2).size.toLong
+      ja = nc.toDouble / (a._2.size + b._2.size - nc)
+      if ja >= 0.9
+    } yield (a._1, b._1, a._2.size.toLong, b._2.size.toLong, nc, ja))
+      .sortBy(t => (t._1, t._2)).toList
+    val gotPf = run("q101_prefix_filter_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toList
+    assert(gotPf == expPf, s"q101: ${gotPf.size} pairs vs brute-force ${expPf.size}")
+
+    // q102: rolling 7-day distinct/total from a direct in-memory scan
+    val du = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"))
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val expWin = du.flatMap { case (u, day) =>
+      (0 to 6).map(k => (day.plusDays(k), u))
+    }.groupBy(_._1).map { case (wend, xs) =>
+      wend.toString -> ((xs.map(_._2).distinct.length.toLong, xs.length.toLong))
+    }
+    val gotWin = run("q102_rolling_distinct").collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotWin == expWin, "q102 rolling distinct differs from direct scan")
+
+    // q103: 3 scaled-integer PageRank iterations recomputed from the
+    // collected trade graph — every DIV truncation must line up
+    val prDf = run("q103_pagerank") // output checked below; rebuild edges here
+    val edges = graft.Tables.lineitem(spark, sf001).select("l_orderkey", "l_suppkey")
+      .join(graft.Tables.orders(spark, sf001).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, sf001).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.supplier(spark, sf001).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val wout = edges.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val nodes = graft.Tables.nation(spark, sf001).select("n_nationkey")
+      .collect().map(_.getInt(0)).sorted
+    var rank = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 3) {
+      val cin = edges.groupBy(_._2).map { case (dst, xs) =>
+        dst -> xs.map { case (s, _, w) => (rank(s) * w) / wout(s) }.sum
+      }
+      rank = nodes.map(n => n -> (150000000000L + (85 * cin.getOrElse(n, 0L)) / 100)).toMap
+    }
+    val gotPr = prDf.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotPr == rank, "q103 pagerank differs from scaled-integer recomputation")
+    // rank mass: teleport floor holds and total mass never exceeds initial
+    assert(gotPr.values.forall(_ >= 150000000000L))
+    assert(gotPr.values.sum <= nodes.length * 1000000000000L)
+
+    // q104: depth of heap node ck is floor(log2(ck+1)); counts and balance
+    // sums per level from the raw table
+    val cust = graft.Tables.customer(spark, sf001).select("c_custkey", "c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expLv = cust.groupBy { case (ck, _) => 63 - java.lang.Long.numberOfLeadingZeros(ck + 1) }
+      .map { case (depth, xs) =>
+        depth -> ((xs.length.toLong,
+          xs.map(x => BigDecimal(x._2).setScale(4)).sum.toDouble))
+      }
+    val gotLv = run("q104_recursive_hierarchy").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotLv == expLv, "q104 recursive traversal differs from the closed form")
+  }
 }
