@@ -163,13 +163,13 @@ object Mining {
     // int64 arithmetic (ceil(9s/10) = (9s+9) DIV 10) — no float ceil to
     // flake the bound. The 31-token dense corpus is this technique's worst
     // case (CLAUDE.md): buckets are vocabulary-bounded here, while a real
-    // Zipfian vocab makes prefixes rare tokens and buckets tiny — the %3
+    // Zipfian vocab makes prefixes rare tokens and buckets tiny — the 1/10
     // carve keeps the bench-scale candidate set small, same discipline as
     // q40's sampled oracle twin.
     "q101_prefix_filter_join" -> QDef(
       (s, d) => {
         val docs = documents(s, d)
-          .where(col("doc_id") % 3 === 0)
+          .where(col("doc_id") % 10 === 0)
           .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
         val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
         val dfTab = tok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -203,7 +203,7 @@ object Mining {
           .select("doc_a", "doc_b", "sz_a", "sz_b", "n_common", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         |toks AS (SELECT DISTINCT doc_id, tok FROM
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d) t),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
