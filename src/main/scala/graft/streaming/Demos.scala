@@ -27,6 +27,18 @@ case class Alert(event_id: Long, user_id: Long, event_type: String, value: Doubl
 /** Per-key state for the pattern detector: the last event seen. */
 case class LastEvent(event_type: String, event_id: Long, tsMillis: Long)
 
+/** s17 input row: an event reduced to its user and epoch day. */
+case class EventDay(user_id: Long, ts: Timestamp, epday: Int)
+
+/** s17 per-user state: window-end days already claimed (watermark-pruned)
+  * plus the newest event time for timer eviction. */
+case class WendSeen(wends: List[Int], lastTsMillis: Long)
+
+/** s17 output: this user's FIRST contribution to this 7-day window end —
+  * emitted exactly once per (user, wend), so count-by-wend downstream is
+  * the exact rolling distinct-user count (batch q102). */
+case class WendClaim(user_id: Long, wend: java.sql.Date)
+
 /** A document arriving on the ingest stream (s8). */
 case class DocIngest(doc_id: Long, ts: Timestamp, text: String, lang: String)
 
@@ -791,6 +803,67 @@ object Demos {
         (col("l1_num").cast("double") /
           (col("t_a").cast("double") * col("t_b").cast("double"))).as("l1"))
       .write.mode("overwrite").parquet(s"$dir/v=$batchId/drift")
+  }
+
+  /** s17 — rolling-active-window claims: the streaming form of batch
+    * q102's 7-day rolling distinct-user count. Keyed by user, the state
+    * holds the set of window-end days this user has already claimed; an
+    * incoming event on day d claims every unclaimed window end in
+    * [d, d+6], emitting each (user, wend) EXACTLY ONCE — so a plain
+    * downstream `groupBy(wend).count()` IS the exact rolling distinct
+    * count, no distinct aggregation needed (the claim set is arrival-
+    * order-free: whichever event claims a wend first, the SET of claims
+    * is identical — StreamingEquivalenceSpec proves equality with q102).
+    * State is bounded two ways: claimed wends strictly below the current
+    * watermark day can never be re-claimed (any surviving event has
+    * epday >= watermark day, and claims only reach forward), so they are
+    * pruned every invocation; and an event-time timer evicts users idle
+    * for an hour, as s8. Per-user state is therefore O(watermark horizon
+    * + window length) days — a state store at 100 TB, same trade as s8's
+    * seen-set.
+    */
+  def s17RollingActive(spark: SparkSession, events: DataFrame): Dataset[WendClaim] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("epday"))
+      .as[EventDay]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WendSeen, WendClaim](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EventDay], state: GroupState[WendSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // intra-batch ties in event-time order, as s8 (the claim SET
+            // is order-free; the order only fixes which event claims)
+            val arrived = it.toVector.sortBy(e => (e.ts.getTime, e.epday))
+            var seen = state.getOption.getOrElse(WendSeen(Nil, 0L))
+            val out = Vector.newBuilder[WendClaim]
+            for (e <- arrived) {
+              var w = e.epday
+              while (w <= e.epday + 6) {
+                if (!seen.wends.contains(w)) {
+                  out += WendClaim(uid,
+                    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(w.toLong)))
+                  seen = seen.copy(wends = w :: seen.wends)
+                }
+                w += 1
+              }
+              seen = seen.copy(
+                lastTsMillis = math.max(seen.lastTsMillis, e.ts.getTime))
+            }
+            // watermark-final wends are unreachable by any future event
+            // (late rows below the watermark never reach this operator)
+            val wmDay = (state.getCurrentWatermarkMs() / 86400000L).toInt
+            seen = seen.copy(wends = seen.wends.filter(_ >= wmDay))
+            state.update(seen)
+            state.setTimeoutTimestamp(seen.lastTsMillis + 3600 * 1000L)
+            out.result().iterator
+          }
+      }
   }
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */

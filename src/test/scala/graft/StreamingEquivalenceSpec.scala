@@ -203,6 +203,22 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s17 rolling-window claims over the file stream == batch q102 distinct users") {
+    val claims = runStream(
+      streaming.Demos.s17RollingActive(spark, eventStream).toDF(), "eq_s17")
+      .where(col("user_id") =!= FlushUser)
+    val rows = claims.collect().map(r => (r.getLong(0), r.getDate(1).toString))
+    // exactly-once per (user, wend): counting claims IS counting users
+    assert(rows.length == rows.distinct.length, "a (user, wend) claim was emitted twice")
+    val got = rows.groupBy(_._2).map { case (w, xs) => (w, xs.length.toLong) }
+    val want = SparkEntry.queries("q102_rolling_distinct")(spark, sf001)
+      .select("wend", "n_users")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("s15 funnel tracker over the file stream == batch q85 (per-user stages and corpus counts)") {
     SharedSpark.withRocksDb {
       val got = runStream(
