@@ -39,7 +39,7 @@ object PlanAudit {
     */
   private val globalWindowWhitelist: Set[String] = Set(
     "q37_late_events", "q51_fingerprint", "q62_ivf_ann",
-    "q63_late_events_scan", "q71_seq_pack")
+    "q63_late_events_scan", "q71_seq_pack", "q105_skyline")
 
   /** Walk the EXECUTED plan including adaptive and reused wrappers —
     * collect() on an AQE plan does not descend into query stages. */

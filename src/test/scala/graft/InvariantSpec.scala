@@ -363,4 +363,41 @@ class InvariantSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(gotLv == expLv, "q104 recursive traversal differs from the closed form")
   }
+
+  test("round-7c invariants: q105 sweep equals brute-force dominance, q106 islands " +
+    "match a direct merge") {
+    // q105: the order-sweep skyline must equal the quadratic definition
+    val parts = graft.Tables.part(spark, sf001)
+      .select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expSky = parts.filter { p =>
+      !parts.exists(q => q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3))
+    }.sortBy(_._1).toList
+    val gotSky = run("q105_skyline").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toList
+    assert(gotSky == expSky, s"q105: ${gotSky.size} rows vs brute-force ${expSky.size}")
+    assert(gotSky.nonEmpty)
+
+    // q106: merge intervals directly per user and compare count + coverage
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expIsl = ev.groupBy(_._1).map { case (u, xs) =>
+      val secs = xs.map(_._2).sorted
+      var n = 0L; var covered = 0L
+      var st = -1L; var en = -1L
+      for (sc <- secs) {
+        if (st < 0 || sc > en) {
+          if (st >= 0) covered += en - st
+          n += 1; st = sc; en = sc + 1800
+        } else en = math.max(en, sc + 1800)
+      }
+      if (st >= 0) covered += en - st
+      u -> ((n, covered))
+    }
+    val gotIsl = run("q106_interval_union").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotIsl == expIsl, "q106 interval union differs from direct merge")
+  }
 }
