@@ -33,13 +33,16 @@ object PlanAudit {
     *    aggregate (MinhashLshSpec pins the shape).
     *  - q62_ivf_ann: Ann centroid ranking — the frames are k-row
     *    (k = nlist) centroid tables, broadcast-scale by construction.
-    *  - q63_late_events_scan / q71_seq_pack: the Scan two-pass prefix
-    *    carry — the global window sees only the P-row per-bucket carry
-    *    table, never the data (Scan.scala, ScanSpec).
+    *  - q63_late_events_scan / q71_seq_pack / q107_systematic_sample:
+    *    the Scan two-pass prefix carry — the global window sees only the
+    *    P-row per-bucket carry table, never the data (Scan.scala, ScanSpec).
+    *  - q105_skyline: the ~100-row bucket-carry table of the skyline
+    *    sweep, bounded by the fixed 900..1000 price domain.
     */
   private val globalWindowWhitelist: Set[String] = Set(
     "q37_late_events", "q51_fingerprint", "q62_ivf_ann",
-    "q63_late_events_scan", "q71_seq_pack", "q105_skyline")
+    "q63_late_events_scan", "q71_seq_pack", "q105_skyline",
+    "q107_systematic_sample")
 
   /** Walk the EXECUTED plan including adaptive and reused wrappers —
     * collect() on an AQE plan does not descend into query stages. */

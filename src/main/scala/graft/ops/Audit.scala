@@ -181,6 +181,61 @@ object Audit {
         |    (SELECT COUNT(*) FROM ex) -
         |    (SELECT COUNT(*) FROM lbl WHERE label <> node)
         |) ORDER BY stage_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q108
+    // Referential-integrity audit: per foreign-key edge of the star
+    // schema, the orphan count (children whose parent key is missing —
+    // broken joins waiting to happen) and the childless count (parents no
+    // child references — the "dead dimension rows" a pruning pass can
+    // drop). Each direction is one ANTI join aggregated to a single long
+    // — anti joins broadcast the smaller side and never materialize the
+    // match; the four 1-row crossJoins just glue the per-edge scalars
+    // into the report frame. At 100 TB this is THE pre-flight check
+    // before any fact-dimension pipeline runs.
+    "q108_fk_audit" -> QDef(
+      (s, d) => {
+        def edge(rel: String, child: org.apache.spark.sql.DataFrame, ck: String,
+                 parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val orphans = child.join(parent, col(ck) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          val childless = parent.join(child, col(pk) === col(ck), "left_anti")
+            .agg(count(lit(1)).as("n_childless"))
+          orphans.crossJoin(childless).select(
+            lit(rel).as("rel"), col("n_orphans"), col("n_childless"))
+        }
+        edge("customer->nation", customer(s, d), "c_nationkey",
+            nation(s, d), "n_nationkey")
+          .unionByName(edge("lineitem->orders", lineitem(s, d), "l_orderkey",
+            orders(s, d), "o_orderkey"))
+          .unionByName(edge("lineitem->part", lineitem(s, d), "l_partkey",
+            part(s, d), "p_partkey"))
+          .unionByName(edge("orders->customer", orders(s, d), "o_custkey",
+            customer(s, d), "c_custkey"))
+          .orderBy("rel")
+      },
+      """SELECT * FROM (
+        |  SELECT 'customer->nation' AS rel,
+        |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans,
+        |    (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)) AS n_childless
+        |  UNION ALL SELECT 'lineitem->orders',
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |  UNION ALL SELECT 'lineitem->part',
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |    (SELECT COUNT(*) FROM part p WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        |  UNION ALL SELECT 'orders->customer',
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |) ORDER BY rel""".stripMargin
     )
   )
 }

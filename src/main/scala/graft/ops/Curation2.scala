@@ -381,6 +381,45 @@ object Curation2 {
         |SELECT lang, COUNT(*) AS n, CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
         |       MIN(score) AS min_score, MAX(score) AS max_score
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q107
+    // Weighted systematic sampling by token budget: shuffle the corpus
+    // with the deterministic 7919/104729 permutation (q71's order), lay
+    // token counts end-to-end, and keep every document whose token span
+    // (offset, offset + n_tok] crosses a 512-token stride boundary —
+    // inclusion probability proportional to size WITHOUT floating-point
+    // priorities (A-ES needs pow/log, which is libm territory; this is
+    // pure int64). This is the data-mixing sampler a training pipeline
+    // runs to hit a token budget with size-proportional coverage. The
+    // offsets come from the two-pass range-bucketed scan
+    // (Scan.runningSumByRange) — one partitioned window + a P-row carry +
+    // a broadcast join; no global sort at any scale.
+    "q107_systematic_sample" -> QDef(
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("perm", (col("doc_id") * 7919) % 104729)
+        Scan.runningSumByRange(
+            docs, col("perm"), col("doc_id"), col("n_tok"),
+            "offset", lo = 0L, hi = 104729L)
+          .where(expr("(offset + n_tok) DIV 512") > expr("offset DIV 512"))
+          .select("doc_id", "n_tok", "offset")
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         (doc_id * 7919) % 104729 AS perm
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY perm, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS "offset"
+        |      FROM t)
+        |SELECT doc_id, n_tok, "offset" FROM o
+        |WHERE ("offset" + n_tok) // 512 > "offset" // 512
+        |ORDER BY doc_id""".stripMargin
     )
   )
 }

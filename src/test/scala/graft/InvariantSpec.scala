@@ -364,8 +364,8 @@ class InvariantSpec extends AnyFunSuite {
     assert(gotLv == expLv, "q104 recursive traversal differs from the closed form")
   }
 
-  test("round-7c invariants: q105 sweep equals brute-force dominance, q106 islands " +
-    "match a direct merge") {
+  test("round-7c invariants: q105 sweep equals brute-force dominance, q106 islands, " +
+    "q107 systematic picks, q108 fk counts all match direct recomputation") {
     // q105: the order-sweep skyline must equal the quadratic definition
     val parts = graft.Tables.part(spark, sf001)
       .select("p_partkey", "p_retailprice", "p_size")
@@ -399,5 +399,43 @@ class InvariantSpec extends AnyFunSuite {
     val gotIsl = run("q106_interval_union").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotIsl == expIsl, "q106 interval union differs from direct merge")
+
+    // q107: recompute the systematic sample directly — sort by the
+    // permutation, prefix-sum token counts, keep boundary-crossing spans
+    val docs7 = graft.Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+    val ordered = docs7.map { case (id, n) => (id * 7919 % 104729, id, n) }
+      .sortBy(t => (t._1, t._2))
+    var off = 0L
+    val expPick = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    for ((_, id, n) <- ordered) {
+      if ((off + n) / 512 > off / 512) expPick += ((id, n, off))
+      off += n
+    }
+    val gotPick = run("q107_systematic_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(gotPick == expPick.toList.sortBy(_._1),
+      s"q107: ${gotPick.size} picks vs direct ${expPick.size}")
+    // systematic property: picks never exceed boundaries, never empty here
+    assert(gotPick.nonEmpty && gotPick.size <= (off / 512).toInt + 1)
+
+    // q108: orphan/childless counts from key sets
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): Array[Long] =
+      df.select(col(c).cast("long")).collect().map(_.getLong(0))
+    val (cn, nk) = (keys(graft.Tables.customer(spark, sf001), "c_nationkey"),
+      keys(graft.Tables.nation(spark, sf001), "n_nationkey"))
+    val (lo, ok) = (keys(graft.Tables.lineitem(spark, sf001), "l_orderkey"),
+      keys(graft.Tables.orders(spark, sf001), "o_orderkey"))
+    val exp108 = Map(
+      "customer->nation" -> ((cn.count(!nk.toSet.contains(_)).toLong,
+        nk.count(!cn.toSet.contains(_)).toLong)),
+      "lineitem->orders" -> ((lo.count(!ok.toSet.contains(_)).toLong,
+        ok.count(!lo.toSet.contains(_)).toLong)))
+    val got108 = run("q108_fk_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    exp108.foreach { case (rel, want) =>
+      assert(got108(rel) == want, s"q108 $rel: ${got108(rel)} vs $want")
+    }
+    assert(got108.size == 4)
   }
 }
