@@ -465,6 +465,89 @@ object Analytics {
         |SELECT wend, COUNT(DISTINCT user_id) AS n_users,
         |       CAST(SUM(n) AS BIGINT) AS n_events
         |FROM ex GROUP BY wend ORDER BY wend""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q109
+    // Time-weighted average value per user: each event's value holds
+    // until the next event (step-function semantics — the metric-series
+    // average a monitoring store computes, where arithmetic mean
+    // over-weights bursts). One scan, one user_id window (lead), one
+    // aggregate. Exactness: value (2-decimal data) enters the
+    // DECIMAL(18,4) bridge, durations are exact int64 seconds, so every
+    // value·duration product and their sum are EXACT decimals on both
+    // engines; the only float op is the final decimal→double cast and one
+    // raw IEEE division by the span. Single-event users have no span and
+    // are excluded (both engines agree by construction).
+    "q109_time_weighted_avg" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        events(s, d)
+          .withColumn("sec", expr("unix_micros(ts) DIV 1000000"))
+          .withColumn("next_sec", lead("sec", 1).over(w))
+          .where(col("next_sec").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            sum(col("value").cast(graft.Det.D) * (col("next_sec") - col("sec")))
+              .cast("double").as("weighted_sum"),
+            (max("next_sec") - min("sec")).as("span_s"))
+          .withColumn("twa", col("weighted_sum") / col("span_s").cast("double"))
+          .select("user_id", "span_s", "twa")
+          .orderBy("user_id")
+      },
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_id,
+        |                   value FROM events),
+        |seg AS (SELECT user_id, sec, value,
+        |          lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |            AS next_sec
+        |        FROM ev)
+        |SELECT user_id,
+        |       CAST(MAX(next_sec) - MIN(sec) AS BIGINT) AS span_s,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4)) * (next_sec - sec)) AS DOUBLE)
+        |         / CAST(MAX(next_sec) - MIN(sec) AS DOUBLE) AS twa
+        |FROM seg WHERE next_sec IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q110
+    // Last-touch attribution: every purchase is credited to the nearest
+    // PRECEDING non-purchase event of the same user (the marketing
+    // attribution rule), with per-channel purchase counts and share.
+    // One scan, one user_id window: a conditional last_value(...) IGNORE
+    // NULLS carries the most recent non-purchase type forward, the filter
+    // keeps purchases, one aggregate finishes. Purchases with no prior
+    // touch credit 'none'. Share is one raw IEEE division of exact int64
+    // counts by the (broadcast) 1-row total.
+    "q110_attribution" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val attributed = events(s, d)
+          .withColumn("sec", expr("unix_micros(ts) DIV 1000000"))
+          .withColumn("touch",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(coalesce(col("touch"), lit("none")).as("channel"))
+        val counts = attributed.groupBy("channel").agg(count(lit(1)).as("n"))
+        counts
+          .crossJoin(broadcast(attributed.agg(count(lit(1)).as("total"))))
+          .select(col("channel"), col("n"),
+            (col("n").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy("channel")
+      },
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_id,
+        |                   event_type FROM events),
+        |t AS (SELECT user_id, event_type,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM ev),
+        |a AS (SELECT COALESCE(touch, 'none') AS channel FROM t
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT channel, COUNT(*) AS n FROM a GROUP BY 1)
+        |SELECT channel, n,
+        |       CAST(n AS DOUBLE) / CAST((SELECT COUNT(*) FROM a) AS DOUBLE) AS share
+        |FROM c ORDER BY channel""".stripMargin
     )
   )
 }

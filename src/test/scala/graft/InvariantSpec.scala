@@ -438,4 +438,50 @@ class InvariantSpec extends AnyFunSuite {
     }
     assert(got108.size == 4)
   }
+
+  test("round-7d invariants: q109 step-function average and q110 attribution match " +
+    "per-user replays") {
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val byUser = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.sortBy(x => (x._2, x._3))
+    }
+
+    // q109: the step-function integral in the same decimal space
+    val expTwa = byUser.collect { case (u, xs) if xs.length > 1 =>
+      val segs = xs.sliding(2).map { case Array(a, b) =>
+        BigDecimal(a._5).setScale(4) * BigDecimal(b._2 - a._2)
+      }.toList
+      val span = xs.last._2 - xs.head._2
+      u -> ((span, segs.sum.toDouble / span.toDouble))
+    }
+    val gotTwa = run("q109_time_weighted_avg").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotTwa == expTwa, "q109 TWA differs from the direct step integral")
+
+    // q110: walk each user's stream carrying the last non-purchase type
+    val credit = scala.collection.mutable.Map.empty[String, Long]
+    var totalPurchases = 0L
+    for ((_, xs) <- byUser) {
+      var touch: String = null
+      for (e <- xs) {
+        if (e._4 == "purchase") {
+          val ch = if (touch == null) "none" else touch
+          credit(ch) = credit.getOrElse(ch, 0L) + 1
+          totalPurchases += 1
+        } else touch = e._4
+      }
+    }
+    val gotAtt = run("q110_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(gotAtt.map(_._2).sum == totalPurchases)
+    gotAtt.foreach { case (ch, n, share) =>
+      assert(credit(ch) == n, s"q110 $ch: $n vs ${credit(ch)}")
+      assert(share == n.toDouble / totalPurchases.toDouble)
+    }
+    assert(gotAtt.map(_._1).toSet == credit.keySet)
+  }
 }
