@@ -159,6 +159,101 @@ object Profiling {
         |              - CAST(c_b AS DECIMAL(19,0)) * CAST(t_a AS DECIMAL(19,0)))) AS DOUBLE)
         |    / (CAST(MAX(t_a) AS DOUBLE) * CAST(MAX(t_b) AS DOUBLE)) AS l1
         |FROM per_tok, totals""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q111
+    // Per-user value trend: least-squares slope/intercept of value over
+    // time — the burst/decay detector behind q93's point anomalies. The
+    // closed form needs ONLY the five per-group sums (n, Σx, Σy, Σxy,
+    // Σx²), i.e. one scan + one hash aggregate, map-side combined — no
+    // window, no second pass. Every sum runs EXACT: x = int64 seconds in
+    // 19-wide decimals (sec² overflows int64 after 3 rows, and DuckDB
+    // multiplies int64-BACKED decimals in int64 physical — operands must
+    // be >= DECIMAL(19) to force int128, the q90 lesson; kept narrow
+    // enough that every product width w1+w2 <= 38 binds), y through the
+    // DECIMAL(18,4) bridge, and the closed-form
+    // numerator/denominator stay decimal until ONE double cast each; the
+    // slope division and the intercept's multiply-subtract-divide chain
+    // are then identical IEEE sequences on both engines. Degenerate
+    // groups (zero time variance) are excluded by an exact decimal
+    // compare. Operand widths are sized so every product fits DuckDB's
+    // 38-digit cap (w1+w2 <= 38, bind-time checked).
+    "q111_trend_slope" -> QDef(
+      (s, d) => {
+        events(s, d)
+          .withColumn("sec", expr("unix_micros(ts) DIV 1000000"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).cast("decimal(8,0)").as("n"),
+            sum(col("sec").cast("decimal(19,0)")).cast("decimal(19,0)").as("sx"),
+            sum(col("value").cast(graft.Det.D)).cast("decimal(12,4)").as("sy"),
+            sum(col("sec").cast("decimal(19,0)") * col("value").cast(graft.Det.D))
+              .cast("decimal(20,4)").as("sxy"),
+            sum(col("sec").cast("decimal(19,0)") * col("sec").cast("decimal(19,0)"))
+              .cast("decimal(25,0)").as("sxx"))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .where(col("den") =!= lit(0))
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              col("den").cast("double"))
+          .withColumn("intercept",
+            (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+              col("n").cast("double"))
+          .select("user_id", "slope", "intercept")
+          .orderBy("user_id")
+      },
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec, value
+        |            FROM events),
+        |s AS (SELECT user_id,
+        |        CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+        |        CAST(SUM(CAST(sec AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(12,4)) AS sy,
+        |        CAST(SUM(CAST(sec AS DECIMAL(19,0)) * CAST(value AS DECIMAL(18,4)))
+        |          AS DECIMAL(20,4)) AS sxy,
+        |        CAST(SUM(CAST(sec AS DECIMAL(19,0)) * CAST(sec AS DECIMAL(19,0)))
+        |          AS DECIMAL(25,0)) AS sxx
+        |      FROM ev GROUP BY 1),
+        |f AS (SELECT user_id, n, sx, sy, sxy, sxx, n * sxx - sx * sx AS den
+        |      FROM s WHERE n * sxx - sx * sx <> 0)
+        |SELECT user_id,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(den AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM f ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q112
+    // Benford first-digit audit of order totals — the classic fabricated-
+    // numbers screen. The determinism trap is digit EXTRACTION, not the
+    // counting: log10/pow are libm (banned), double→string formatting
+    // differs across engines, and double→int casts TRUNCATE in Spark but
+    // ROUND in DuckDB. The portable path: DECIMAL(18,2) bridge (exact on
+    // the 2-decimal money data) → ×100 → BIGINT (exact) → first char of
+    // the INTEGER's string form, which both engines render identically.
+    // One scan, one 9-row aggregate; share is one raw quotient against
+    // the 1-row broadcast total.
+    "q112_benford" -> QDef(
+      (s, d) => {
+        val digits = orders(s, d)
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").as("cents"))
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+        val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+        counts
+          .crossJoin(broadcast(digits.agg(count(lit(1)).as("total"))))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy("digit")
+      },
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                 * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |           FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+        |SELECT digit, n,
+        |       CAST(n AS DOUBLE) / CAST((SELECT COUNT(*) FROM d) AS DOUBLE) AS share
+        |FROM c ORDER BY digit""".stripMargin
     )
   )
 }

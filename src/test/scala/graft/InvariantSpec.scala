@@ -439,8 +439,8 @@ class InvariantSpec extends AnyFunSuite {
     assert(got108.size == 4)
   }
 
-  test("round-7d invariants: q109 step-function average and q110 attribution match " +
-    "per-user replays") {
+  test("round-7d invariants: q109 TWA, q110 attribution, q111 least squares, " +
+    "q112 digit histogram all match direct replays") {
     val ev = graft.Tables.events(spark, sf001)
       .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"),
         col("event_id"), col("event_type"), col("value"))
@@ -483,5 +483,35 @@ class InvariantSpec extends AnyFunSuite {
       assert(share == n.toDouble / totalPurchases.toDouble)
     }
     assert(gotAtt.map(_._1).toSet == credit.keySet)
+
+    // q111: closed-form least squares in the same exact-decimal space,
+    // replaying the engines' exact float sequence (two casts, one div,
+    // then the intercept chain)
+    val expSlope = byUser.collect { case (u, xs)
+        if xs.map(_._2).distinct.length > 1 || xs.length > 1 =>
+      val n = BigDecimal(xs.length)
+      val sx = xs.map(x => BigDecimal(x._2)).sum
+      val sy = xs.map(x => BigDecimal(x._5).setScale(4)).sum
+      val sxy = xs.map(x => BigDecimal(x._2) * BigDecimal(x._5).setScale(4)).sum
+      val sxx = xs.map(x => BigDecimal(x._2) * BigDecimal(x._2)).sum
+      val den = n * sxx - sx * sx
+      if (den == 0) None else {
+        val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+        Some(u -> ((slope, (sy.toDouble - slope * sx.toDouble) / n.toDouble)))
+      }
+    }.flatten.toMap
+    val gotSlope = run("q111_trend_slope").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(gotSlope == expSlope, "q111 slope/intercept differ from the closed form")
+
+    // q112: digit histogram from exact cents
+    val cents = graft.Tables.orders(spark, sf001)
+      .select(col("o_totalprice").cast("decimal(18,2)")).collect()
+      .map(r => (r.getDecimal(0).unscaledValue().longValue()))
+    val expDig = cents.map(_.toString.charAt(0).asDigit)
+      .groupBy(identity).map { case (d0, xs) => d0 -> xs.length.toLong }
+    val gotDig = run("q112_benford").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotDig == expDig, "q112 digit histogram differs from exact cents")
   }
 }
