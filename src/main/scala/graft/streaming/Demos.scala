@@ -39,6 +39,14 @@ case class WendSeen(wends: List[Int], lastTsMillis: Long)
   * the exact rolling distinct-user count (batch q102). */
 case class WendClaim(user_id: Long, wend: java.sql.Date)
 
+/** s18 per-user state: the most recent non-purchase event type (the
+  * last-touch carry) plus the newest event time for timer eviction. */
+case class TouchState(touch: String, lastMs: Long)
+
+/** s18 output: a purchase credited to its last-touch channel (batch
+  * q110's attribution rule, applied at ingest). */
+case class Credit(user_id: Long, event_id: Long, channel: String)
+
 /** A document arriving on the ingest stream (s8). */
 case class DocIngest(doc_id: Long, ts: Timestamp, text: String, lang: String)
 
@@ -861,6 +869,47 @@ object Demos {
             seen = seen.copy(wends = seen.wends.filter(_ >= wmDay))
             state.update(seen)
             state.setTimeoutTimestamp(seen.lastTsMillis + 3600 * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** s18 — last-touch attribution on ingest: the streaming form of batch
+    * q110. Per-user GroupState carries ONLY the most recent non-purchase
+    * event type (O(1) state); each purchase is credited to that carry (or
+    * 'none') the moment it arrives — the attribution stream a marketing
+    * pipeline joins to spend data. Ordering contract mirrors s8: WITHIN a
+    * micro-batch events are walked in (ts, event_id) order, ACROSS
+    * batches the carry is arrival-order (append mode cannot revise an
+    * emitted credit) — on the single-batch file source the result equals
+    * batch q110 exactly (StreamingEquivalenceSpec). An event-time timer
+    * evicts users idle for an hour, as s8.
+    */
+  def s18AttributionTracker(spark: SparkSession, events: DataFrame): Dataset[Credit] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Credit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(TouchState(null, 0L))
+            val out = Vector.newBuilder[Credit]
+            for (e <- arrived) {
+              if (e.event_type == "purchase")
+                out += Credit(uid, e.event_id,
+                  if (st.touch == null) "none" else st.touch)
+              else st = st.copy(touch = e.event_type)
+              st = st.copy(lastMs = math.max(st.lastMs, e.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + 3600 * 1000L)
             out.result().iterator
           }
       }

@@ -219,6 +219,23 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
   }
 
+  test("s18 attribution tracker over the file stream == batch q110 channel counts") {
+    val got = runStream(
+      streaming.Demos.s18AttributionTracker(spark, eventStream).toDF(), "eq_s18")
+      .where(col("user_id") =!= FlushUser)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._2).distinct.length == got.length,
+      "a purchase was credited twice")
+    val gotChannels = got.groupBy(_._3).map { case (ch, xs) => ch -> xs.length.toLong }
+    val want = SparkEntry.queries("q110_attribution")(spark, sf001)
+      .select("channel", "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+    assert(gotChannels == want,
+      s"missing=${(want.toSet -- gotChannels.toSet).take(3)} extra=${(gotChannels.toSet -- want.toSet).take(3)}")
+  }
+
   test("s15 funnel tracker over the file stream == batch q85 (per-user stages and corpus counts)") {
     SharedSpark.withRocksDb {
       val got = runStream(
