@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 ordered-series and audit operators: gaps-and-islands activity
+  * streaks, peak-to-trough drop detection, deterministic per-group mode,
+  * and an order-book reconciliation — the retention / monitoring /
+  * bookkeeping surfaces that sit on top of the event-analytics family
+  * (q85–q88, q100, q109–q110).
+  *
+  * Determinism contract (CLAUDE.md): streak arithmetic is exact
+  * int32/date space; drop detection runs entirely in the DECIMAL(18,4)
+  * bridge (exact, order-independent) with one terminal double cast per
+  * column; mode ties break on a total (n DESC, key ASC) order;
+  * reconciliation keeps every product inside decimal widths where
+  * w1+w2 <= 38 so neither engine rounds or overflows (operand precision
+  * >= 19 forces DuckDB's int128 physical type — the q90/q111 lesson).
+  */
+object Series {
+  import Tables._
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // --------------------------------------------------------------- q113
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands rewrite. Island key = datediff(day, epoch) - rn,
+    // exact integer space. Plan shape: distinct user-days (one shuffle on
+    // user_id via the window), then BOTH windows and the island groupBy
+    // share the user_id partitioning — one exchange total, each user's
+    // days buffered in a spillable sorter, never collected. Tie-break:
+    // longest streak, then earliest start (total order, both engines).
+    "q113_streaks" -> QDef(
+      (s, d) => {
+        val byDay = Window.partitionBy("user_id").orderBy("day")
+        val best = Window.partitionBy("user_id")
+          .orderBy(col("len").desc, col("start_day"))
+        events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+          .withColumn("rn", row_number().over(byDay))
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast("date")) - col("rn"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("day").as("start_day"),
+            max("day").as("end_day"))
+          .withColumn("rk", row_number().over(best))
+          .where(col("rk") === 1)
+          .select("user_id", "len", "start_day", "end_day")
+          .orderBy("user_id")
+      },
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |              FROM events),
+        |r AS (SELECT user_id, day,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |      FROM days),
+        |st AS (SELECT user_id, (day - DATE '1970-01-01') - rn AS grp,
+        |         COUNT(*) AS len, MIN(day) AS start_day, MAX(day) AS end_day
+        |       FROM r GROUP BY 1, 2),
+        |b AS (SELECT user_id, len, start_day, end_day,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY len DESC, start_day) AS rk
+        |      FROM st)
+        |SELECT user_id, len, start_day, end_day FROM b WHERE rk = 1
+        |ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q114
+    // Largest peak-to-trough drop per user's metric series — the alert a
+    // monitoring store raises when a reading collapses from any earlier
+    // high. One scan, one user_id window: running max of the reading so
+    // far (rows unbounded-preceding..current), drop = peak - reading,
+    // then a co-partitioned per-user rollup. Entirely exact decimal:
+    // readings enter the DECIMAL(18,4) bridge, running max and
+    // subtraction are exact, so the only float ops are the terminal
+    // casts. Window and groupBy share the user_id exchange.
+    "q114_peak_drop" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("sec", expr("unix_micros(ts) DIV 1000000"))
+          .withColumn("v", col("value").cast(graft.Det.D))
+          .withColumn("peak", max("v").over(w))
+          .withColumn("drop", col("peak") - col("v"))
+          .groupBy("user_id")
+          .agg(max("peak").cast("double").as("peak"),
+            max("drop").cast("double").as("max_drop"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_id,
+        |                   CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |p AS (SELECT user_id, v,
+        |        MAX(v) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM ev)
+        |SELECT user_id, CAST(MAX(peak) AS DOUBLE) AS peak,
+        |       CAST(MAX(peak - v) AS DOUBLE) AS max_drop,
+        |       COUNT(*) AS n_events
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q115
+    // Deterministic mode: each user's most frequent event type, ties
+    // broken by (count DESC, type ASC) — a TOTAL order, so both engines
+    // must pick the same row (DuckDB's mode() and Spark's mode both
+    // leave ties unspecified; the window rewrite is the portable form).
+    // Plan: one scan, (user, type) hash aggregate (map-side combined),
+    // then the ranking window and the share window both reuse the
+    // user_id partitioning. Share is one raw IEEE division of exact
+    // int64 counts.
+    "q115_mode" -> QDef(
+      (s, d) => {
+        val rankW = Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("event_type"))
+        val totalW = Window.partitionBy("user_id")
+        events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("total", sum("n").over(totalW))
+          .withColumn("rk", row_number().over(rankW))
+          .where(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("n"),
+            (col("n").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy("user_id")
+      },
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |        SUM(n) OVER (PARTITION BY user_id) AS total,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY n DESC, event_type) AS rk
+        |      FROM c)
+        |SELECT user_id, event_type AS mode_type, n,
+        |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q116
+    // Order-book reconciliation: recompute every order's total from its
+    // line items as SUM(extendedprice * (1-discount) * (1+tax)) in EXACT
+    // decimal and compare against the booked o_totalprice, rolled up per
+    // order status — the bookkeeping audit that catches drift between a
+    // fact table and its rollup. Width discipline: extendedprice enters
+    // at DECIMAL(19,2) (precision >= 19 forces DuckDB's int128 physical
+    // multiply), the (7,4) factor products land at (33..35,10) <= 38 so
+    // NEITHER engine rounds; the per-order sum is bridged to (28,10).
+    // Plan: lineitem aggregates BEFORE the join (partial-agg'd, orders-
+    // sized not lineitem-sized), one equi-join, one 3-row rollup.
+    "q116_reconcile" -> QDef(
+      (s, d) => {
+        val one4 = lit(1).cast("decimal(6,4)")
+        val recomputed = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_extendedprice").cast("decimal(19,2)") *
+              (one4 - col("l_discount").cast("decimal(6,4)")) *
+              (one4 + col("l_tax").cast("decimal(6,4)")))
+            .cast("decimal(28,10)").as("recomputed"))
+        orders(s, d)
+          .join(recomputed, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(19,2)").as("booked"),
+            col("recomputed"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            count(col("recomputed")).as("n_with_items"),
+            sum(when(col("booked").cast("decimal(29,10)") === col("recomputed"),
+              1L).otherwise(0L)).as("n_exact"),
+            sum("booked").cast("double").as("sum_booked"),
+            // wide-scale decimals stay DECIMAL to the output: casting a
+            // decimal whose unscaled value exceeds 2^53 to double double-
+            // rounds differently per engine, and rescaling first is no
+            // better (Spark HALF_UP vs DuckDB TRUNCATE on decimal
+            // downscale — both found empirically here). Same-scale
+            // decimal casts are exact on both engines.
+            sum("recomputed").cast("decimal(28,10)").as("sum_recomputed"),
+            max(abs(col("booked") - col("recomputed"))).cast("decimal(28,10)")
+              .as("max_abs_diff"))
+          .orderBy("o_orderstatus")
+      },
+      """WITH comp AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+        |             * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+        |             * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4))))
+        |      AS DECIMAL(28,10)) AS recomputed
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderstatus,
+        |        CAST(o_totalprice AS DECIMAL(19,2)) AS booked, recomputed
+        |      FROM orders LEFT JOIN comp ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       COUNT(recomputed) AS n_with_items,
+        |       CAST(SUM(CASE WHEN CAST(booked AS DECIMAL(29,10)) = recomputed
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(SUM(booked) AS DOUBLE) AS sum_booked,
+        |       CAST(SUM(recomputed) AS DECIMAL(28,10)) AS sum_recomputed,
+        |       CAST(MAX(ABS(booked - recomputed)) AS DECIMAL(28,10))
+        |         AS max_abs_diff
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+}

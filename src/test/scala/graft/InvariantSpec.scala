@@ -514,4 +514,103 @@ class InvariantSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(gotDig == expDig, "q112 digit histogram differs from exact cents")
   }
+
+  test("round-7e invariants: q113 streaks, q114 peak drops, q115 mode, " +
+    "q116 reconciliation all match direct replays") {
+    // q113: longest consecutive-day run per user, recomputed by walking
+    // each user's sorted distinct epoch-days
+    val userDays = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.map(_._2).sortBy(_.toEpochDay)
+      }
+    val expStreak = userDays.map { case (u, days) =>
+      var runs = List.empty[(Long, java.time.LocalDate, java.time.LocalDate)]
+      var start = days.head
+      var prev = days.head
+      for (d <- days.tail) {
+        if (d.toEpochDay != prev.toEpochDay + 1) {
+          runs ::= ((prev.toEpochDay - start.toEpochDay + 1, start, prev))
+          start = d
+        }
+        prev = d
+      }
+      runs ::= ((prev.toEpochDay - start.toEpochDay + 1, start, prev))
+      u -> runs.minBy(r => (-r._1, r._2.toEpochDay))
+    }
+    val gotStreak = run("q113_streaks").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDate(2).toLocalDate,
+        r.getDate(3).toLocalDate))).toMap
+    assert(gotStreak == expStreak, "q113 streaks differ from the direct walk")
+
+    // q114: running peak / max drop replayed in the same decimal space
+    val evSorted = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.sortBy(x => (x._2, x._3)) }
+    val expDrop = evSorted.map { case (u, xs) =>
+      var peak = BigDecimal(xs.head._4).setScale(4)
+      var maxDrop = BigDecimal(0).setScale(4)
+      for (e <- xs) {
+        val v = BigDecimal(e._4).setScale(4)
+        if (v > peak) peak = v
+        if (peak - v > maxDrop) maxDrop = peak - v
+      }
+      u -> ((peak.toDouble, maxDrop.toDouble, xs.length.toLong))
+    }
+    val gotDrop = run("q114_peak_drop").collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(gotDrop == expDrop, "q114 peak/drop differ from the direct walk")
+
+    // q115: mode with the (n DESC, type ASC) total order, plus share
+    val typed = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+    val expMode = typed.map { case (u, xs) =>
+      val counts = xs.groupBy(_._2).map { case (t, ys) => t -> ys.length.toLong }
+      val (t, n) = counts.toList.minBy { case (ty, c) => (-c, ty) }
+      u -> ((t, n, n.toDouble / xs.length.toDouble))
+    }
+    val gotMode = run("q115_mode").collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotMode == expMode, "q115 mode differs from the direct count")
+
+    // q116: recompute every order total in exact BigDecimal space and
+    // roll up per status; decimal outputs must match to the last digit
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val perOrder = li.groupBy(_._1).map { case (ok, xs) =>
+      ok -> xs.map { case (_, ep, disc, tax) =>
+        BigDecimal(ep).setScale(2) *
+          (BigDecimal(1).setScale(4) - BigDecimal(disc).setScale(4)) *
+          (BigDecimal(1).setScale(4) + BigDecimal(tax).setScale(4))
+      }.sum.setScale(10)
+    }
+    val ord = graft.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expRec = ord.groupBy(_._2).map { case (st, xs) =>
+      val withItems = xs.flatMap(o => perOrder.get(o._1).map(o -> _))
+      val exact = withItems.count { case (o, rc) =>
+        BigDecimal(o._3).setScale(2) == rc
+      }
+      val maxDiff =
+        if (withItems.isEmpty) null
+        else withItems.map { case (o, rc) =>
+          (BigDecimal(o._3).setScale(2) - rc).abs
+        }.max.setScale(10)
+      (st, xs.length.toLong, withItems.length.toLong, exact.toLong, maxDiff)
+    }.toSet
+    val gotRec = run("q116_reconcile").collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(6)) null else BigDecimal(r.getDecimal(6)).setScale(10))
+    }.toSet
+    assert(gotRec == expRec, "q116 reconciliation differs from the replay")
+  }
 }
