@@ -47,6 +47,15 @@ case class TouchState(touch: String, lastMs: Long)
   * q110's attribution rule, applied at ingest). */
 case class Credit(user_id: Long, event_id: Long, channel: String)
 
+/** s19 per-user state: running peak and record drop in exact CENT space
+  * (2-decimal data ⇒ cents are exact int64), plus the newest event time
+  * for timer eviction. */
+case class PeakState(peakCents: Long, maxDropCents: Long, lastMs: Long)
+
+/** s19 output: a NEW record peak-to-trough drop for this user — the
+  * collapse alert batch q114 computes after the fact, raised at ingest. */
+case class DropAlert(user_id: Long, event_id: Long, dropCents: Long)
+
 /** A document arriving on the ingest stream (s8). */
 case class DocIngest(doc_id: Long, ts: Timestamp, text: String, lang: String)
 
@@ -907,6 +916,47 @@ object Demos {
                   if (st.touch == null) "none" else st.touch)
               else st = st.copy(touch = e.event_type)
               st = st.copy(lastMs = math.max(st.lastMs, e.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + 3600 * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** s19 — peak-drop monitoring on ingest: the streaming form of batch
+    * q114. Per-user GroupState carries ONLY (running peak, record drop) in
+    * exact cent space — O(1) state, no reading history — and an alert is
+    * emitted the moment a drop sets a new per-user record (each alert
+    * strictly deeper than the last, so the alert stream is sparse even on
+    * a noisy series). On the single-batch file source the deepest alert
+    * per user equals q114's max_drop exactly and users with zero drop
+    * alert never (StreamingEquivalenceSpec). Event-time timer evicts
+    * users idle for an hour, as s8/s18.
+    */
+  def s19PeakDropMonitor(spark: SparkSession, events: DataFrame): Dataset[DropAlert] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PeakState, DropAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[PeakState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(PeakState(Long.MinValue, 0L, 0L))
+            val out = Vector.newBuilder[DropAlert]
+            for (e <- arrived) {
+              val cents = math.round(e.value * 100) // exact on 2-decimal data
+              val peak = math.max(st.peakCents, cents)
+              val drop = peak - cents
+              if (drop > st.maxDropCents) out += DropAlert(uid, e.event_id, drop)
+              st = PeakState(peak, math.max(st.maxDropCents, drop),
+                math.max(st.lastMs, e.ts.getTime))
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastMs + 3600 * 1000L)

@@ -236,6 +236,34 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(want.toSet -- gotChannels.toSet).take(3)} extra=${(gotChannels.toSet -- want.toSet).take(3)}")
   }
 
+  test("s19 peak-drop monitor over the file stream == batch q114 record drops") {
+    val got = runStream(
+      streaming.Demos.s19PeakDropMonitor(spark, eventStream).toDF(), "eq_s19")
+      .where(col("user_id") =!= FlushUser)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // each alert is a strictly deeper record than the user's previous one,
+    // so per user the alert count equals the distinct-drop count
+    val perUser = got.groupBy(_._1)
+    perUser.foreach { case (u, xs) =>
+      assert(xs.map(_._3).distinct.length == xs.length,
+        s"user $u emitted a non-record alert")
+    }
+    val want = SparkEntry.queries("q114_peak_drop")(spark, sf001)
+      .select("user_id", "max_drop")
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    assert(want.nonEmpty)
+    // the deepest alert per user IS the batch max drop; silent users are
+    // exactly the zero-drop users
+    perUser.foreach { case (u, xs) =>
+      assert(xs.map(_._3).max == want(u),
+        s"user $u deepest alert ${xs.map(_._3).max} != batch ${want(u)}")
+    }
+    val silent = want.keySet -- perUser.keySet
+    assert(silent.forall(want(_) == 0L),
+      s"users ${silent.filter(want(_) != 0L).take(3)} dropped but never alerted")
+  }
+
   test("s15 funnel tracker over the file stream == batch q85 (per-user stages and corpus counts)") {
     SharedSpark.withRocksDb {
       val got = runStream(
