@@ -125,6 +125,39 @@ object Graph {
         |SELECT depth, COUNT(*) AS n,
         |       CAST(ROUND(SUM(CAST(bal AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_bal
         |FROM h GROUP BY depth ORDER BY depth""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q119
+    // Degree distribution of the customer→orders bipartite graph,
+    // INCLUDING the zero-degree customers a groupBy-only rollup silently
+    // drops (left join from the customer spine). The shape every graph
+    // workload profiles first: skew here decides salting/broadcast
+    // choices downstream. Plan: orders aggregate BEFORE the join
+    // (customer-sized, partial-agg'd), one equi-join on the spine, then
+    // a tiny degree rollup + 1-row broadcast total. Counts exact int64;
+    // share is one raw IEEE quotient.
+    "q119_degree_hist" -> QDef(
+      (s, d) => {
+        val deg = orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("degree"))
+        val full = customer(s, d).select(col("c_custkey"))
+          .join(deg, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        full.groupBy("degree").agg(count(lit(1)).as("n_customers"))
+          .crossJoin(broadcast(full.agg(count(lit(1)).as("total"))))
+          .select(col("degree"), col("n_customers"),
+            (col("n_customers").cast("double") / col("total").cast("double"))
+              .as("share"))
+          .orderBy("degree")
+      },
+      """WITH deg AS (SELECT o_custkey, COUNT(*) AS degree FROM orders
+        |             GROUP BY 1),
+        |spine AS (SELECT COALESCE(degree, 0) AS degree
+        |          FROM customer LEFT JOIN deg ON c_custkey = o_custkey)
+        |SELECT degree, COUNT(*) AS n_customers,
+        |       CAST(COUNT(*) AS DOUBLE) /
+        |         CAST((SELECT COUNT(*) FROM spine) AS DOUBLE) AS share
+        |FROM spine GROUP BY 1 ORDER BY 1""".stripMargin
     )
   )
 }

@@ -199,6 +199,112 @@ object Series {
         |       CAST(MAX(ABS(booked - recomputed)) AS DECIMAL(28,10))
         |         AS max_abs_diff
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q117
+    // Winsorized mean of value per event type: clamp to the [p05, p95]
+    // caps, then average — the outlier-robust mean a metrics pipeline
+    // reports next to the raw one. Exact percentiles by ORDERED POSITION
+    // (rank ceil(n/20) / ceil(19n/20) in pure integer arithmetic), not
+    // interpolation: both engines pick the SAME actual data value, so no
+    // float enters until the terminal casts. One scan; the rank window,
+    // the cap windows, and the final groupBy all share the event_type
+    // partitioning (per-type rows buffered in a spillable sorter).
+    "q117_winsorized" -> QDef(
+      (s, d) => {
+        val byV = Window.partitionBy("event_type").orderBy("v", "event_id")
+        val all = Window.partitionBy("event_type")
+        events(s, d)
+          .select(col("event_type"), col("event_id"),
+            col("value").cast(graft.Det.D).as("v"))
+          .withColumn("rn", row_number().over(byV))
+          .withColumn("n", count(lit(1)).over(all))
+          .withColumn("lo",
+            max(when(col("rn") === expr("(n + 19) DIV 20"), col("v"))).over(all))
+          .withColumn("hi",
+            max(when(col("rn") === expr("(19 * n + 19) DIV 20"), col("v")))
+              .over(all))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), max("lo").cast("double").as("lo"),
+            max("hi").cast("double").as("hi"),
+            // clamp via CASE, not least/greatest: DuckDB's LEAST/GREATEST
+            // promote DECIMAL args to DOUBLE (measured — float dust in the
+            // sum), while CASE keeps the branch type; Spark mirrors the
+            // spelling so both sums stay exact decimal
+            (sum(when(col("v") < col("lo"), col("lo"))
+              .when(col("v") > col("hi"), col("hi"))
+              .otherwise(col("v"))).cast("double") / max("n")).as("wmean"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (SELECT event_type, event_id,
+        |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |o AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY v, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM ev),
+        |c AS (SELECT event_type, v, n,
+        |        MAX(CASE WHEN rn = (n + 19) // 20 THEN v END)
+        |          OVER (PARTITION BY event_type) AS lo,
+        |        MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN v END)
+        |          OVER (PARTITION BY event_type) AS hi
+        |      FROM o)
+        |SELECT event_type, MAX(n) AS n,
+        |       CAST(MAX(lo) AS DOUBLE) AS lo, CAST(MAX(hi) AS DOUBLE) AS hi,
+        |       CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi
+        |                     ELSE v END) AS DOUBLE) / MAX(n) AS wmean
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q118
+    // Median absolute deviation of value per event type — the robust
+    // spread estimate (stddev needs a double mean; MAD never leaves
+    // decimal space). Median = lower median by ordered position
+    // ((n+1) DIV 2), absolute deviations stay exact decimal, then a
+    // second ordered-position pass picks the MAD. Two sort windows over
+    // the SAME event_type partitioning — one exchange, two in-partition
+    // sorts, no interpolation anywhere.
+    "q118_mad" -> QDef(
+      (s, d) => {
+        val byV = Window.partitionBy("event_type").orderBy("v", "event_id")
+        val byAd = Window.partitionBy("event_type").orderBy("ad", "event_id")
+        val all = Window.partitionBy("event_type")
+        events(s, d)
+          .select(col("event_type"), col("event_id"),
+            col("value").cast(graft.Det.D).as("v"))
+          .withColumn("rn", row_number().over(byV))
+          .withColumn("n", count(lit(1)).over(all))
+          .withColumn("med",
+            max(when(col("rn") === expr("(n + 1) DIV 2"), col("v"))).over(all))
+          .withColumn("ad", abs(col("v") - col("med")))
+          .withColumn("rn2", row_number().over(byAd))
+          .withColumn("mad",
+            max(when(col("rn2") === expr("(n + 1) DIV 2"), col("ad"))).over(all))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), max("med").cast("double").as("med"),
+            max("mad").cast("double").as("mad"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (SELECT event_type, event_id,
+        |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |o AS (SELECT event_type, event_id, v,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY v, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM ev),
+        |m AS (SELECT event_type, event_id, v, n,
+        |        MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |          OVER (PARTITION BY event_type) AS med
+        |      FROM o),
+        |a AS (SELECT event_type, event_id, n, med, ABS(v - med) AS ad FROM m),
+        |r AS (SELECT event_type, n, med, ad,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY ad, event_id) AS rn2
+        |      FROM a)
+        |SELECT event_type, MAX(n) AS n, CAST(MAX(med) AS DOUBLE) AS med,
+        |       CAST(MAX(CASE WHEN rn2 = (n + 1) // 2 THEN ad END) AS DOUBLE)
+        |         AS mad
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
     )
   )
 }

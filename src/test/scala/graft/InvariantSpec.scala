@@ -613,4 +613,54 @@ class InvariantSpec extends AnyFunSuite {
     }.toSet
     assert(gotRec == expRec, "q116 reconciliation differs from the replay")
   }
+
+  test("round-7f invariants: q117 winsorized caps, q118 MAD, q119 degree " +
+    "histogram all match direct replays") {
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+
+    // q117: position-based caps and the clamped decimal mean
+    val expWin = ev.map { case (t, xs) =>
+      val sorted = xs.map(x => (BigDecimal(x._3).setScale(4), x._2)).sortBy(identity)
+      val n = sorted.length
+      val lo = sorted((n + 19) / 20 - 1)._1
+      val hi = sorted((19 * n + 19) / 20 - 1)._1
+      val csum = sorted.map(_._1).map(v => v.max(lo).min(hi)).sum
+      t -> ((n.toLong, lo.toDouble, hi.toDouble, csum.toDouble / n.toDouble))
+    }
+    val gotWin = run("q117_winsorized").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(gotWin == expWin, "q117 winsorized mean differs from the replay")
+    gotWin.foreach { case (t, (_, lo, hi, wm)) =>
+      assert(lo <= wm && wm <= hi, s"q117 $t: wmean outside [lo, hi]")
+    }
+
+    // q118: lower-median and MAD by position
+    val expMad = ev.map { case (t, xs) =>
+      val sorted = xs.map(x => (BigDecimal(x._3).setScale(4), x._2)).sortBy(identity)
+      val n = sorted.length
+      val med = sorted((n + 1) / 2 - 1)._1
+      val ads = xs.map(x => ((BigDecimal(x._3).setScale(4) - med).abs, x._2))
+        .sortBy(identity)
+      t -> ((n.toLong, med.toDouble, ads((n + 1) / 2 - 1)._1.toDouble))
+    }
+    val gotMad = run("q118_mad").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gotMad == expMad, "q118 MAD differs from the replay")
+
+    // q119: degrees cover every customer exactly once and sum to |orders|
+    val got = run("q119_degree_hist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nCust = graft.Tables.customer(spark, sf001).count()
+    val nOrd = graft.Tables.orders(spark, sf001).count()
+    assert(got.map(_._2).sum == nCust, "q119 histogram misses customers")
+    assert(got.map(x => x._1 * x._2).sum == nOrd,
+      "q119 degree-weighted sum != |orders|")
+    got.foreach { case (_, n, share) =>
+      assert(share == n.toDouble / nCust.toDouble)
+    }
+  }
 }
