@@ -305,6 +305,105 @@ object Series {
         |       CAST(MAX(CASE WHEN rn2 = (n + 1) // 2 THEN ad END) AS DOUBLE)
         |         AS mad
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q120
+    // Gini coefficient of value per event type — the inequality measure a
+    // revenue/exposure dashboard reports next to the mean. Uses the
+    // rank-sum identity gini = sum((2*i - n - 1) * v_i) / (n * sum(v))
+    // over values sorted ascending: the per-row coefficient keeps every
+    // product inside DECIMAL(29,4) (w1+w2+1 <= 38, no rounding on either
+    // engine; operand precision >= 19 forces DuckDB int128 — the q116
+    // lesson), both sums are exact decimal, and the single division is
+    // one raw IEEE quotient of two correctly-rounded casts. Tie-safe by
+    // construction: permuting equal values reassigns coefficients within
+    // a group whose values are identical, so the rank-sum is invariant —
+    // the (v, event_id) order is only needed to make row_number total.
+    // One scan; rank window, count window, and the rollup all share the
+    // event_type partitioning. Portability bound: the decimal→double
+    // casts hold while the unscaled sums fit 2^53 (fine through sf0.1's
+    // 1e15; at cluster scale emit num/den as DECIMAL columns instead —
+    // the q116 wide-scale rule).
+    "q120_gini" -> QDef(
+      (s, d) => {
+        val byV = Window.partitionBy("event_type").orderBy("v", "event_id")
+        val all = Window.partitionBy("event_type")
+        events(s, d)
+          .select(col("event_type"), col("event_id"),
+            col("value").cast(graft.Det.D).as("v"))
+          .withColumn("rn", row_number().over(byV))
+          .withColumn("n", count(lit(1)).over(all))
+          .withColumn("coef",
+            (lit(2) * col("rn") - col("n") - lit(1))
+              .cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+          .groupBy("event_type")
+          .agg(max("n").as("n"),
+            (sum(col("coef") * col("v")).cast("double") /
+              (max("n").cast(org.apache.spark.sql.types.DecimalType(10, 0)) *
+                sum(col("v"))
+                  .cast(org.apache.spark.sql.types.DecimalType(27, 4)))
+                .cast("double")).as("gini"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (SELECT event_type, event_id,
+        |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |o AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY v, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM ev)
+        |SELECT event_type, MAX(n) AS n,
+        |       CAST(SUM(CAST(2*rn - n - 1 AS DECIMAL(10,0)) * v) AS DOUBLE) /
+        |         CAST(CAST(MAX(n) AS DECIMAL(10,0)) *
+        |              CAST(SUM(v) AS DECIMAL(27,4)) AS DOUBLE) AS gini
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q121
+    // Weighted median of extended price per return flag, weighted by
+    // quantity — "the price at which half the shipped units are cheaper",
+    // the robust per-unit price a procurement report needs (the row
+    // median over-weights single-unit lines). Formulation sidesteps
+    // lineitem's missing unique key entirely: group to (flag, price)
+    // FIRST (price is then a unique sort key — no row-level tie-break
+    // needed), cumulative weight in exact int64, and the median is the
+    // MIN price whose doubled cumulative weight reaches the total.
+    // Quantities are integral doubles (verified), so the bigint cast is
+    // exact on both engines despite their different fractional rules
+    // (Spark truncates, DuckDB rounds). One shuffle on l_returnflag
+    // after a map-side-combined (flag, price) agg; both windows and the
+    // final rollup share that partitioning.
+    "q121_weighted_median" -> QDef(
+      (s, d) => {
+        val byV = Window.partitionBy("l_returnflag").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy("l_returnflag")
+        lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast(graft.Det.D).as("v"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy("l_returnflag", "v")
+          .agg(sum("q").as("w"))
+          .withColumn("cw", sum("w").over(byV))
+          .withColumn("tw", sum("w").over(all))
+          .where(col("cw") * 2 >= col("tw"))
+          .groupBy("l_returnflag")
+          .agg(max("tw").as("total_qty"),
+            min("v").cast("double").as("wmedian"))
+          .orderBy("l_returnflag")
+      },
+      """WITH g AS (SELECT l_returnflag,
+        |             CAST(l_extendedprice AS DECIMAL(18,4)) AS v,
+        |             SUM(CAST(l_quantity AS BIGINT)) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |        SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM g)
+        |SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_qty,
+        |       CAST(MIN(v) AS DOUBLE) AS wmedian
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin
     )
   )
 }

@@ -56,6 +56,20 @@ case class PeakState(peakCents: Long, maxDropCents: Long, lastMs: Long)
   * collapse alert batch q114 computes after the fact, raised at ingest. */
 case class DropAlert(user_id: Long, event_id: Long, dropCents: Long)
 
+/** s20 per-user state: active days still within bridging reach of the
+  * watermark (older islands can never be extended — only their best
+  * summary survives) plus the record streak so far and the newest event
+  * time for timer eviction. */
+case class StreakState(days: List[Int], bestLen: Int, bestStart: Int,
+    bestEnd: Int, lastMs: Long)
+
+/** s20 output: a NEW record consecutive-day streak for this user — each
+  * emission strictly beats the last under batch q113's total order
+  * (longer, or equally long starting earlier), so the final record per
+  * user IS q113's row. */
+case class StreakRecord(user_id: Long, len: Int, start_day: java.sql.Date,
+    end_day: java.sql.Date)
+
 /** A document arriving on the ingest stream (s8). */
 case class DocIngest(doc_id: Long, ts: Timestamp, text: String, lang: String)
 
@@ -960,6 +974,77 @@ object Demos {
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastMs + 3600 * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** s20 — activity-streak tracking on ingest: the streaming form of
+    * batch q113's gaps-and-islands longest streak. Per-user GroupState
+    * carries the active-day set plus the best (len, start, end) record; a
+    * StreakRecord is emitted whenever the best improves under q113's
+    * total order (longer, or equally long starting EARLIER — ties with a
+    * later start never emit, matching the batch tie-break), so the final
+    * record per user equals q113's row exactly
+    * (StreamingEquivalenceSpec). State is bounded two ways: an island
+    * whose newest day is below watermarkDay - 1 can never be extended or
+    * bridged by a surviving event (late rows below the watermark never
+    * reach this operator), so its days are pruned — the best summary
+    * alone survives — and an event-time timer evicts users idle for an
+    * hour, as s8/s17/s19. Per-user state is therefore O(watermark
+    * horizon) days, a state store at 100 TB — the same trade as s17's
+    * claim set.
+    */
+  def s20StreakTracker(spark: SparkSession, events: DataFrame): Dataset[StreakRecord] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("epday"))
+      .as[EventDay]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakRecord](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EventDay], state: GroupState[StreakState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = it.toVector
+            var st = state.getOption.getOrElse(StreakState(Nil, 0, 0, 0, 0L))
+            val days =
+              (arrived.map(_.epday) ++ st.days).distinct.sorted
+            // islands of consecutive days, ascending by start
+            val islands = Vector.newBuilder[(Int, Int)]
+            if (days.nonEmpty) {
+              var s0 = days.head
+              var prev = days.head
+              for (d <- days.tail) {
+                if (d == prev + 1) prev = d
+                else { islands += ((s0, prev)); s0 = d; prev = d }
+              }
+              islands += ((s0, prev))
+            }
+            val out = Vector.newBuilder[StreakRecord]
+            for ((a, b) <- islands.result()) {
+              val len = b - a + 1
+              if (len > st.bestLen || (len == st.bestLen && a < st.bestStart)) {
+                st = st.copy(bestLen = len, bestStart = a, bestEnd = b)
+                out += StreakRecord(uid, len,
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(a.toLong)),
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.toLong)))
+              }
+            }
+            // prune islands no surviving event can extend or bridge: any
+            // future event has epday >= watermark day, and can only touch
+            // an island whose newest day is >= that day - 1
+            val wmDay = (state.getCurrentWatermarkMs() / 86400000L).toInt
+            val kept = islands.result().filter(_._2 >= wmDay - 1)
+              .flatMap { case (a, b) => a to b }
+            val lastMs = (st.lastMs +: arrived.map(_.ts.getTime)).max
+            st = st.copy(days = kept.toList, lastMs = lastMs)
+            state.update(st)
+            state.setTimeoutTimestamp(lastMs + 3600 * 1000L)
             out.result().iterator
           }
       }

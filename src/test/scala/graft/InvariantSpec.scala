@@ -663,4 +663,46 @@ class InvariantSpec extends AnyFunSuite {
       assert(share == n.toDouble / nCust.toDouble)
     }
   }
+
+  test("round-7g invariants: q120 gini rank-sum and q121 weighted median " +
+    "match direct replays") {
+    // q120: recompute the rank-sum identity in BigDecimal
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expGini = ev.map { case (t, xs) =>
+      val sorted = xs.map(x => (BigDecimal(x._3).setScale(4), x._2)).sortBy(identity)
+      val n = sorted.length
+      val num = sorted.zipWithIndex
+        .map { case ((v, _), i) => BigDecimal(2 * (i + 1) - n - 1) * v }.sum
+      val den = BigDecimal(n) * sorted.map(_._1).sum
+      t -> ((n.toLong, num.toDouble / den.toDouble))
+    }
+    val gotGini = run("q120_gini").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotGini == expGini, "q120 gini differs from the rank-sum replay")
+    gotGini.foreach { case (t, (_, g)) =>
+      assert(g >= 0.0 && g < 1.0, s"q120 $t: gini $g outside [0, 1)")
+    }
+
+    // q121: cumulative-weight crossing on the grouped (flag, price) table
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(4),
+        r.getDouble(2).toLong))
+      .groupBy(_._1)
+    val expWm = li.map { case (f, xs) =>
+      val byPrice = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toVector.sortBy(_._1)
+      val tw = byPrice.map(_._2).sum
+      var cw = 0L
+      val med = byPrice.find { case (_, w) => cw += w; cw * 2 >= tw }.get._1
+      f -> ((tw, med.toDouble))
+    }
+    val gotWm = run("q121_weighted_median").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotWm == expWm, "q121 weighted median differs from the replay")
+  }
 }

@@ -264,6 +264,36 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"users ${silent.filter(want(_) != 0L).take(3)} dropped but never alerted")
   }
 
+  test("s20 streak tracker over the file stream == batch q113 longest streaks") {
+    val got = runStream(
+      streaming.Demos.s20StreakTracker(spark, eventStream).toDF(), "eq_s20")
+      .where(col("user_id") =!= FlushUser)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDate(2).toLocalDate,
+        r.getDate(3).toLocalDate))
+    assert(got.nonEmpty)
+    // each emission is a NEW record under q113's total order, so per user
+    // every (len, start) pair is distinct
+    val perUser = got.groupBy(_._1)
+    perUser.foreach { case (u, xs) =>
+      assert(xs.map(x => (x._2, x._3)).distinct.length == xs.length,
+        s"user $u emitted a non-record streak")
+    }
+    // the final record per user (max by len, then earliest start) IS the
+    // batch longest streak, including its start/end days
+    val fin = perUser.map { case (u, xs) =>
+      val best = xs.maxBy(x => (x._2, -x._3.toEpochDay))
+      (u, best._2.toLong, best._3, best._4)
+    }.toSet
+    val want = SparkEntry.queries("q113_streaks")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate,
+        r.getDate(3).toLocalDate)).toSet
+    assert(want.nonEmpty)
+    assert(fin == want,
+      s"missing=${(want -- fin).take(3)} extra=${(fin -- want).take(3)}")
+  }
+
   test("s15 funnel tracker over the file stream == batch q85 (per-user stages and corpus counts)") {
     SharedSpark.withRocksDb {
       val got = runStream(
