@@ -24,18 +24,15 @@ object StreamingSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // File-source stream over the events table (ts arrives as raw nanos —
-    // same conversion as Tables.events).
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)
-    ))
-    def eventStream: DataFrame = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // File-source stream over the events table — schema probed from the
+    // actual file (ts encoding varies across testdata regenerations), then
+    // normalized exactly like Tables.events.
+    val rawSchema = graft.Tables.eventsRawSchema(spark, s"$sfDir/events.parquet")
+    def eventStream: DataFrame = graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(sfDir))
 
     // s1: broadcast-rules alerts, counted across micro-batches.
     val alertCount = new AtomicLong(0)

@@ -28,13 +28,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects. Read it as raw nanos (legacy long mode) and floor-divide to
-    * micros — exactly DuckDB's nanos→micros conversion (verified against
-    * the raw INT64 values), so both engines see identical timestamps. */
+  /** events.ts has shipped under multiple parquet encodings across testdata
+    * regenerations (TIMESTAMP(NANOS) through round 7, TIMESTAMP_MICROS NTZ
+    * since the 2026-08-13 regen), so the loader adapts to whatever the scan
+    * reports rather than hardcoding one vintage:
+    *   - LongType        → legacy nanosAsLong mode is on; floor-divide to
+    *                       micros (exactly DuckDB's nanos→micros conversion).
+    *   - TimestampNTZType → cast to TimestampType; the session timezone is
+    *                       pinned to UTC everywhere (Sessions/Bench/Verify),
+    *                       so the cast is a pure micros-preserving relabel.
+    *   - TimestampType   → as-is.
+    * Downstream code always sees `ts: TimestampType` with identical micros
+    * to DuckDB's read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(t(s, d, "events"))
+  }
+
+  /** Normalize any raw events frame (batch or stream, any data vintage) to
+    * `ts: TimestampType` carrying the same micros DuckDB reads. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  /** The raw (pre-normalizeTs) events schema as Spark's reader reports it,
+    * probed via a batch scan — readStream needs an explicit schema, and the
+    * driver has regenerated testdata with different ts encodings between
+    * rounds, so streaming readers must probe rather than hardcode. */
+  def eventsRawSchema(s: SparkSession, eventsParquet: String): org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(eventsParquet).schema
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

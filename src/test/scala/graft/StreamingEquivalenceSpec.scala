@@ -28,14 +28,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   import SharedSpark.{sf001, spark}
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // Probed from the real file: ts encoding varies across testdata
+  // regenerations (raw nanos Long through round 7, TIMESTAMP_MICROS NTZ
+  // since), so the stream schema and the flush row adapt to it.
+  private lazy val rawSchema =
+    Tables.eventsRawSchema(spark, s"$sf001/events.parquet")
 
   private val FlushUser = 999999999L
-  // 2100-01-01 00:00:00 UTC in nanos — decades past every real event
-  private val flushNanos = 4102444800L * 1000000000L
+  // 2100-01-01 00:00:00 UTC — decades past every real event, spelled in
+  // whatever external type the probed ts column demands.
+  private val flushEpochSec = 4102444800L
+  private lazy val flushTsValue: Any = rawSchema("ts").dataType match {
+    case LongType         => flushEpochSec * 1000000000L // raw nanos
+    case TimestampNTZType =>
+      java.time.LocalDateTime.ofEpochSecond(flushEpochSec, 0, java.time.ZoneOffset.UTC)
+    case _ => new Timestamp(flushEpochSec * 1000L)
+  }
 
   private var inputDir: Path = _
 
@@ -52,19 +60,19 @@ class StreamingEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.deleteIfExists(inputDir)
   }
 
-  /** The raw-nanos file-source stream, converted exactly like Tables.events. */
-  private def eventStream: DataFrame = spark.readStream
-    .schema(rawSchema)
-    .option("pathGlobFilter", "*.parquet")
-    .parquet(inputDir.toString)
-    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** The file-source stream, normalized exactly like Tables.events. */
+  private def eventStream: DataFrame = Tables.normalizeTs(
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(inputDir.toString))
 
   /** Append the flush file (once) so the watermark passes all real data. */
   private lazy val flushWritten: Unit = {
     val tmp = Files.createTempDirectory("graft_flush")
     val flush = spark.createDataFrame(
       java.util.List.of(
-        Row(999999998L, flushNanos, FlushUser, "view", 0.0, "{}")),
+        Row(999999998L, flushTsValue, FlushUser, "view", 0.0, "{}")),
       rawSchema)
     flush.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
     val part = tmp.resolve("out").toFile.listFiles()
