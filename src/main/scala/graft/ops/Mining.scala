@@ -84,15 +84,19 @@ object Mining {
           .where(col("rn") <= 10)
           .groupBy("term")
           .agg(max("df").as("df"), max("total_tf").as("total_tf"),
-            transform(array_sort(collect_list(struct(col("rn"), col("doc_id")))),
-              x => x("doc_id")).as("champions"))
+            // comma-joined string, not ARRAY: the driver's pandas
+            // comparator cannot hash array cells (round-7 driver-red).
+            array_join(
+              transform(array_sort(collect_list(struct(col("rn"), col("doc_id")))),
+                x => x("doc_id").cast("string")), ",").as("champions"))
           .orderBy("term")
       },
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |             FROM documents),
         |td AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-        |       (list(doc_id ORDER BY tf DESC, doc_id))[1:10] AS champions
+        |       array_to_string((list(doc_id ORDER BY tf DESC, doc_id))[1:10],
+        |                       ',') AS champions
         |FROM td GROUP BY term ORDER BY term""".stripMargin
     ),
 

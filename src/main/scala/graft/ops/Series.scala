@@ -170,15 +170,16 @@ object Series {
             sum(when(col("booked").cast("decimal(29,10)") === col("recomputed"),
               1L).otherwise(0L)).as("n_exact"),
             sum("booked").cast("double").as("sum_booked"),
-            // wide-scale decimals stay DECIMAL to the output: casting a
-            // decimal whose unscaled value exceeds 2^53 to double double-
-            // rounds differently per engine, and rescaling first is no
-            // better (Spark HALF_UP vs DuckDB TRUNCATE on decimal
-            // downscale — both found empirically here). Same-scale
-            // decimal casts are exact on both engines.
-            sum("recomputed").cast("decimal(28,10)").as("sum_recomputed"),
+            // wide-scale decimals leave as STRINGS: the unscaled values
+            // exceed 2^53, so any double hop double-rounds differently per
+            // engine, and the driver's DuckDB client materializes DECIMAL
+            // as float64 (round-7 hash-fail on identical values). A
+            // decimal→string cast at matched (28,10) is exact and renders
+            // identically (plain notation, full trailing zeros) on both.
+            sum("recomputed").cast("decimal(28,10)").cast("string")
+              .as("sum_recomputed"),
             max(abs(col("booked") - col("recomputed"))).cast("decimal(28,10)")
-              .as("max_abs_diff"))
+              .cast("string").as("max_abs_diff"))
           .orderBy("o_orderstatus")
       },
       """WITH comp AS (SELECT l_orderkey,
@@ -195,9 +196,10 @@ object Series {
         |       CAST(SUM(CASE WHEN CAST(booked AS DECIMAL(29,10)) = recomputed
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
         |       CAST(SUM(booked) AS DOUBLE) AS sum_booked,
-        |       CAST(SUM(recomputed) AS DECIMAL(28,10)) AS sum_recomputed,
-        |       CAST(MAX(ABS(booked - recomputed)) AS DECIMAL(28,10))
-        |         AS max_abs_diff
+        |       CAST(CAST(SUM(recomputed) AS DECIMAL(28,10)) AS VARCHAR)
+        |         AS sum_recomputed,
+        |       CAST(CAST(MAX(ABS(booked - recomputed)) AS DECIMAL(28,10))
+        |              AS VARCHAR) AS max_abs_diff
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     ),
 
