@@ -95,11 +95,13 @@ object Audit {
         val qualCond = col("quality") >= 0.55 && col("n_toks") >= 10
         val langCond = col("lang").isin("en", "de", "fr", "es", "zh")
         val langKept = scored.where(qualCond && langCond)
-        // exact dedup: min doc_id per identical text (xxhash64 pre-grouping
-        // keeps the shuffle key 8 bytes; the count equals COUNT(DISTINCT text))
-        val w = Window.partitionBy(xxhash64(col("text")), col("text")).orderBy("doc_id")
+        // exact dedup: min doc_id per identical text, as a hash aggregate
+        // (map-side combined, no per-partition sort — a window row_number
+        // would sort every text group just to take row 1; min/min_by fold
+        // in O(1) per row). The count equals COUNT(DISTINCT text).
         val exact = langKept
-          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
           .select("doc_id", "lang", "text")
           .localCheckpoint() // feeds the pair build, the anti-join, and its own count
         val pairs = LlmExt2

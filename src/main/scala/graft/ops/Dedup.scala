@@ -22,16 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** @param pairs two-column DataFrame (doc_a, doc_b) of near-dup pairs
+  /** @param pairs two-column DataFrame (doc_a, doc_b) of near-dup pairs.
+    *   Callers should pass DISTINCT pairs (every producer here does — the
+    *   LSH/blocked candidate generators all end in a distinct or a
+    *   groupBy): duplicate edges are correctness-harmless (every consumer
+    *   min-folds) but would inflate each round's propagation join.
     * @return (node, label) — label is the smallest doc_id in the
     *         connected component
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    // Checkpoint the pairs BEFORE the direction-doubling union: the two
+    // union branches are separate executions of the pairs lineage, which
+    // for the LSH producers is the whole verify join — un-checkpointed it
+    // ran TWICE here (measured: edges init was ~1.9 s of q78's ~5.4 s warm,
+    // vs ~0.9 s for one verify pass). The reversal union itself is narrow
+    // (no shuffle: the old per-union `distinct` was redundant — forward and
+    // reversed copies of distinct a<b pairs cannot collide), so each CC
+    // round replays only a cheap projection-union of checkpointed rows.
+    val p0 = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
       .localCheckpoint()
+    val edges = p0
+      .unionAll(p0.select(col("dst").as("src"), col("src").as("dst")))
 
     // Seed labels with min(self, direct neighbors) rather than self: the
     // groupBy replaces the identity seed's distinct (same shuffle, same

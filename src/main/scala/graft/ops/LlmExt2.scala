@@ -174,7 +174,14 @@ object LlmExt2 {
     // pure per-row projection — NO shuffle at all before the band join.
     val withIds =
       if (portableIds) {
-        val toks = mat(base0.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok")))
+        // No checkpoint on the exploded token table: both consumers (the
+        // dict build and the dict join) live inside the ONE withIds
+        // checkpoint job, so materializing it would only add a job's fixed
+        // overhead (~0.5 s at bench scale) to re-save rows that are read
+        // back exactly once. The explode is recomputed per consumer —
+        // cheap, pipelined, and not subject to the HOF re-evaluation trap
+        // (it is a generator, not an interpreted lambda).
+        val toks = base0.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
         mat(toks.join(tokenDict(toks), "tok")
           .groupBy("doc_id", "lang")
           .agg(collect_list(col("tid").cast("long")).as("ids")))

@@ -243,10 +243,10 @@ class InvariantSpec extends AnyFunSuite {
     val expIdx = tf.groupBy(_._1._1).map { case (term, m) =>
       val post = m.map { case ((_, id), f) => (id, f) }.toList
       term -> (post.size.toLong, post.map(_._2).sum,
-        post.sortBy { case (id, f) => (-f, id) }.take(10).map(_._1))
+        post.sortBy { case (id, f) => (-f, id) }.take(10).map(_._1).mkString(","))
     }
     val gotIdx = run("q98_inverted_index").collect().map { r =>
-      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList)
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))
     }.toMap
     assert(gotIdx == expIdx, "q98 inverted index differs from recomputation")
 
@@ -608,8 +608,9 @@ class InvariantSpec extends AnyFunSuite {
       (st, xs.length.toLong, withItems.length.toLong, exact.toLong, maxDiff)
     }.toSet
     val gotRec = run("q116_reconcile").collect().map { r =>
+      // max_abs_diff is a STRING now (harness-safe wide decimal)
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        if (r.isNullAt(6)) null else BigDecimal(r.getDecimal(6)).setScale(10))
+        if (r.isNullAt(6)) null else BigDecimal(r.getString(6)).setScale(10))
     }.toSet
     assert(gotRec == expRec, "q116 reconciliation differs from the replay")
   }
