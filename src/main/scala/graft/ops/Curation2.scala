@@ -284,7 +284,11 @@ object Curation2 {
             array_distinct(split(col("text"), " ")).as("toks"))
           .withColumn("sz", size(col("toks")).cast("long"))
           .localCheckpoint() // feeds both sides of the all-pairs join
-        val exact = docsT.as("a")
+        // 32-way spread of the probe side: the checkpointed doc table is
+        // byte-small (one partition after AQE; the build side broadcasts),
+        // so the ~50k-pair array_intersect verify would otherwise run in
+        // one task (q97 lesson — row-heavy, byte-light).
+        val exact = docsT.repartition(32).as("a")
           .join(docsT.as("b"),
             col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -105,7 +105,10 @@ object LlmExt {
             array_distinct(split(col("text"), " ")).as("toks")
           )
           .withColumn("sz", size(col("toks")).cast("long"))
-        docs.as("a")
+        // 32-way spread of the probe side: the sampled doc table is one
+        // byte-small split and the build side broadcasts, so the all-pairs
+        // array_intersect would otherwise run in one task (q97 lesson).
+        docs.repartition(32).as("a")
           .join(
             docs.as("b"),
             col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id")

@@ -402,7 +402,11 @@ object LlmExt2 {
           posexplode(transform(sequence(lit(0), lit(3)),
             p => floor(col("simhash") / pow(lit(2.0), p.cast("double") * 4)).cast("long") % 16))
         ).withColumnsRenamed(Map("pos" -> "piece_idx", "col" -> "piece"))
-        val cand = pieces.as("x")
+        // 32-way spread of the probe side: the piece table is byte-small
+        // (AQE broadcasts the build side and coalesces upstream shuffles
+        // to ~1 partition), so without it the collision-heavy candidate
+        // expansion and hamming filter run in one task (q97 lesson).
+        val cand = pieces.repartition(32).as("x")
           .join(pieces.as("y"),
             col("x.lang") === col("y.lang") &&
               col("x.piece_idx") === col("y.piece_idx") &&

@@ -41,8 +41,12 @@ object Mining {
         // threshold form: banded O(threshold·|s|) DP that bails out early,
         // returning -1 past the bound — ~3× cheaper than the full matrix
         // at bench scale for the same exact distances (the oracle runs the
-        // unbounded form; every kept distance is identical)
-        a.join(b, Seq("nk", "seg"))
+        // unbounded form; every kept distance is identical).
+        // Explicit 32-way spread of the probe side: customer is one small
+        // parquet split and the build side broadcasts, so without it the
+        // ~893k levenshtein evaluations all run in ONE task (row-heavy,
+        // byte-light — the shape AQE sizes by bytes and cannot fix).
+        a.repartition(32).join(b, Seq("nk", "seg"))
           .where(col("ck_a") < col("ck_b"))
           .withColumn("dist",
             levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
@@ -188,8 +192,10 @@ object Mining {
           .withColumn("pref",
             slice(col("toks"), lit(1), expr("sz - (9 * sz + 9) DIV 10 + 1")))
           .localCheckpoint() // feeds the index twice + both verify sides
+        // 32-way spread of the probe side (q97 lesson: byte-small ckpt +
+        // broadcast build = one task for the whole candidate expansion)
         val idx = sorted.select(col("doc_id"), explode(col("pref")).as("ptok"))
-        val cand = idx.as("a")
+        val cand = idx.repartition(32).as("a")
           .join(idx.as("b"), col("a.ptok") === col("b.ptok") &&
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -115,6 +115,11 @@ object ScaleQueries {
             explode(array_distinct(transform(
               sequence(lit(1), length(col("text")) - 3),
               i => col("text").substr(i, lit(4))))).as("g"))
+          // Materialize the gram table once: its three consumers (both
+          // self-join sides and the per-doc sizes) only share an exchange
+          // for the join sides — the sizes aggregate shuffles on a
+          // different key and would re-run the HOF gram build otherwise.
+          .localCheckpoint()
         val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         grams.as("a")
           .join(grams.as("b"),
