@@ -706,4 +706,60 @@ class InvariantSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(gotWm == expWm, "q121 weighted median differs from the replay")
   }
+
+  test("round-8 invariants: q122 CMS bounds, q123 lateral top-3, q124 bag " +
+    "arithmetic all match direct replays") {
+    // q122: est >= exact (structural CMS guarantee) and est matches an
+    // in-memory sketch replay with the same hash family
+    val users = graft.Tables.events(spark, sf001).select("user_id").collect()
+      .map(_.getLong(0))
+    val P = 104729L
+    val counters = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (u <- users; i <- 0L until 4L) {
+      val b = ((4 * i + 3) * u + 7 * i + 5) % P % 256
+      counters((i, b)) = counters.getOrElse((i, b), 0L) + 1L
+    }
+    val exact = users.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cms = run("q122_cms_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cms.nonEmpty, "q122 probe carve is vacuous at sf0.001")
+    cms.foreach { case (u, ex, est, over) =>
+      assert(u % 97 == 0 && ex == exact(u) && over == est - ex)
+      assert(est >= ex, s"q122 CMS underestimated user $u: $est < $ex")
+      val expEst = (0L until 4L)
+        .map(i => counters((i, ((4 * i + 3) * u + 7 * i + 5) % P % 256))).min
+      assert(est == expEst, s"q122 estimate for $u differs from sketch replay")
+    }
+
+    // q123: per-nation rows are exactly the window top-3 of the replay
+    val cust = graft.Tables.customer(spark, sf001)
+      .join(graft.Tables.nation(spark, sf001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expTop = cust.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, ck, bal) => (-bal, ck) }.take(3).map(t => (t._2, t._3)).toList
+    ).toMap
+    val gotTop = run("q123_lateral_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toList).toMap
+    assert(gotTop == expTop, "q123 lateral top-3 differs from the window replay")
+
+    // q124: per-key bag arithmetic — except = max(0, |a| - |b|),
+    // intersect = min(|a|, |b|) — on the same carve projections
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag").collect()
+      .map(r => (r.getLong(0) % 97, r.getLong(1) % 89, r.getInt(2), r.getString(3)))
+    val bagA = li.filter(_._3 % 2 == 0).groupBy(t => (t._1, t._2)).view
+      .mapValues(_.length.toLong).toMap
+    val bagB = li.filter(_._4 == "R").groupBy(t => (t._1, t._2)).view
+      .mapValues(_.length.toLong).toMap
+    val expEx = (for ((k, na) <- bagA; n = na - bagB.getOrElse(k, 0L) if n > 0)
+      yield ("except_all", k._1, k._2, n)).toSet
+    val expIn = (for ((k, na) <- bagA; n = math.min(na, bagB.getOrElse(k, 0L)) if n > 0)
+      yield ("intersect_all", k._1, k._2, n)).toSet
+    val gotBag = run("q124_except_intersect_all").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotBag == expEx ++ expIn, "q124 bag arithmetic differs from the replay")
+  }
 }
