@@ -1050,6 +1050,74 @@ object Demos {
       }
   }
 
+  /** s21 — streaming Count-Min-Sketch monitor: the ingest-time twin of
+    * batch q122. Each micro-batch of events folds its own depth-4 ×
+    * width-256 CMS delta into an EXACT versioned 1024-row counter
+    * snapshot — sketch MERGEABILITY (counters are sums, so per-batch
+    * sketches add) is precisely what makes CMS distributable at 100 TB,
+    * and this demo exercises it batch-by-batch. Alongside, a probe-carve
+    * (user_id % 97) exact-count snapshot feeds the published audit rows
+    * (user, exact, est, overcount), so once the whole stream has passed,
+    * the audit equals batch q122 EXACTLY. Commit protocol = s14/s16's
+    * versioned overwrite: a replayed batch reads only versions strictly
+    * below its id and rewrites its own byte-identically (exactly-once
+    * under retries). State on disk is O(d·w + |probe users|) rows at any
+    * stream size — the sketch IS the bounded state.
+    */
+  def s21CmsMonitor(spark: SparkSession, events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        cmsBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One CMS-monitor step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def cmsBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val P = 104729L
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = spark.range(0, 4).toDF("i")
+    val ev = batch.select(col("user_id"))
+    val deltaCounters = ev.crossJoin(rows)
+      .select(col("i"),
+        (((col("i") * 4 + 3) * col("user_id") + col("i") * 7 + 5) % P % 256)
+          .as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+    val deltaExact = ev.where(col("user_id") % 97 === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val (baseC, baseE) = prevVersions.sorted.lastOption match {
+      case Some(v) => (spark.read.parquet(s"$dir/v=$v/counters"),
+        spark.read.parquet(s"$dir/v=$v/exact"))
+      case None => (deltaCounters.limit(0), deltaExact.limit(0))
+    }
+    // sketch merge = counter addition; probe-exact merge likewise
+    baseC.unionByName(deltaCounters).groupBy("i", "bucket")
+      .agg(sum("c").as("c"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counters")
+    baseE.unionByName(deltaExact).groupBy("user_id")
+      .agg(sum("exact").as("exact"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/exact")
+    // publish the audit rows the new snapshot implies — q122's arithmetic
+    val counters = spark.read.parquet(s"$dir/v=$batchId/counters")
+    spark.read.parquet(s"$dir/v=$batchId/exact").crossJoin(rows)
+      .select(col("user_id"), col("exact"), col("i"),
+        (((col("i") * 4 + 3) * col("user_id") + col("i") * 7 + 5) % P % 256)
+          .as("bucket"))
+      .join(counters, Seq("i", "bucket"))
+      .groupBy("user_id", "exact")
+      .agg(min("c").as("est"))
+      .select(col("user_id"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/audit")
+  }
+
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =
     events

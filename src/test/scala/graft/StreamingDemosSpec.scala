@@ -431,4 +431,35 @@ class StreamingDemosSpec extends AnyFunSuite {
       ((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))),
       "replaying the committed last batch changed the drift row")
   }
+
+  test("s21: streaming CMS monitor — final audit equals batch q122 exactly; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s21").toString + "/cms"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector // 3 batches
+    val input = MemoryStream[Event]
+    val q = Demos.s21CmsMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+    def audit(v: Long) = spark.read.parquet(s"$dir/v=$v/audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = audit(last)
+    val want = SparkEntry.queries("q122_cms_audit")(spark, SharedSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"streamed CMS audit $got != batch q122 $want")
+    // the counter snapshot stays d*w-bounded and est >= exact mid-stream too
+    assert(spark.read.parquet(s"$dir/v=$last/counters").count() <= 4 * 256)
+    (0L to last).foreach(v => audit(v).foreach { case (u, ex, est, over) =>
+      assert(est >= ex && over == est - ex, s"v=$v user $u: est $est < exact $ex")
+    })
+    // replay the last committed batch directly (post-crash re-execution)
+    Demos.cmsBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(audit(last) == got, "replaying the committed last batch changed the audit")
+  }
 }
