@@ -377,18 +377,37 @@ object Series {
     // final rollup share that partitioning.
     "q121_weighted_median" -> QDef(
       (s, d) => {
-        val byV = Window.partitionBy("l_returnflag").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val all = Window.partitionBy("l_returnflag")
-        lineitem(s, d)
+        // Per-flag cumulative weight via the range-bucketed two-pass scan
+        // (the q63/q71 shape, here GROUPED): a plain per-flag window sorts
+        // ~200k distinct prices in only |flags|=3 partitions — the round-8
+        // single-task lesson at window granularity. Bucketing the price
+        // domain spreads the sort ~32× per flag; the carry window sees
+        // <=32 rows per flag and the totals come from a 3-row broadcast.
+        // Bucket math is Spark-internal (the oracle keeps its single
+        // window) so the double floor needs no cross-engine portability —
+        // only determinism, which floor(exact-decimal→double / const) has.
+        val grouped = lineitem(s, d)
           .select(col("l_returnflag"),
             col("l_extendedprice").cast(graft.Det.D).as("v"),
             col("l_quantity").cast("long").as("q"))
           .groupBy("l_returnflag", "v")
           .agg(sum("q").as("w"))
-          .withColumn("cw", sum("w").over(byV))
-          .withColumn("tw", sum("w").over(all))
-          .where(col("cw") * 2 >= col("tw"))
+          .withColumn("b",
+            floor(col("v").cast("double") / 3300.0).cast("long"))
+        val wIn = Window.partitionBy("l_returnflag", "b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wCarry = Window.partitionBy("l_returnflag").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = grouped.groupBy("l_returnflag", "b")
+          .agg(sum("w").as("bw"))
+          .withColumn("pre", coalesce(sum("bw").over(wCarry), lit(0L)))
+          .select("l_returnflag", "b", "pre")
+        val totals = grouped.groupBy("l_returnflag").agg(sum("w").as("tw"))
+        grouped
+          .withColumn("cw_local", sum("w").over(wIn))
+          .join(broadcast(carry), Seq("l_returnflag", "b"))
+          .join(broadcast(totals), Seq("l_returnflag"))
+          .where((col("cw_local") + col("pre")) * 2 >= col("tw"))
           .groupBy("l_returnflag")
           .agg(max("tw").as("total_qty"),
             min("v").cast("double").as("wmedian"))
