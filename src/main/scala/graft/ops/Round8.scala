@@ -138,6 +138,74 @@ object Round8 {
         |UNION ALL
         |SELECT 'intersect_all' AS op, ka, kb, n FROM inx
         |ORDER BY op, ka, kb""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q125
+    // Lag-1 autocorrelation of the hourly event-count series per type —
+    // the burstiness/seasonality screen a metrics pipeline runs before
+    // forecasting (q111's exact-sum discipline applied to Pearson corr of
+    // consecutive observations). Counts are exact int64; the five pair
+    // sums run in DECIMAL(19,0)-operand space (products ≤ (38,0), DuckDB
+    // int128 forced — the q90/q111 width rule) so numerator/denominator
+    // are EXACT until one double cast each; sqrt and the final division
+    // are correctly-rounded IEEE on both engines. Zero-variance series
+    // are excluded by exact decimal compare. Plan: one scan, one (type,
+    // hour) map-side-combinable aggregate, a 5-partition lag window over
+    // the ~720-row-per-type series (series length is bounded by the time
+    // span, not data volume — window granularity is safe here), one tiny
+    // rollup.
+    "q125_autocorr" -> QDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hr")
+        val dec = "decimal(19,0)"
+        val hourly = events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("x"))
+        hourly
+          .withColumn("y", lead("x", 1).over(w))
+          .where(col("y").isNotNull)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x").cast(dec)).as("sx"),
+            sum(col("y").cast(dec)).as("sy"),
+            sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+            sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+            sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+          .where(col("n").cast(dec) * col("sxx") =!= col("sx") * col("sx") &&
+            col("n").cast(dec) * col("syy") =!= col("sy") * col("sy"))
+          .select(col("event_type"), col("n"),
+            ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .as("autocorr"))
+          .orderBy("event_type")
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT event_type, x,
+        |         lead(x) OVER (PARTITION BY event_type ORDER BY hr) AS y
+        |  FROM hourly),
+        |sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        |  FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |       CAST(CAST(n AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(CAST(n AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE)) *
+        |          sqrt(CAST(CAST(n AS DECIMAL(19,0)) * syy - sy * sy AS DOUBLE)))
+        |         AS autocorr
+        |FROM sums
+        |WHERE CAST(n AS DECIMAL(19,0)) * sxx <> sx * sx
+        |  AND CAST(n AS DECIMAL(19,0)) * syy <> sy * sy
+        |ORDER BY event_type""".stripMargin
     )
   )
 }

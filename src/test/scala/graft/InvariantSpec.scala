@@ -761,5 +761,31 @@ class InvariantSpec extends AnyFunSuite {
     val gotBag = run("q124_except_intersect_all").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(gotBag == expEx ++ expIn, "q124 bag arithmetic differs from the replay")
+
+    // q125: lag-1 autocorrelation replayed with the same exact-sum/IEEE
+    // sequence; values must be in [-1, 1]
+    val hourly = graft.Tables.events(spark, sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+    val expAc = hourly.flatMap { case (t, xs) =>
+      val series = xs.sortBy(_._2).map(_._3)
+      val pairs = series.zip(series.drop(1))
+      val n = BigDecimal(pairs.length)
+      val (sx, sy) = (BigDecimal(pairs.map(_._1).sum), BigDecimal(pairs.map(_._2).sum))
+      val sxy = BigDecimal(pairs.map(p => p._1 * p._2).sum)
+      val sxx = BigDecimal(pairs.map(p => p._1 * p._1).sum)
+      val syy = BigDecimal(pairs.map(p => p._2 * p._2).sum)
+      if (n * sxx == sx * sx || n * syy == sy * sy) None
+      else Some(t -> ((pairs.length.toLong,
+        (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble)))))
+    }
+    val gotAc = run("q125_autocorr").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotAc == expAc, "q125 autocorrelation differs from the replay")
+    assert(gotAc.values.forall { case (_, a) => a >= -1.0 && a <= 1.0 })
   }
 }
