@@ -173,9 +173,13 @@ object Series {
             // wide-scale decimals leave as STRINGS: the unscaled values
             // exceed 2^53, so any double hop double-rounds differently per
             // engine, and the driver's DuckDB client materializes DECIMAL
-            // as float64 (round-7 hash-fail on identical values). A
-            // decimal→string cast at matched (28,10) is exact and renders
-            // identically (plain notation, full trailing zeros) on both.
+            // as float64 (round-7 hash-fail on identical values). The
+            // string rendering is portable at EVERY magnitude: Spark
+            // 4.1.2's decimal→string cast prints plain notation even where
+            // java BigDecimal.toString would go scientific (0E-10, 1E-7 —
+            // probed in round 9), matching DuckDB's always-plain VARCHAR
+            // cast; InvariantSpec locks that property so a Spark upgrade
+            // that regresses it fails by name.
             sum("recomputed").cast("decimal(28,10)").cast("string")
               .as("sum_recomputed"),
             max(abs(col("booked") - col("recomputed"))).cast("decimal(28,10)")

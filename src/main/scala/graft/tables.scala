@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Table loaders over the driver-generated parquet star schema
   * (FIXTURES.md; schemas verified against /root/testdata at build time).
@@ -48,11 +48,18 @@ object Tables {
   /** Normalize any raw events frame (batch or stream, any data vintage) to
     * `ts: TimestampType` carrying the same micros DuckDB reads. */
   def normalizeTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      // Fail LOUDLY on the next encoding drift: a silent pass-through here
+      // would surface as confusing downstream errors in a driver-run
+      // Verify/Bench (only the test preflight names the vintage otherwise).
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unrecognized type $other — a testdata regen " +
+          "changed the parquet encoding again; teach Tables.normalizeTs " +
+          "the new vintage (see SchemaPreflightSpec)")
     }
   }
 
@@ -127,6 +134,7 @@ object Det {
     s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))), 4) AS DOUBLE)"
   def sqlDavg(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+
 }
 
 /** One declared query: the Spark implementation plus its DuckDB oracle. */

@@ -48,6 +48,30 @@ class DedupClustersSpec extends AnyFunSuite {
     labels.values.toSet.foreach((l: Long) => assert(keptIds.contains(l)))
   }
 
+  test("declared pair producers emit DISTINCT pairs (the dupClusters " +
+    "contract is checkable, not just a comment)") {
+    // dupClusters deliberately does NOT re-distinct its input (the edge
+    // distinct would add a shuffle per call on the q78 hot path); the
+    // contract is that every producer ends in a distinct/groupBy. Lock the
+    // producers that actually feed it:
+    //  - minhashLshPairs (q78 / TrainingDataPipeline / q46's base) — the
+    //    one whose terminal distinct was restructured in round 8;
+    //  - q66's lag-consecutive chain is distinct by construction (doc_b is
+    //    the unique current row id), asserted via the declared query's
+    //    unique node set instead.
+    val lsh = graft.ops.LlmExt2.minhashLshPairs(
+      Tables.documents(spark, sf001)
+        .select(col("doc_id"), col("lang"), col("text")),
+      threshold = 0.6, materialize = true, portableIds = true)
+      .select("doc_a", "doc_b")
+    val n = lsh.count()
+    assert(n == lsh.distinct().count(),
+      "minhashLshPairs emitted duplicate edges — dupClusters' no-re-distinct " +
+        "contract is violated; restore a terminal distinct/groupBy")
+    val q66 = SparkEntry.queries("q66_dup_clusters")(spark, sf001)
+    assert(q66.count() == q66.select("doc_id").distinct().count())
+  }
+
   test("min-neighbor seed: a clique converges with maxIter = 1") {
     // The seed labels every star/clique member with the component min
     // BEFORE round 1, so the single allowed round is purely confirming —

@@ -615,6 +615,46 @@ class InvariantSpec extends AnyFunSuite {
     assert(gotRec == expRec, "q116 reconciliation differs from the replay")
   }
 
+  test("q116 wide-decimal strings stay PLAIN notation at every magnitude " +
+    "(Spark's decimal→string cast matches DuckDB's always-plain VARCHAR)") {
+    import spark.implicits._
+    // q116 emits its wide decimals as strings; portability needs Spark's
+    // rendering to be plain notation at EVERY magnitude — including the
+    // adjusted-exponent < -6 range (a fully-reconciled group's
+    // max_abs_diff of 0, any diff below 1e-6) where java
+    // BigDecimal.toString goes scientific ("0E-10") but DuckDB stays
+    // plain ("0.0000000000"). Spark 4.1.2's cast was probed plain there
+    // (round 9); this test locks the property so a Spark upgrade that
+    // regresses to BigDecimal.toString semantics fails by name, not as a
+    // driver hash mismatch on regenerated data.
+    val cases = Seq(
+      "0", "0.0000000001", "-0.0000000001", "0.0000001", "-0.0000001",
+      "0.000001", "0.5", "-0.5", "123.45", "-123.45",
+      "123456789012345678.0123456789", "-123456789012345678.0123456789")
+    val rows = cases.toDF("s").select(
+      col("s"),
+      col("s").cast("decimal(28,10)").cast("string").as("native"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { s =>
+      val expected = new java.math.BigDecimal(s).setScale(10).toPlainString
+      assert(rows(s) == expected,
+        s"decimal(28,10)→string of $s rendered '${rows(s)}', want plain " +
+          s"'$expected' — Spark's cast no longer matches DuckDB's VARCHAR " +
+          "rendering; q116 needs an explicit plain-notation formatter")
+    }
+    // sanity on the fixture: BigDecimal.toString really is scientific in
+    // that range (the divergence this test exists to guard)
+    assert(new java.math.BigDecimal("0").setScale(10).toString == "0E-10")
+    // and the declared query's live output must never contain an exponent
+    run("q116_reconcile").collect().foreach { r =>
+      Seq(5, 6).foreach { i =>
+        if (!r.isNullAt(i))
+          assert(!r.getString(i).contains("E"),
+            s"q116 column $i rendered scientific: ${r.getString(i)}")
+      }
+    }
+  }
+
   test("round-7f invariants: q117 winsorized caps, q118 MAD, q119 degree " +
     "histogram all match direct replays") {
     val ev = graft.Tables.events(spark, sf001)

@@ -419,8 +419,14 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) ==
       ((want.getLong(0), want.getLong(1), want.getLong(2), want.getDouble(3))),
       s"streamed drift $got != batch q92 $want")
-    // intermediate rows are well-formed monitors too (totals grow, L1 in [0,2])
-    val l1s = (0L to last).map(driftRow)
+    // history is pruned to at most two retained versions (predecessor kept
+    // for replay), and the surviving rows are well-formed monitors
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last),
+      s"expected pruned history (v=${last - 1}, v=$last), got $surviving")
+    val l1s = surviving.map(driftRow)
     assert(l1s.map(_.getLong(1)).sliding(2).forall(p => p.head <= p.last))
     assert(l1s.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0))
     // replay the last batch directly (post-crash re-execution): must read
@@ -453,9 +459,15 @@ class StreamingDemosSpec extends AnyFunSuite {
     val want = SparkEntry.queries("q122_cms_audit")(spark, SharedSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want, s"streamed CMS audit $got != batch q122 $want")
-    // the counter snapshot stays d*w-bounded and est >= exact mid-stream too
+    // the counter snapshot stays d*w-bounded, history is pruned to two
+    // retained versions, and est >= exact holds on every surviving version
     assert(spark.read.parquet(s"$dir/v=$last/counters").count() <= 4 * 256)
-    (0L to last).foreach(v => audit(v).foreach { case (u, ex, est, over) =>
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last),
+      s"expected pruned history (v=${last - 1}, v=$last), got $surviving")
+    surviving.foreach(v => audit(v).foreach { case (u, ex, est, over) =>
       assert(est >= ex && over == est - ex, s"v=$v user $u: est $est < exact $ex")
     })
     // replay the last committed batch directly (post-crash re-execution)

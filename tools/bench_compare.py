@@ -21,7 +21,13 @@ REF_PROBE = 0.14
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    probe = min(x for x in d.get("calib_s", [REF_PROBE]) if x > 0)
+    if "queries" not in d:
+        sys.exit(f"{path}: no 'queries' key — not a per-query bench record "
+                 "(older-round files predate per-query timings)")
+    # calib_s may be absent, empty, or all non-positive (a crashed probe
+    # records -1): fall back to REF_PROBE, i.e. no normalization
+    positives = [x for x in d.get("calib_s", []) if x > 0]
+    probe = min(positives) if positives else REF_PROBE
     scale = probe / REF_PROBE
     return {k: v / scale for k, v in d["queries"].items()}, probe, d
 
