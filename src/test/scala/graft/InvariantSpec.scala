@@ -828,4 +828,35 @@ class InvariantSpec extends AnyFunSuite {
     assert(gotAc == expAc, "q125 autocorrelation differs from the replay")
     assert(gotAc.values.forall { case (_, a) => a >= -1.0 && a <= 1.0 })
   }
+
+  test("q127 heavy-hitter certificate: kept estimates are EXACT, the " +
+    "summary is bounded, and no absent key can beat its bucket threshold") {
+    val exact = graft.Tables.events(spark, sf001)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("q127_heavy_hitters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 16 * 5,
+      s"summary must be ≤ 80 rows at ANY volume, got ${rows.length}")
+    val kept = rows.map(t => t._2).toSet
+    val thr = rows.groupBy(_._1).view.mapValues(_.head._4).toMap
+    rows.foreach { case (b, u, est, t) =>
+      assert(u % 16 == b, s"user $u filed under wrong bucket $b")
+      assert(est == exact(u),
+        s"kept estimate for $u must be EXACT (key-disjoint buckets): $est != ${exact(u)}")
+      assert(thr(b) == t, "threshold must be constant per bucket")
+    }
+    // the certificate: every key ABSENT from the summary is bounded by its
+    // bucket's threshold, so any count > max(thr) is provably present
+    exact.foreach { case (u, n) =>
+      if (!kept.contains(u))
+        assert(n <= thr.getOrElse(u % 16, 0L),
+          s"absent user $u has count $n above its bucket threshold")
+    }
+    val maxThr = thr.values.max
+    exact.foreach { case (u, n) =>
+      if (n > maxThr)
+        assert(kept.contains(u), s"certified heavy hitter $u missing ($n > $maxThr)")
+    }
+  }
 }

@@ -48,6 +48,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q126 joins bucketed twins with ZERO join-side exchanges " +
+    "(SCALE.md §1 as a declared query, not just a spec)") {
+    val p = plan("q126_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n${p.take(1200)}")
+    // the only exchange allowed is the final status rollup — the join
+    // itself reads both sides pre-partitioned by bucketBy(16, orderkey)
+    val joinSection = p.split("SortMergeJoin")(1)
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles a side:\n${p.take(1500)}")
+  }
+
   test("single-window rank<=k plans a WindowGroupLimit (partial per-key top-k)") {
     // rank-filter windows are rewritten to push a group-limit below the
     // full per-key sort retention (Spark's WindowGroupLimit) — the reason
