@@ -1142,6 +1142,77 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s22 — streaming heavy-hitters monitor: the ingest-time twin of batch
+    * q127, and the place where the summary genuinely becomes a SKETCH. The
+    * batch form's kept estimates are exact (it sees each key's whole
+    * stream); an unbounded stream under bounded state cannot keep that, so
+    * each micro-batch SpaceSaving-merges its exact per-bucket delta counts
+    * into the versioned summary: a key absent from the retained summary
+    * re-enters at the bucket's error floor `err` (it may have been evicted
+    * with up to that count), the per-bucket top-m survives under the total
+    * (est DESC, user ASC) order, and `err` rises to the largest evicted
+    * estimate. Invariants (spec-locked, structural): est ≥ exact for every
+    * retained key, any key with exact count > err(bucket) is PROVABLY
+    * retained, and state is ≤ 16·m counter rows + 16 err rows at any
+    * stream size. Commit protocol = s14/s16/s21's versioned overwrite with
+    * predecessor-only history.
+    */
+  def s22HeavyHittersMonitor(
+      spark: SparkSession, events: DataFrame, dir: String,
+      buckets: Int = 16, m: Int = 5): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        hhBatch(spark, batch.toDF(), dir, batchId, buckets, m))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One heavy-hitters merge step (factored out so the spec can replay a
+    * batch with the same batchId and fold the same merge driver-side;
+    * buckets/m are parameters so the spec can force eviction on the
+    * 15-user sf0.001 fixture). */
+  private[graft] def hhBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long,
+      buckets: Int = 16, m: Int = 5): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delta = batch
+      .select(col("user_id"), (col("user_id") % buckets).as("bucket"))
+      .groupBy("bucket", "user_id").agg(count(lit(1)).as("dn"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val (baseC, baseE) = prevVersions.sorted.lastOption match {
+      case Some(v) => (spark.read.parquet(s"$dir/v=$v/counters"),
+        spark.read.parquet(s"$dir/v=$v/err"))
+      case None => (
+        delta.select(col("bucket"), col("user_id"), col("dn").as("est")).limit(0),
+        delta.select(col("bucket"), lit(0L).as("err")).limit(0))
+    }
+    // SpaceSaving merge: a key absent from the retained summary re-enters
+    // at the bucket's error floor (its evicted estimate was ≤ err).
+    val combined = baseC
+      .join(delta, Seq("bucket", "user_id"), "full_outer")
+      .join(baseE, Seq("bucket"), "left")
+      .select(col("bucket"), col("user_id"),
+        (coalesce(col("est"), col("err"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("est"),
+        coalesce(col("err"), lit(0L)).as("err0"))
+    val byBucket = Window.partitionBy("bucket")
+      .orderBy(col("est").desc, col("user_id"))
+    val ranked = combined.withColumn("rk", row_number().over(byBucket))
+    ranked.where(col("rk") <= m)
+      .select("bucket", "user_id", "est")
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counters")
+    // err rises to the largest evicted estimate (monotone per bucket)
+    ranked.groupBy("bucket")
+      .agg(greatest(max("err0"),
+        coalesce(max(when(col("rk") > m, col("est"))), lit(0L))).as("err"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/err")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =
     events

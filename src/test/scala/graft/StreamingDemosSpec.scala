@@ -474,4 +474,79 @@ class StreamingDemosSpec extends AnyFunSuite {
     Demos.cmsBatch(spark, chunks.last.toSeq.toDF(), dir, last)
     assert(audit(last) == got, "replaying the committed last batch changed the audit")
   }
+
+  test("s22: streaming heavy hitters — SpaceSaving merge matches a " +
+    "sequential fold, bounds hold structurally, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s22").toString + "/hh"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector // 3 batches
+    // 4 buckets × capacity 2 over the 15-user fixture (~4 users/bucket):
+    // eviction MUST trigger, so est ≥ exact and the err certificate are
+    // exercised non-vacuously (production defaults are 16 × 5)
+    val (nb, m) = (4, 2)
+    val input = MemoryStream[Event]
+    val q = Demos.s22HeavyHittersMonitor(spark, input.toDF(), dir, nb, m)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+    def state(v: Long): (Map[(Long, Long), Long], Map[Long, Long]) = (
+      spark.read.parquet(s"$dir/v=$v/counters").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      spark.read.parquet(s"$dir/v=$v/err").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (gotC, gotE) = state(last)
+
+    // the same merge as a sequential driver-side fold over the same chunks
+    var foldC = Map.empty[(Long, Long), Long]
+    var foldE = Map.empty[Long, Long].withDefaultValue(0L)
+    for (chunk <- chunks) {
+      val delta = chunk.groupBy(e => (e.user_id % nb, e.user_id)).view
+        .mapValues(_.length.toLong).toMap
+      val est = (foldC.keySet ++ delta.keySet).map { k =>
+        k -> (foldC.getOrElse(k, foldE(k._1)) + delta.getOrElse(k, 0L))
+      }.toMap
+      val byBucket = est.groupBy(_._1._1)
+      foldC = byBucket.values.flatMap(
+        _.toSeq.sortBy { case ((_, u), n) => (-n, u) }.take(m)).toMap
+      foldE = foldE ++ byBucket.map { case (b, xs) =>
+        val evicted = xs.toSeq.sortBy { case ((_, u), n) => (-n, u) }.drop(m)
+        b -> math.max(foldE(b), evicted.map(_._2).maxOption.getOrElse(0L))
+      }
+    }
+    assert(gotC == foldC, "streamed summary differs from the sequential fold")
+    assert(gotE == foldE.toMap, "streamed err floors differ from the fold")
+
+    // structural bounds: est >= exact for retained keys; any key with
+    // exact count above its bucket's err floor is PROVABLY retained;
+    // state is bounded
+    val exact = evs.groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+    assert(gotC.size <= nb * m && gotE.size <= nb)
+    gotC.foreach { case ((b, u), est) =>
+      assert(u % nb == b && est >= exact(u),
+        s"retained user $u underestimated: $est < ${exact(u)}")
+    }
+    val retained = gotC.keySet.map(_._2)
+    exact.foreach { case (u, n) =>
+      if (n > gotE.getOrElse(u % nb, 0L))
+        assert(retained.contains(u),
+          s"user $u with exact $n above err floor ${gotE.getOrElse(u % nb, 0L)} was evicted")
+    }
+    // eviction must actually trigger at this corpus (else the test is vacuous)
+    assert(gotE.values.exists(_ > 0L), "no eviction happened — m too large for the fixture")
+
+    // pruned history + idempotent replay
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    Demos.hhBatch(spark, chunks.last.toSeq.toDF(), dir, last, nb, m)
+    assert(state(last) == ((gotC, gotE)),
+      "replaying the committed last batch changed the summary")
+  }
 }
