@@ -61,6 +61,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.count() == 1)
   }
 
+  test("P6/P5 decode is REAL: header fields recovered, features track " +
+    "pixel content, comments and gray rasters parse") {
+    // round-trip the fixture writer through the parser
+    val img = Multimodal.makePpm(9, 7, seed = 42L)
+    assert(Multimodal.parseNetpbmHeader(img).map(t => (t._1, t._2, t._3, t._4))
+      .contains(("ppm", 9, 7, 255)))
+    // features respond to pixel content, not just byte length
+    val f1 = Multimodal.decodeNetpbm(Multimodal.makePpm(9, 7, 1L)).get
+    val f2 = Multimodal.decodeNetpbm(Multimodal.makePpm(9, 7, 2L)).get
+    assert(f1.length == 8 && f1.toSeq != f2.toSeq)
+    // a solid-red raster decodes to exactly the stats the pixels dictate
+    val red = "P6\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(8)(Array(255.toByte, 0.toByte, 0.toByte)).flatten
+    val fr = Multimodal.decodeNetpbm(red).get
+    assert(fr(0) == 1f && fr(1) == 0f && fr(2) == 0f, "RGB means wrong")
+    assert(fr(3) == 0f && math.abs(fr(4) - 0.299f) < 1e-6 && fr(4) == fr(5),
+      "solid image must have zero lum spread")
+    // P5 grayscale with a header comment and a sub-255 maxval
+    val gray = "P5\n# test card\n3 2 15\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 15, 0, 15, 0, 15)
+    val fg = Multimodal.decodeNetpbm(gray).get
+    assert(math.abs(fg(0) - 0.5f) < 1e-6 && fg(4) == 0f && fg(5) == 1f)
+    assert(fg(7) == 15f / 255f)
+  }
+
+  test("malformed real-format payloads degrade to the stub, never throw") {
+    val garbage = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.decodeNetpbm(garbage).isEmpty)
+    assert(Multimodal.decode("ppm", garbage).toSeq ==
+      Multimodal.decodeStub(garbage).toSeq)
+    // truncated raster: valid header, missing bytes
+    val short = "P6\n100 100\n255\nxy".getBytes("US-ASCII")
+    assert(Multimodal.decodeNetpbm(short).isEmpty)
+    assert(Multimodal.decode("ppm", short).toSeq ==
+      Multimodal.decodeStub(short).toSeq)
+  }
+
+  test("mixed corpus end-to-end: ppm rows decode for real, others stub, " +
+    "and the metadata probe surfaces the embedded header") {
+    val mixed = Multimodal.synthesizeMixed(spark, sf001)
+    val feats = Multimodal.extractFeatures(mixed).collect()
+      .map(f => f.media_id -> f).toMap
+    val recs = mixed.collect()
+    assert(recs.exists(_.format == "ppm") && recs.exists(_.format == "fake-rgb"))
+    recs.foreach { r =>
+      val expected =
+        if (r.format == "ppm") Multimodal.decodeNetpbm(r.payload).get
+        else Multimodal.decodeStub(r.payload)
+      assert(feats(r.media_id).features.toSeq == expected.toSeq,
+        s"media ${r.media_id} (${r.format}) took the wrong decode path")
+    }
+    // the probe reads the BYTES: ppm rows surface their embedded header
+    // (matching the catalog metadata), fake rows are flagged unparseable
+    val probed = Multimodal.inferMeta(mixed).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3), r.getInt(4),
+        r.getBoolean(5)))).toMap
+    recs.foreach { r =>
+      val (pf, pw, ph, ok) = probed(r.media_id)
+      if (r.format == "ppm")
+        assert(ok && pf == "ppm" && pw == r.width && ph == r.height,
+          s"media ${r.media_id}: probed ($pf,$pw,$ph) != declared (ppm,${r.width},${r.height})")
+      else assert(!ok && pf == "unknown")
+    }
+  }
+
   test("q77 media metadata query prunes the scan to n_chars (no text/payload)") {
     // The declared, oracle-gated metadata aggregation must behave like a
     // catalog scan: column pruning pushes through synthesize's projection
