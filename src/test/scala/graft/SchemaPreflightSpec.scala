@@ -59,6 +59,36 @@ class SchemaPreflightSpec extends AnyFunSuite {
     }
   }
 
+  // Exact row counts per SF (2026-08-13 regen). A regen that changes
+  // VOLUME without changing schema would otherwise pass every gate while
+  // silently shifting every bench number off the historical envelope —
+  // pin the counts so scale drift fails one named test too.
+  private val expectedCounts: Map[String, Map[String, Long]] = Map(
+    "/root/testdata/sf0.001" -> Map(
+      "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,
+      "part" -> 200L, "orders" -> 1500L, "lineitem" -> 6000L,
+      "events" -> 1000L, "documents" -> 500L, "embeddings" -> 500L),
+    "/root/testdata/sf0.01" -> Map(
+      "region" -> 5L, "nation" -> 25L, "customer" -> 1500L, "supplier" -> 100L,
+      "part" -> 2000L, "orders" -> 15000L, "lineitem" -> 60000L,
+      "events" -> 10000L, "documents" -> 500L, "embeddings" -> 500L),
+    "/root/testdata/sf0.1" -> Map(
+      "region" -> 5L, "nation" -> 25L, "customer" -> 15000L, "supplier" -> 1000L,
+      "part" -> 20000L, "orders" -> 150000L, "lineitem" -> 600000L,
+      "events" -> 100000L, "documents" -> 5000L, "embeddings" -> 2000L))
+
+  test("every table's row count matches the checked-in volume at all SFs") {
+    for (sf <- sfs; (table, want) <- expectedCounts(sf).toSeq.sortBy(_._1)) {
+      val got =
+        if (table == "events") Tables.events(spark, sf).count()
+        else Tables.t(spark, sf, table).count()
+      assert(got == want, s"VOLUME DRIFT in $sf/$table.parquet — expected " +
+        s"$want rows, scanned $got; the driver regenerated testdata at a " +
+        "different scale: re-baseline bench expectations and update this " +
+        "preflight in the same commit")
+    }
+  }
+
   test("events.ts is a known vintage raw and TimestampType after Tables.events") {
     val knownTs = Set[DataType](LongType, TimestampNTZType, TimestampType)
     for (sf <- sfs) {
