@@ -136,6 +136,179 @@ object Round9 {
         |FROM ranked r JOIN thr t ON r.bucket = t.bucket
         |WHERE r.rk <= 5
         |ORDER BY r.bucket, r.rk""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q128
+    // Z-order (Morton-curve) layout audit — the data-skipping side of
+    // storage layout (Delta/Iceberg OPTIMIZE ZORDER, public docs). Each
+    // order maps to a 10-bit z-value interleaving two 5-bit range-bucket
+    // coordinates (order date day-bucket × customer-key bucket, the
+    // key-domain max read via a 1-row broadcast so the query is
+    // SF-agnostic); rows then land in 64 "files" of contiguous z-ranges
+    // (z DIV 16) and the query emits each file's min/max extent in BOTH
+    // dimensions — exactly the per-file skipping index a lakehouse scan
+    // planner prunes with. The point the output makes: under z-order
+    // EVERY file is narrow in BOTH dims (a point predicate on either dim
+    // prunes ~⅞ of files), where a date-sorted layout is narrow in one
+    // and full-width in the other — Round9Spec asserts that comparison
+    // quantitatively. All arithmetic is exact int64; plan = one scan,
+    // one 1-row broadcast, one 64-group aggregate. At 100 TB this IS the
+    // OPTIMIZE job's audit query: no shuffle wider than 64 groups.
+    "q128_zorder_layout" -> QDef(
+      (s, d) => {
+        val dd = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long")
+        // Column `/` is DOUBLE division; floor+cast recovers integer DIV.
+        // Exact: numerators < 2^53 and quotients sit far from the nearest
+        // integer relative to a double's half-ulp at these magnitudes.
+        val x = least(lit(31L), floor(dd * 32L / 2405L).cast("long"))
+        val y = floor(col("o_custkey") * 32L / (col("max_ck") + 1L))
+          .cast("long")
+        val z = (0 until 5).map { i =>
+          (shiftright(col("x"), i) % 2) * (1L << (2 * i)) +
+            (shiftright(col("y"), i) % 2) * (1L << (2 * i + 1))
+        }.reduce(_ + _)
+        orders(s, d)
+          .crossJoin(broadcast(
+            orders(s, d).agg(max("o_custkey").as("max_ck"))))
+          .withColumn("x", x).withColumn("y", y)
+          .withColumn("z", z)
+          .groupBy((col("z") / 16L).cast("long").as("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("min_day_b"), max("x").as("max_day_b"),
+            min("y").as("min_key_b"), max("y").as("max_key_b"))
+          .orderBy("file_id")
+      },
+      { // identical bit-interleave, spelled with DuckDB's >>/&/* ops
+        val zTerms = (0 until 5).map { i =>
+          s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""WITH xy AS (
+           |  SELECT least(31, CAST(date_diff('day', DATE '1995-01-01',
+           |                                  o_orderdate) AS BIGINT) * 32 // 2405) AS x,
+           |         o_custkey * 32 // ((SELECT MAX(o_custkey) FROM orders) + 1) AS y
+           |  FROM orders),
+           |zed AS (SELECT x, y, $zTerms AS z FROM xy)
+           |SELECT z // 16 AS file_id, COUNT(*) AS n_rows,
+           |       MIN(x) AS min_day_b, MAX(x) AS max_day_b,
+           |       MIN(y) AS min_key_b, MAX(y) AS max_key_b
+           |FROM zed GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    ),
+
+    // --------------------------------------------------------------- q129
+    // Merkle-style snapshot reconciliation — anti-entropy table diff.
+    // Snapshot A = orders; snapshot B = the same table after simulated
+    // drift (rows with o_orderkey % 97 = 31 deleted; rows with
+    // o_orderkey % 101 = 7 price-updated by +1.00 — both deterministic,
+    // replayed identically by the oracle). Each row folds to an int64
+    // checksum from (key, price-in-cents via the exact DECIMAL bridge,
+    // status); checksums and counts aggregate per key-bucket
+    // (o_orderkey % 64), and a bucket whose (count, checksum) pair
+    // matches is PROVABLY reconciled up to checksum collision — only
+    // differing buckets ever need row-level comparison. ONE scan computes
+    // both sides (B is a filtered/perturbed view of A, so conditional
+    // aggregation fuses the snapshots); output is 64 rows at ANY volume.
+    // At 100 TB: this is how you diff two table versions with a 64-row
+    // exchange instead of a full-table join — the Cassandra/Dynamo
+    // anti-entropy pattern on columnar data. Checksum terms stay below
+    // 2^31 so int64 partial sums cannot overflow until ~2^33 rows per
+    // bucket; the % 1000003 fold keeps Spark (int64 sum) and DuckDB
+    // (HUGEINT sum) bit-identical.
+    "q129_snapshot_diff" -> QDef(
+      (s, d) => {
+        val cents = col("o_totalprice").cast(Det.D) * 100L
+        def h(price: org.apache.spark.sql.Column) =
+          (col("o_orderkey") * 2654435761L
+            + price.cast("long") * 97L
+            + ascii(col("o_orderstatus"))) % 1000003L
+        val deleted = col("o_orderkey") % 97L === 31L
+        val updated = col("o_orderkey") % 101L === 7L
+        orders(s, d)
+          .withColumn("h_a", h(cents))
+          .withColumn("h_b",
+            h(when(updated, cents + 100L).otherwise(cents)))
+          .groupBy((col("o_orderkey") % 64L).as("bucket"))
+          .agg(
+            count(lit(1)).as("cnt_a"),
+            (sum(col("h_a")) % 1000003L).as("chk_a"),
+            count(when(!deleted, 1)).as("cnt_b"),
+            (sum(when(!deleted, col("h_b"))) % 1000003L).as("chk_b"))
+          .withColumn("status",
+            when(col("cnt_a") === col("cnt_b") && col("chk_a") === col("chk_b"),
+              lit("match")).otherwise(lit("diff")))
+          .orderBy("bucket")
+      },
+      """WITH rows_ AS (
+        |  SELECT o_orderkey % 64 AS bucket,
+        |         o_orderkey % 97 = 31 AS deleted,
+        |         (o_orderkey * 2654435761
+        |          + CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) * 97
+        |          + ascii(o_orderstatus)) % 1000003 AS h_a,
+        |         (o_orderkey * 2654435761
+        |          + (CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |             + CASE WHEN o_orderkey % 101 = 7 THEN 100 ELSE 0 END) * 97
+        |          + ascii(o_orderstatus)) % 1000003 AS h_b
+        |  FROM orders),
+        |agg AS (
+        |  SELECT bucket, COUNT(*) AS cnt_a,
+        |         CAST(SUM(h_a) % 1000003 AS BIGINT) AS chk_a,
+        |         COUNT(CASE WHEN NOT deleted THEN 1 END) AS cnt_b,
+        |         CAST(SUM(CASE WHEN NOT deleted THEN h_b END) % 1000003 AS BIGINT) AS chk_b
+        |  FROM rows_ GROUP BY 1)
+        |SELECT bucket, cnt_a, chk_a, cnt_b, chk_b,
+        |       CASE WHEN cnt_a = cnt_b AND chk_a = chk_b
+        |            THEN 'match' ELSE 'diff' END AS status
+        |FROM agg ORDER BY bucket""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q130
+    // Sliding-window document chunking with overlap — the text-side prep
+    // step every training/RAG pipeline runs between cleaning and
+    // tokenizer packing (q71 packs whole docs; this SPLITS long docs).
+    // Chunk size 40 tokens, stride 30 (10-token overlap); chunk k of a
+    // doc covers tokens [30k, 30k+40). Per chunk: its token count, first
+    // and last token (the provenance fields a retrieval index stores).
+    // (doc_id, chunk_id) is a unique key, so the full ORDER BY is
+    // deterministic. Plan: one scan, a per-row sequence explode (fan-out
+    // ~n_toks/30 — data-proportional, no shuffle until the final sort);
+    // at 100 TB chunking is embarrassingly parallel and this shape keeps
+    // it map-side. DuckDB twin generates k via unnest(generate_series)
+    // (its range() rejects lateral args — CLAUDE.md).
+    "q130_chunk_overlap" -> QDef(
+      (s, d) => {
+        val C = 40; val S = 30
+        documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("chunk_id", explode(sequence(lit(0L),
+            greatest(lit(0L), -floor((lit(C) - col("n")).cast("double") / S)
+              .cast("long")))))
+          .select(
+            col("doc_id"), col("chunk_id"),
+            least(col("n") - col("chunk_id") * S, lit(C.toLong))
+              .as("n_chunk_toks"),
+            element_at(col("toks"), (col("chunk_id") * S + 1).cast("int"))
+              .as("first_tok"),
+            element_at(col("toks"),
+              least(col("n"), col("chunk_id") * S + C).cast("int"))
+              .as("last_tok"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, toks, n,
+        |         unnest(generate_series(0,
+        |           greatest(0, CAST(ceil((n - 40) / 30.0) AS BIGINT)))) AS chunk_id
+        |  FROM base)
+        |SELECT doc_id, chunk_id,
+        |       least(n - chunk_id * 30, 40) AS n_chunk_toks,
+        |       toks[CAST(chunk_id * 30 + 1 AS BIGINT)] AS first_tok,
+        |       toks[CAST(least(n, chunk_id * 30 + 40) AS BIGINT)] AS last_tok
+        |FROM ks ORDER BY doc_id, chunk_id""".stripMargin
     )
   )
 }

@@ -859,4 +859,91 @@ class InvariantSpec extends AnyFunSuite {
         assert(kept.contains(u), s"certified heavy hitter $u missing ($n > $maxThr)")
     }
   }
+
+  test("round-9 invariants: q128 z-order tiles are narrow in BOTH dims, " +
+    "q129 diff buckets are exactly the drifted ones, q130 chunks tile " +
+    "each document with stride-30 windows") {
+    // q128: replay the bucket/interleave arithmetic in Scala and compare
+    // per-file extents exactly; then the layout claim itself — 16
+    // consecutive z-values are a 4×4 Morton tile, so EVERY file must span
+    // ≤ 4 buckets in BOTH dimensions (a 1-D sorted layout is full-width in
+    // the other dimension; that contrast is the whole point of z-order).
+    val ord = graft.Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderstatus").collect()
+    val epoch = java.time.LocalDate.of(1995, 1, 1)
+    val maxCk = ord.map(_.getLong(1)).max
+    val xy = ord.map { r =>
+      val dd = java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, r.getAs[java.time.LocalDateTime]("o_orderdate").toLocalDate)
+      val x = math.min(31L, dd * 32 / 2405)
+      val y = r.getLong(1) * 32 / (maxCk + 1)
+      val z = (0 until 5).map { i =>
+        (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+      (z / 16, x, y)
+    }
+    val expFiles = xy.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max,
+        rs.map(_._3).min, rs.map(_._3).max)
+    }.toMap
+    val gotFiles = run("q128_zorder_layout").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(gotFiles == expFiles, "q128 per-file extents differ from replay")
+    gotFiles.foreach { case (f, (_, minD, maxD, minK, maxK)) =>
+      assert(maxD - minD <= 3 && maxK - minK <= 3,
+        s"file $f spans >4 buckets in a dimension — not a Morton tile")
+    }
+    assert(gotFiles.values.map(_._1).sum == ord.length.toLong)
+
+    // q129: the diff buckets must be EXACTLY those holding a deleted
+    // (key%97=31) or updated (key%101=7) row, and cnt_a−cnt_b must equal
+    // the bucket's deletion count (checksums catch the pure updates).
+    val drift = ord.map(_.getLong(0)).groupBy(_ % 64).view.mapValues { ks =>
+      (ks.count(_ % 97 == 31).toLong, ks.exists(k => k % 97 == 31 || k % 101 == 7))
+    }.toMap
+    val diffRows = run("q129_snapshot_diff").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getString(5))))
+      .toMap
+    assert(diffRows.keySet == drift.keySet)
+    diffRows.foreach { case (b, (cntA, cntB, status)) =>
+      val (nDel, drifted) = drift(b)
+      assert(cntA - cntB == nDel, s"bucket $b deletion count mismatch")
+      assert(status == (if (drifted) "diff" else "match"),
+        s"bucket $b status $status disagrees with drift replay")
+    }
+    assert(diffRows.values.exists(_._3 == "diff") &&
+      diffRows.values.exists(_._3 == "match"), "q129 is vacuous")
+
+    // q130: full Scala replay of the chunking (size 40, stride 30), plus
+    // the tiling facts — every non-final chunk is exactly 40 tokens, the
+    // final chunk ends exactly at the document's last token, and chunk k
+    // starts at token 30k (10-token overlap between neighbors).
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val expChunks = docs.flatMap { case (id, toks) =>
+      val n = toks.length
+      val kMax = math.max(0L, math.ceil((n - 40) / 30.0).toLong)
+      (0L to kMax).map { k =>
+        val start = (k * 30).toInt
+        (id, k, math.min(n - start, 40).toLong,
+          toks(start), toks(math.min(n, start + 40) - 1))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val gotChunks = run("q130_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    assert(gotChunks.toSeq == expChunks.toSeq,
+      "q130 chunks differ from the Scala replay")
+    gotChunks.groupBy(_._1).foreach { case (id, cs) =>
+      val kMax = cs.map(_._2).max
+      cs.foreach { case (_, k, len, _, _) =>
+        if (k < kMax) assert(len == 40L, s"doc $id non-final chunk $k len $len")
+        else assert(k * 30 + len == docs.find(_._1 == id).get._2.length.toLong,
+          s"doc $id final chunk does not end at the last token")
+      }
+    }
+  }
 }
