@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Det, QDef, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-9 additions: the bucketed co-located join (SCALE.md §1's central
@@ -309,6 +310,159 @@ object Round9 {
         |       toks[CAST(chunk_id * 30 + 1 AS BIGINT)] AS first_tok,
         |       toks[CAST(least(n, chunk_id * 30 + 40) AS BIGINT)] AS last_tok
         |FROM ks ORDER BY doc_id, chunk_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q131
+    // SCD2 point-in-time (temporal) join — the enrichment q94 builds
+    // history FOR: facts join the dimension row that was valid AT the
+    // fact's event time, never today's row. Dimension = q94's
+    // change-compression over each user's state-machine events (signup/
+    // view/purchase, the q94 carve); facts = the same users' error
+    // events; join on user + ts∈[valid_from, valid_to) — consecutive
+    // intervals partition the timeline, so each fact matches AT MOST one
+    // row (errors before a user's first state event keep status 'none'
+    // via the left join). Plan: the range condition rides a user_id
+    // EQUI-join (sort-merge, per-user interval lists bounded by that
+    // user's change count) — no nested loop, no broadcast of a
+    // data-scaled side; at 100 TB this is exactly the dimension-history
+    // enrichment shape (the as-of alternative for unkeyed/densest cases
+    // is q64/q68).
+    "q131_temporal_join" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val carve = events(s, d).where(col("user_id") % 7 === 0)
+        val dim = carve
+          .where(col("event_type").isin("signup", "view", "purchase"))
+          .withColumn("prev_status", lag("event_type", 1).over(w))
+          .where(col("prev_status").isNull ||
+            col("prev_status") =!= col("event_type"))
+          .withColumn("valid_to", lead("ts", 1).over(w))
+          .select(col("user_id").as("d_user"),
+            col("event_type").as("status"),
+            col("ts").as("valid_from"), col("valid_to"))
+        carve.where(col("event_type") === "error")
+          .select("user_id", "event_id", "ts", "value")
+          .join(dim,
+            col("user_id") === col("d_user") &&
+              col("ts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("ts") < col("valid_to")),
+            "left")
+          .groupBy(coalesce(col("status"), lit("none")).as("status"))
+          .agg(count(lit(1)).as("n_errors"),
+            countDistinct(col("user_id")).as("n_users"),
+            Det.dsum(col("value")).as("sum_value"))
+          .orderBy("status")
+      },
+      s"""WITH carve AS (
+         |  SELECT * FROM events WHERE user_id % 7 = 0),
+         |changes AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |         lag(event_type) OVER (PARTITION BY user_id
+         |                               ORDER BY ts, event_id) AS prev
+         |  FROM carve WHERE event_type IN ('signup', 'view', 'purchase')),
+         |dim AS (
+         |  SELECT user_id AS d_user, event_type AS status, ts AS valid_from,
+         |         lead(ts) OVER (PARTITION BY user_id
+         |                        ORDER BY ts, event_id) AS valid_to
+         |  FROM changes WHERE prev IS NULL OR prev <> event_type)
+         |SELECT COALESCE(status, 'none') AS status, COUNT(*) AS n_errors,
+         |       COUNT(DISTINCT user_id) AS n_users,
+         |       ${Det.sqlDsum("value")} AS sum_value
+         |FROM (SELECT user_id, event_id, ts, value FROM carve
+         |      WHERE event_type = 'error') f
+         |LEFT JOIN dim ON f.user_id = d_user AND f.ts >= valid_from
+         |             AND (valid_to IS NULL OR f.ts < valid_to)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q132
+    // k-anonymity audit — the data-governance scan run before a dataset
+    // leaves its enclave: group individuals by their quasi-identifier
+    // tuple (market segment × nation × $1000 balance band) and report
+    // the equivalence-class size distribution; every class of size < 5
+    // is a re-identification risk the anonymization pass must generalize
+    // away. Two map-side-combinable aggregates (individuals→classes,
+    // classes→histogram) — the whole audit is two short-key shuffles at
+    // ANY volume, and the histogram is at most as wide as the largest
+    // class size. Pure int64 (the balance band's double division is
+    // correctly-rounded from 2-decimal data, floor exact on both
+    // engines).
+    "q132_kanon_audit" -> QDef(
+      (s, d) => {
+        customer(s, d)
+          .groupBy(col("c_mktsegment").as("segment"),
+            col("c_nationkey").as("nation"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+          .agg(count(lit(1)).as("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_classes"), sum("k").as("n_customers"))
+          .withColumn("risk",
+            when(col("k") < 5, lit("violating")).otherwise(lit("anonymous")))
+          .orderBy("k")
+      },
+      """WITH classes AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |         COUNT(*) AS k
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT k, COUNT(*) AS n_classes, CAST(SUM(k) AS BIGINT) AS n_customers,
+        |       CASE WHEN k < 5 THEN 'violating' ELSE 'anonymous' END AS risk
+        |FROM classes GROUP BY k ORDER BY k""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q133
+    // Chi-square independence screen: the event_type × market-segment
+    // contingency table with expected counts and per-cell χ² contribution
+    // — the first statistical test an analyst runs on "does behavior
+    // depend on segment?", and the feature-target dependence screen a
+    // training pipeline runs before feature selection. Emits PER-CELL
+    // rows (observed, expected, contribution): each cell is a closed-form
+    // expression of exact int64 marginals, so no cross-engine double
+    // SUMMATION order exists anywhere — the one global fold (grand total)
+    // rides the 1-row broadcast. Plan: fact⋈dim broadcast join, one
+    // (type, segment) partial-agg'd shuffle into a ~25-row cell table
+    // (localCheckpoint'ed once — branching into marginals may not replay
+    // the corpus scan), then partitioned windows for row/column totals.
+    "q133_chisq_cells" -> QDef(
+      (s, d) => {
+        val wr = Window.partitionBy("event_type")
+        val wc = Window.partitionBy("segment")
+        val cells = events(s, d)
+          .join(broadcast(customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+            col("user_id") === col("c_custkey"))
+          .groupBy("event_type", "segment")
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint()
+        val e = (col("rt") * col("ct")).cast("double") / col("gt").cast("double")
+        cells
+          .withColumn("rt", sum("o").over(wr))
+          .withColumn("ct", sum("o").over(wc))
+          .crossJoin(broadcast(cells.agg(sum("o").as("gt"))))
+          .withColumn("expected", e)
+          .select(col("event_type"), col("segment"), col("o").as("observed"),
+            col("expected"),
+            ((col("o").cast("double") - col("expected")) *
+              (col("o").cast("double") - col("expected")) / col("expected"))
+              .as("contrib"))
+          .orderBy("event_type", "segment")
+      },
+      """WITH cells AS (
+        |  SELECT event_type, c_mktsegment AS segment, COUNT(*) AS o
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  GROUP BY 1, 2),
+        |marg AS (
+        |  SELECT event_type, segment, o,
+        |         SUM(o) OVER (PARTITION BY event_type) AS rt,
+        |         SUM(o) OVER (PARTITION BY segment) AS ct,
+        |         (SELECT SUM(o) FROM cells) AS gt
+        |  FROM cells)
+        |SELECT event_type, segment, o AS observed,
+        |       CAST(rt * ct AS DOUBLE) / CAST(gt AS DOUBLE) AS expected,
+        |       (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(gt AS DOUBLE))
+        |       * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(gt AS DOUBLE))
+        |       / (CAST(rt * ct AS DOUBLE) / CAST(gt AS DOUBLE)) AS contrib
+        |FROM marg ORDER BY event_type, segment""".stripMargin
     )
   )
 }

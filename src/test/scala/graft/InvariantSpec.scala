@@ -946,4 +946,87 @@ class InvariantSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("round-9b invariants: q131 point-in-time statuses replay, q132 " +
+    "k-anonymity histogram accounts for every customer, q133 chi-square " +
+    "cells reproduce from exact marginals") {
+    // q131: sequential per-user replay — walk each carve user's state
+    // events in (ts, event_id) order and look up the status active at
+    // each error's timestamp.
+    val ev = graft.Tables.events(spark, sf001)
+      .where(col("user_id") % 7 === 0)
+      .select("user_id", "event_id", "ts", "event_type", "value").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getLong(0), r.getLong(1),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L, // exact micros
+          r.getString(3), r.getDouble(4))
+      }
+    val states = Set("signup", "view", "purchase")
+    val byUser = ev.groupBy(_._1)
+    val expAgg = ev.filter(_._4 == "error").map { case (u, _, ts, _, v) =>
+      val changes = byUser(u).filter(e => states(e._4)).sortBy(e => (e._3, e._2))
+        .foldLeft(Vector.empty[(Long, String)]) { (acc, e) =>
+          if (acc.lastOption.exists(_._2 == e._4)) acc else acc :+ ((e._3, e._4))
+        }
+      val status = changes.takeWhile(_._1 <= ts).lastOption.map(_._2)
+        .getOrElse("none")
+      (status, u, v)
+    }.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+        xs.map(x => BigDecimal(x._3).setScale(4)).sum.toDouble)
+    }.toMap
+    val gotAgg = run("q131_temporal_join").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(gotAgg == expAgg, "q131 point-in-time aggregation differs from replay")
+    assert(gotAgg.values.map(_._1).sum == ev.count(_._4 == "error").toLong,
+      "q131 must account for every error event exactly once")
+
+    // q132: every customer lands in exactly one equivalence class;
+    // histogram row arithmetic must agree with a direct regroup.
+    val cust = graft.Tables.customer(spark, sf001)
+      .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val expHist = cust.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).view
+      .mapValues(ks => (ks.size.toLong, ks.sum)).toMap
+    val gotHist = run("q132_kanon_audit").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(gotHist.view.mapValues(v => (v._1, v._2)).toMap == expHist,
+      "q132 class-size histogram differs from replay")
+    assert(gotHist.values.map(_._2).sum == cust.length.toLong,
+      "q132 histogram must account for every customer")
+    gotHist.foreach { case (k, (nc, ncust, risk)) =>
+      assert(ncust == k * nc, s"q132 row k=$k: n_customers != k*n_classes")
+      assert(risk == (if (k < 5) "violating" else "anonymous"))
+    }
+
+    // q133: per-cell expected/contrib are closed forms of exact integer
+    // marginals; replay them and check the identities Σobs = Σexp per row
+    // margin (within nothing — expected sums are exact rationals summing
+    // to the row total, checked on the doubles to 1e-9 relative).
+    val rows = run("q133_chisq_cells").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val obs = rows.map { case (t, s, o, _, _) => (t, s) -> o }.toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val gt = rows.map(_._3).sum
+    rows.foreach { case (t, s, o, e, c) =>
+      val eExp = (rt(t) * ct(s)).toDouble / gt.toDouble
+      assert(e == eExp, s"q133 cell ($t,$s) expected $e != $eExp")
+      val cExp = (o.toDouble - eExp) * (o.toDouble - eExp) / eExp
+      assert(c == cExp, s"q133 cell ($t,$s) contrib mismatch")
+      assert(c >= 0.0)
+    }
+    // the contingency table covers every joined event exactly once
+    val nJoined = graft.Tables.events(spark, sf001).join(
+      graft.Tables.customer(spark, sf001),
+      col("user_id") === col("c_custkey")).count()
+    assert(gt == nJoined, "q133 cells must cover every joined event")
+    assert(obs.size == rows.length, "q133 (type, segment) cells must be unique")
+  }
 }
