@@ -38,11 +38,14 @@ object PlanAudit {
     *    P-row per-bucket carry table, never the data (Scan.scala, ScanSpec).
     *  - q105_skyline: the ~100-row bucket-carry table of the skyline
     *    sweep, bounded by the fixed 900..1000 price domain.
+    *  - q135_ks_drift: two Scan carry windows (cent-bucketed cumulative
+    *    counts) — each global frame is the P-row per-bucket carry table,
+    *    never the data (Scan.scala, same bound as q63/q71/q107).
     */
   private val globalWindowWhitelist: Set[String] = Set(
     "q37_late_events", "q51_fingerprint", "q62_ivf_ann",
     "q63_late_events_scan", "q71_seq_pack", "q105_skyline",
-    "q107_systematic_sample")
+    "q107_systematic_sample", "q135_ks_drift")
 
   /** Walk the EXECUTED plan including adaptive and reused wrappers —
     * collect() on an AQE plan does not descend into query stages. */

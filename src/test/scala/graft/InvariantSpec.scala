@@ -1029,4 +1029,93 @@ class InvariantSpec extends AnyFunSuite {
     assert(gt == nJoined, "q133 cells must cover every joined event")
     assert(obs.size == rows.length, "q133 (type, segment) cells must be unique")
   }
+
+  test("round-9c invariants: q134 unigram NLL, q135 KS drift, q136 " +
+    "partition balance, and q137 sorted-neighborhood all reproduce from " +
+    "exact Scala replays") {
+    import java.math.RoundingMode.HALF_UP
+
+    // q134: replay the add-one-smoothed unigram LM and per-doc NLL sums.
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(t => (id, lang, t)) }
+    val cnt = toks.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val tot = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val v = toks.map(_._3).distinct.length.toLong
+    val nll = cnt.map { case ((lang, tok), c) =>
+      (lang, tok) -> BigDecimal(-math.log((c + 1).toDouble / (tot(lang) + v).toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) }
+    val expNll = toks.groupBy(_._1).view.mapValues { ts =>
+      val s = ts.map(t => nll((t._2, t._3))).sum
+      (ts.length.toLong, s.toDouble, s.toDouble / ts.length) }.toMap
+    val gotNll = run("q134_unigram_nll").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(gotNll == expNll, "q134 per-doc NLL differs from LM replay")
+    assert(gotNll.size == docs.length, "q134 must score every document")
+
+    // q135: replay the exact two-sample KS per-decile profile.
+    val evs = graft.Tables.events(spark, sf001)
+      .select("ts", "value").collect().map { r =>
+        val i = r.getAs[java.sql.Timestamp](0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            * 100).toLongExact) }
+    val (mnUs, mxUs) = (evs.map(_._1).min, evs.map(_._1).max)
+    val byv = evs.groupBy(_._2).view.mapValues { xs =>
+      (xs.count(x => 2 * x._1 < mnUs + mxUs).toLong,
+        xs.count(x => 2 * x._1 >= mnUs + mxUs).toLong) }
+      .toSeq.sortBy(_._1)
+    val (na, nb) = (byv.map(_._2._1).sum, byv.map(_._2._2).sum)
+    var (ra, rb) = (0L, 0L)
+    val dsByV = byv.map { case (vv, (ca, cb)) =>
+      ra += ca; rb += cb
+      (vv, math.abs(ra.toDouble / na.toDouble - rb.toDouble / nb.toDouble)) }
+    val expKs = dsByV.groupBy(_._1 / 5000).view.mapValues { xs =>
+      val best = xs.minBy { case (vv, dd) => (-dd, vv) }
+      (xs.length.toLong, best._1, best._2) }.toMap
+    val gotKs = run("q135_ks_drift").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotKs == expKs, "q135 per-decile KS profile differs from replay")
+    assert(gotKs.values.map(_._1).sum == byv.length.toLong,
+      "q135 deciles must cover every distinct value")
+
+    // q136: replay both layouts; totals must cover every event per scheme.
+    val uids = graft.Tables.events(spark, sf001)
+      .select("user_id").collect().map(_.getLong(0))
+    val base = uids.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (mnU, mxU, nEv) = (base.keys.min, base.keys.max, uids.length.toLong)
+    val wWidth = (mxU - mnU + 16) / 16
+    def rollup(f: Long => Long): Map[Long, (Long, Long, Double)] =
+      base.toSeq.groupBy(kv => f(kv._1)).view.mapValues { xs =>
+        val nr = xs.map(_._2).sum
+        (nr, xs.length.toLong, (nr * 16).toDouble / nEv.toDouble) }.toMap
+    val expBal =
+      rollup(u => (u - mnU) / wWidth).map { case (b, t) => ("range", b) -> t } ++
+        rollup(u => u * 7919 % 104729 % 16).map { case (b, t) => ("hash", b) -> t }
+    val gotBal = run("q136_partition_balance").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(gotBal == expBal, "q136 layout rollup differs from replay")
+    assert(gotBal.filterKeys(_._1 == "hash").values.map(_._1).sum == nEv &&
+      gotBal.filterKeys(_._1 == "range").values.map(_._1).sum == nEv,
+      "q136 each scheme must account for every event")
+
+    // q137: replay blocked sorted-neighborhood candidate generation.
+    val snPairs = docs.groupBy(dd => (dd._2, dd._3.take(8))).values.flatMap { blk =>
+      val sorted = blk.sortBy(dd => (dd._3, dd._1)).toVector
+      for {
+        i <- sorted.indices; off <- 1 to 2; if i + off < sorted.length
+        (ia, la, ta) = sorted(i); (ib, _, tb) = sorted(i + off)
+        sa = ta.split(" ", -1).distinct.toSet; sb = tb.split(" ", -1).distinct.toSet
+        nc = (sa & sb).size.toLong
+        j = nc.toDouble / (sa.size.toLong + sb.size.toLong - nc).toDouble
+        if j >= 0.6
+      } yield (la, ia, ib) -> j
+    }.toMap
+    val gotSn = run("q137_sorted_neighborhood").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(gotSn == snPairs, "q137 SNM pairs differ from replay")
+  }
 }
