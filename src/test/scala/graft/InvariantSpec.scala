@@ -1118,4 +1118,105 @@ class InvariantSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
     assert(gotSn == snPairs, "q137 SNM pairs differ from replay")
   }
+
+  test("round-9d invariants: q138 equi-depth histogram, q139 priority " +
+    "sample, q140 two-regressor OLS, and q141 trigram mining all " +
+    "reproduce from exact Scala replays") {
+    // Shared exact-cents extraction of the events table.
+    val evRows = graft.Tables.events(spark, sf001)
+      .select("ts", "value", "user_id", "event_id", "event_type").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp](0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            * 100).toLongExact,
+          r.getLong(2), r.getLong(3), r.getString(4)) }
+
+    // q138: replay bucket assignment off the exclusive cumulative count.
+    val cnts = evRows.groupBy(_._2).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val nTot = evRows.length.toLong
+    var cx = 0L
+    val expHist = cnts.map { case (v, c) =>
+      val b = cx * 16 / nTot; cx += c; (b, v, c) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).sum, xs.length.toLong) }
+      .toMap
+    val gotHist138 = run("q138_equidepth_hist").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(gotHist138 == expHist, "q138 histogram differs from replay")
+    assert(gotHist138.values.map(_._3).sum == nTot,
+      "q138 buckets must cover every event")
+    // equi-depth property: no bucket except heavy-value stragglers can
+    // exceed n/16 + max single-value count
+    val maxC = cnts.map(_._2).max
+    assert(gotHist138.values.forall(_._3 <= nTot / 16 + maxC),
+      "q138 bucket depth exceeds the equi-depth bound")
+
+    // q139: replay the weighted priority order on orders.
+    val ords = graft.Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val w = (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        (r.getLong(0), w) }
+    val expSample = ords.map { case (k, w) =>
+      val u = (k * 7919 + 13) % 104729 + 1
+      (u.toDouble / w.toDouble, k, w) }
+      .sortBy(x => (x._1, x._2)).take(20)
+      .map { case (p, k, w) => (k, w, p) }.toVector
+    val gotSample = run("q139_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(gotSample == expSample, "q139 top-20 priorities differ from replay")
+
+    // q140: replay the closed-form normal equations with exact BigInt
+    // moments, double-cast at the same points as the query.
+    val groups = evRows.groupBy(_._5)
+    val expOls = groups.view.mapValues { xs =>
+      val obs = xs.map { e =>
+        val zi = java.time.Instant.ofEpochSecond(e._1 / 1000000L,
+          (e._1 % 1000000L) * 1000L).atZone(java.time.ZoneOffset.UTC)
+        (BigInt(zi.getHour), BigInt(zi.getDayOfWeek.getValue), BigInt(e._2)) }
+      val n = BigInt(obs.length)
+      val sx1 = obs.map(_._1).sum; val sx2 = obs.map(_._2).sum
+      val sy = obs.map(_._3).sum
+      val sx1x1 = obs.map(o => o._1 * o._1).sum
+      val sx2x2 = obs.map(o => o._2 * o._2).sum
+      val sx1x2 = obs.map(o => o._1 * o._2).sum
+      val sx1y = obs.map(o => o._1 * o._3).sum
+      val sx2y = obs.map(o => o._2 * o._3).sum
+      val m11 = (n * sx1x1 - sx1 * sx1).toDouble
+      val m22 = (n * sx2x2 - sx2 * sx2).toDouble
+      val m12 = (n * sx1x2 - sx1 * sx2).toDouble
+      val c1 = (n * sx1y - sx1 * sy).toDouble
+      val c2 = (n * sx2y - sx2 * sy).toDouble
+      val det = m11 * m22 - m12 * m12
+      val b1 = (m22 * c1 - m12 * c2) / det
+      val b2 = (m11 * c2 - m12 * c1) / det
+      val b0 = (sy.toDouble - b1 * sx1.toDouble - b2 * sx2.toDouble) / n.toDouble
+      (obs.length.toLong, b0, b1, b2, det != 0.0)
+    }.toMap
+    val gotOls = run("q140_ols2").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    expOls.foreach { case (t, (n, b0, b1, b2, nondegenerate)) =>
+      if (nondegenerate) {
+        assert(gotOls.contains(t), s"q140 missing group $t")
+        assert(gotOls(t) == ((n, b0, b1, b2)), s"q140 group $t coefficients differ")
+      } else assert(!gotOls.contains(t), s"q140 degenerate group $t must be excluded")
+    }
+
+    // q141: replay per-user ordered trigram extraction and the top-20.
+    val expTri = evRows.groupBy(_._3).values.flatMap { xs =>
+      val seq = xs.sortBy(e => (e._1, e._4)).map(_._5).toVector
+      seq.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+    }.toVector.groupBy(identity).view.mapValues(_.length.toLong)
+      .toVector.map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20)
+    val gotTri = run("q141_event_trigrams").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toVector
+    assert(gotTri == expTri, "q141 trigram top-20 differs from replay")
+  }
 }
