@@ -1213,6 +1213,73 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s23 — streaming distribution-drift monitor: the ingest-time twin of
+    * batch q135's KS test. The FIRST micro-batch freezes a reference
+    * per-decile histogram of the value distribution (decile = exact cents
+    * DIV 5000, the q135/q138 binning); every subsequent batch merges its
+    * own per-decile delta counts into a cumulative histogram (histogram
+    * MERGEABILITY — bucket counts are sums — is what makes this
+    * distributable) and publishes the audit rows (decile, ref_n, cur_n,
+    * ref_share, cur_share, drift = |share diff|), whose max row is the
+    * ingest-drift alarm a pipeline gates new data on. Shares are raw IEEE
+    * quotients of exact int64 counts. State on disk is ≤ 10 histogram +
+    * 10 reference rows at ANY stream size (the reference rides forward
+    * into each version so pruned history never orphans it). Commit
+    * protocol = s14/s16/s21/s22's versioned overwrite with
+    * predecessor-only history (exactly-once under replays).
+    */
+  def s23DriftMonitor(spark: SparkSession, events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        valueDriftBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One drift-monitor step (factored out so the spec can replay a batch
+    * with the same batchId and assert identical output). */
+  private[graft] def valueDriftBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delta = batch
+      .select(((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("v"))
+      .withColumn("decile", expr("v DIV 5000"))
+      .groupBy("decile").agg(count(lit(1)).as("n"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val (baseH, ref) = prevVersions.sorted.lastOption match {
+      case Some(v) => (spark.read.parquet(s"$dir/v=$v/hist"),
+        spark.read.parquet(s"$dir/v=$v/ref"))
+      case None => (delta.limit(0), delta) // first batch freezes the reference
+    }
+    // histogram merge = bucket-count addition
+    baseH.unionByName(delta).groupBy("decile").agg(sum("n").as("n"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/hist")
+    ref.write.mode("overwrite").parquet(s"$dir/v=$batchId/ref")
+    // publish the audit the new snapshot implies — exact counts, raw
+    // share quotients, one full-outer join of two ≤10-row tables
+    val hist = spark.read.parquet(s"$dir/v=$batchId/hist")
+    val refR = spark.read.parquet(s"$dir/v=$batchId/ref")
+      .select(col("decile"), col("n").as("ref_n"))
+    val joined = hist.select(col("decile"), col("n").as("cur_n"))
+      .join(refR, Seq("decile"), "full_outer")
+      .select(col("decile"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tots = joined.agg(sum("ref_n").as("rt"), sum("cur_n").as("ct"))
+    joined.crossJoin(broadcast(tots))
+      .select(col("decile"), col("ref_n"), col("cur_n"),
+        (col("ref_n").cast("double") / col("rt").cast("double")).as("ref_share"),
+        (col("cur_n").cast("double") / col("ct").cast("double")).as("cur_share"))
+      .withColumn("drift", abs(col("ref_share") - col("cur_share")))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/audit")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =
     events

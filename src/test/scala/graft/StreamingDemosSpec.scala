@@ -549,4 +549,61 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(state(last) == ((gotC, gotE)),
       "replaying the committed last batch changed the summary")
   }
+
+  test("s23: streaming drift monitor — cumulative histogram equals the " +
+    "batch decile counts, the reference stays frozen, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s23").toString + "/drift"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector // 3 batches
+    val input = MemoryStream[Event]
+    val q = Demos.s23DriftMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def decile(e: Event): Long =
+      (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+        .toLongExact / 5000
+    def histOf(es: Seq[Event]): Map[Long, Long] =
+      es.groupBy(decile).view.mapValues(_.length.toLong).toMap
+
+    // cumulative histogram == exact decile counts of everything streamed
+    val gotHist = spark.read.parquet(s"$dir/v=$last/hist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotHist == histOf(evs.toSeq), "cumulative histogram drifted from exact")
+    // reference == the FIRST batch's histogram, frozen across versions
+    val gotRef = spark.read.parquet(s"$dir/v=$last/ref").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRef == histOf(chunks.head.toSeq), "reference was not frozen")
+    // audit arithmetic: shares are the raw quotients of those exact counts
+    val refTot = gotRef.values.sum.toDouble
+    val curTot = gotHist.values.sum.toDouble
+    val audit = spark.read.parquet(s"$dir/v=$last/audit").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(audit.keySet == (gotRef.keySet ++ gotHist.keySet))
+    audit.foreach { case (dc, (rn, cn, rs, cs, dr)) =>
+      assert(rn == gotRef.getOrElse(dc, 0L) && cn == gotHist.getOrElse(dc, 0L))
+      assert(rs == rn.toDouble / refTot && cs == cn.toDouble / curTot)
+      assert(dr == math.abs(rs - cs))
+    }
+    // bounded state (≤ 10 deciles each) and pruned history
+    assert(gotHist.size <= 10 && gotRef.size <= 10)
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    // replay the committed last batch (post-crash re-execution)
+    Demos.valueDriftBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    val replayed = spark.read.parquet(s"$dir/v=$last/hist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == gotHist, "replaying the committed last batch changed the histogram")
+  }
 }
