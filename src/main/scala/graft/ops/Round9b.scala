@@ -42,22 +42,27 @@ object Round9b {
     // per-doc rollup — map-side-combinable. No window, no all-pairs.
     "q134_unigram_nll" -> QDef(
       (s, d) => {
-        val tok = documents(s, d).select(
-          col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("tok"))
-        val stats = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        // One explode, consumed once: the (doc, tok) multiplicity table
+        // feeds BOTH the LM counts and the per-doc scoring (k·tok_nll is
+        // exactly k repeated decimal additions), so the corpus is scanned
+        // and exploded a single time instead of once per consumer.
+        val docTok = documents(s, d).select(
+            col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("k"))
+        val stats = docTok.groupBy("lang", "tok").agg(sum("k").as("cnt"))
         val tot = stats.groupBy("lang").agg(sum("cnt").as("tot"))
-        val vocab = tok.agg(countDistinct("tok").as("v"))
+        val vocab = stats.agg(countDistinct("tok").as("v"))
         val nll = stats.join(broadcast(tot), "lang").crossJoin(broadcast(vocab))
           .select(col("lang"), col("tok"),
             round(negate(log((col("cnt") + 1).cast("double") /
               (col("tot") + col("v")).cast("double"))), 4)
               .cast(Det.D).as("tok_nll"))
-        tok.join(broadcast(nll), Seq("lang", "tok"))
+        docTok.join(broadcast(nll), Seq("lang", "tok"))
           .groupBy("doc_id", "lang")
           .agg(
-            count(lit(1)).as("n_tokens"),
-            round(sum("tok_nll"), 4).cast("double").as("sum_nll"))
+            sum("k").as("n_tokens"),
+            round(sum(col("k") * col("tok_nll")), 4).cast("double").as("sum_nll"))
           .withColumn("avg_nll", col("sum_nll") / col("n_tokens"))
           .orderBy("doc_id")
       },
@@ -104,10 +109,8 @@ object Round9b {
         val byv = sided.groupBy("v")
           .agg(sum("early").as("ca"), sum(lit(1) - col("early")).as("cb"))
         val tots = byv.agg(sum("ca").as("na"), sum("cb").as("nb"))
-        val cum = Scan.runningSumByRange(
-          Scan.runningSumByRange(byv, col("v"), col("v"), col("ca"), "cax",
-            lo = 0L, hi = 49100L),
-          col("v"), col("v"), col("cb"), "cbx", lo = 0L, hi = 49100L)
+        val cum = Scan.runningSumsByRange(byv, col("v"), col("v"),
+          Seq(col("ca") -> "cax", col("cb") -> "cbx"), lo = 0L, hi = 49100L)
         val dd = cum.crossJoin(broadcast(tots))
           .select(col("v"),
             abs((col("cax") + col("ca")).cast("double") / col("na").cast("double")

@@ -82,6 +82,45 @@ object Scan {
       .drop("__graft_b", "__graft_local", "__graft_carry")
   }
 
+  /** Exclusive running SUMs of SEVERAL value columns over one global
+    * order in a SINGLE two-pass scan — the n-column generalization of
+    * [[runningSumByRange]] (chaining it n times would re-window and
+    * re-exchange the table per column; one pass shares the bucket window
+    * and the P-row carry across all columns). Same determinism contract:
+    * integral (or order-insensitive) value columns only. */
+  def runningSumsByRange(
+      df: DataFrame, orderCol: Column, tieCol: Column,
+      valueCols: Seq[(Column, String)],
+      lo: Long, hi: Long, buckets: Int = 32): DataFrame = {
+    val span = math.max(1L, (hi - lo + buckets - 1) / buckets)
+    val withBucket = df.withColumn("__graft_b",
+      floor((orderCol - lit(lo)) / lit(span)).cast("long"))
+    val wIn = Window.partitionBy("__graft_b").orderBy(orderCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = valueCols.zipWithIndex.foldLeft(withBucket) {
+      case (acc, ((vc, _), i)) => acc.withColumn(s"__graft_l$i",
+        coalesce(sum(vc).over(wIn), lit(0L)))
+    }
+    val wPrev = Window.orderBy("__graft_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = withBucket
+      .groupBy("__graft_b")
+      .agg(valueCols.zipWithIndex.map { case ((vc, _), i) =>
+        sum(vc).as(s"__graft_s$i") }.head,
+        valueCols.zipWithIndex.tail.map { case ((vc, _), i) =>
+          sum(vc).as(s"__graft_s$i") }: _*)
+    val carryCum = valueCols.indices.foldLeft(carry) { (acc, i) =>
+      acc.withColumn(s"__graft_c$i",
+        coalesce(sum(col(s"__graft_s$i")).over(wPrev), lit(0L)))
+    }.select(col("__graft_b") +: valueCols.indices.map(i => col(s"__graft_c$i")): _*)
+    val joined = local.join(broadcast(carryCum), Seq("__graft_b"))
+    valueCols.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(s"__graft_l$i") + col(s"__graft_c$i"))
+    }.drop("__graft_b")
+      .drop(valueCols.indices.flatMap(i => Seq(s"__graft_l$i", s"__graft_c$i")): _*)
+  }
+
   /** q37's late-event classification in the scale-safe form: same arrival
     * permutation, same 10-minute lateness rule, but the running watermark
     * comes from the distributed scan instead of one global window. */

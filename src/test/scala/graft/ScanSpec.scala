@@ -37,6 +37,26 @@ class ScanSpec extends AnyFunSuite {
     assert(got.size == 10000 && got == want)
   }
 
+  test("runningSumsByRange (multi-column, one pass) == chained " +
+    "runningSumByRange, bit-for-bit") {
+    val df = spark.range(10000).select(
+      col("id"),
+      ((col("id") * 48271) % 997).as("a"),
+      ((col("id") * 16807) % 101).as("v1"),
+      ((col("id") * 69621) % 53).as("v2"))
+    val got = Scan.runningSumsByRange(df, col("a"), col("id"),
+      Seq(col("v1") -> "o1", col("v2") -> "o2"), lo = 0L, hi = 997L, buckets = 16)
+      .select("id", "o1", "o2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = Scan.runningSumByRange(
+      Scan.runningSumByRange(df, col("a"), col("id"), col("v1"), "o1",
+        lo = 0L, hi = 997L, buckets = 16),
+      col("a"), col("id"), col("v2"), "o2", lo = 0L, hi = 997L, buckets = 16)
+      .select("id", "o1", "o2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 10000 && got == want)
+  }
+
   test("runningSumByRange == single global exclusive-sum window, with ties") {
     val df = spark.range(10000).select(
       col("id"),
