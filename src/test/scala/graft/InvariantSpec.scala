@@ -1219,4 +1219,44 @@ class InvariantSpec extends AnyFunSuite {
       .toVector
     assert(gotTri == expTri, "q141 trigram top-20 differs from replay")
   }
+
+  test("round-9e invariants: q142 containment hits are exactly the docs " +
+    "holding all rare probes, q143 golden records apply the survivorship " +
+    "rules field by field") {
+    // q142: replay rare-probe selection and containment.
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val freq = docs.flatMap { case (id, lang, t) =>
+      t.split(" ", -1).map(tok => (lang, tok)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val probes = freq.toSeq.groupBy(_._1._1).view.mapValues { xs =>
+      xs.sortBy { case ((_, tok), n) => (n, tok) }.take(3).map(_._1._2).toSet
+    }.toMap
+    val expHits = docs.collect { case (id, lang, t)
+      if probes(lang).subsetOf(t.split(" ", -1).toSet) => (lang, id) }.toSet
+    val gotHits = run("q142_containment_join").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotHits == expHits, "q142 containment set differs from replay")
+
+    // q143: field-by-field survivorship replay.
+    val cust = graft.Tables.customer(spark, sf001)
+      .select("c_custkey", "c_acctbal", "c_mktsegment", "c_name").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+    val got143 = run("q143_golden_record").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got143.size == cust.length, "q143 must emit one golden record per key")
+    cust.foreach { case (k, bal, seg, name) =>
+      val (gBal, gSeg, gName, nSrc) = got143(k)
+      val expBal = if (k % 5 == 0)
+        (BigDecimal(bal).setScale(2, BigDecimal.RoundingMode.HALF_UP) + 100).toDouble
+      else bal
+      assert(gBal == expBal, s"q143 key $k balance: $gBal != $expBal")
+      assert(gSeg == (if (k % 7 == 0) "CORRECTED" else seg), s"q143 key $k segment")
+      assert(gName == name, s"q143 key $k name must come from the base source")
+      assert(nSrc == 1L + (if (k % 5 == 0) 1 else 0) + (if (k % 7 == 0) 1 else 0),
+        s"q143 key $k source count")
+    }
+  }
 }
