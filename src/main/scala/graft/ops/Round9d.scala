@@ -113,6 +113,118 @@ object Round9d {
         |       arg_max(name, priority) FILTER (WHERE name IS NOT NULL) AS g_name,
         |       COUNT(*) AS n_sources
         |FROM u GROUP BY 1 ORDER BY c_custkey""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q144
+    // Join-cardinality estimation audit — the CBO's histogram math made
+    // inspectable: per hash-bucket of the join key, the uniformity
+    // estimate of the self-join size (rows²/ndv — what an optimizer
+    // computes from its statistics) against the EXACT size (Σ n_k²), with
+    // q_err = est/actual quantifying how skew breaks the uniformity
+    // assumption bucket by bucket. Scale shape: one per-key
+    // pre-aggregate, then a 16-row rollup — the estimate costs exactly
+    // what ANALYZE costs, never the join itself. All counts exact int64;
+    // est and q_err are raw IEEE quotients with identical association on
+    // both engines.
+    "q144_cardest_audit" -> QDef(
+      (s, d) => {
+        val base = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+        base.withColumn("bucket", col("user_id") * 7919 % 104729 % 16)
+          .groupBy("bucket")
+          .agg(sum("n").as("n_rows"), count(lit(1)).as("ndv"),
+            sum(col("n") * col("n")).as("actual_pairs"))
+          .select(col("bucket"), col("n_rows"), col("ndv"),
+            ((col("n_rows") * col("n_rows")).cast("double") /
+              col("ndv").cast("double")).as("est_pairs"),
+            col("actual_pairs"),
+            (((col("n_rows") * col("n_rows")).cast("double") /
+              col("ndv").cast("double")) /
+              col("actual_pairs").cast("double")).as("q_err"))
+          .orderBy("bucket")
+      },
+      """WITH base AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |b AS (SELECT user_id * 7919 % 104729 % 16 AS bucket, n FROM base)
+        |SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS ndv,
+        |       CAST(CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS est_pairs,
+        |       CAST(SUM(n * n) AS BIGINT) AS actual_pairs,
+        |       CAST(CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)
+        |         / CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE) AS q_err
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q145
+    // CDC / MERGE-INTO apply: a deterministic changelog (deletes for the
+    // %11 carve at seq 1, price updates for %13 at seq 2, key-shifted
+    // inserts for %17 at seq 3) applies onto the orders base with
+    // latest-op-wins per key — the batch form of every lakehouse MERGE /
+    // CDC compaction job. Output is the post-merge per-(status,
+    // disposition) reconciliation (kept/updated/inserted; deleted rows
+    // excluded), money on the DECIMAL bridge. Scale shape: the changelog
+    // dedups with a keyed window (per-key change lists, bounded by churn),
+    // then ONE full-outer sort-merge join base⋈changelog and a tiny
+    // rollup — no driver loop, no per-row apply.
+    "q145_cdc_apply" -> QDef(
+      (s, d) => {
+        val base = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val chg = orders(s, d).where(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey").as("k"), lit(1L).as("seq"), lit("D").as("op"),
+            lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
+          .unionAll(orders(s, d).where(col("o_orderkey") % 13 === 0)
+            .select(col("o_orderkey").as("k"), lit(2L).as("seq"), lit("U").as("op"),
+              (col("o_totalprice").cast(DecimalType(18, 2)) + 1).cast("double").as("price"),
+              lit(null).cast("string").as("status")))
+          .unionAll(orders(s, d).where(col("o_orderkey") % 17 === 0)
+            .select((col("o_orderkey") + 10000000L).as("k"), lit(3L).as("seq"),
+              lit("I").as("op"), col("o_totalprice").as("price"),
+              col("o_orderstatus").as("status")))
+        val wk = Window.partitionBy("k").orderBy(col("seq").desc)
+        val latest = chg.withColumn("rn", row_number().over(wk))
+          .where(col("rn") === 1).select("k", "op", "price", "status")
+        base.join(latest, col("o_orderkey") === col("k"), "full_outer")
+          .select(
+            when(col("op").isNull, lit("kept"))
+              .when(col("op") === "D", lit("deleted"))
+              .when(col("op") === "U", lit("updated"))
+              .otherwise(lit("inserted")).as("disposition"),
+            when(col("op") === "U" || col("op") === "I", col("price"))
+              .otherwise(col("o_totalprice")).as("price"),
+            coalesce(col("o_orderstatus"), col("status")).as("status"))
+          .where(col("disposition") =!= "deleted")
+          .groupBy("status", "disposition")
+          .agg(count(lit(1)).as("n"), graft.Det.dsum(col("price")).as("sum_price"))
+          .orderBy("status", "disposition")
+      },
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'D' AS op,
+        |         CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE), NULL
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 3, 'I', o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |latest AS (
+        |  SELECT k, op, price, status FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM chg)
+        |  WHERE rn = 1),
+        |applied AS (
+        |  SELECT CASE WHEN l.op IS NULL THEN 'kept'
+        |              WHEN l.op = 'D' THEN 'deleted'
+        |              WHEN l.op = 'U' THEN 'updated'
+        |              ELSE 'inserted' END AS disposition,
+        |         CASE WHEN l.op = 'U' OR l.op = 'I' THEN l.price
+        |              ELSE b.o_totalprice END AS price,
+        |         COALESCE(b.o_orderstatus, l.status) AS status
+        |  FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.k)
+        |SELECT status, disposition, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_price
+        |FROM applied WHERE disposition <> 'deleted'
+        |GROUP BY 1, 2 ORDER BY status, disposition""".stripMargin
     )
   )
 }

@@ -1259,4 +1259,52 @@ class InvariantSpec extends AnyFunSuite {
         s"q143 key $k source count")
     }
   }
+
+  test("round-9f invariants: q144 estimates bracket the exact self-join " +
+    "sizes per statistics bucket, q145 CDC apply reconciles row-for-row " +
+    "against a sequential merge replay") {
+    // q144: exact per-bucket replay + the AM-QM inequality (the
+    // uniformity estimate rows²/ndv NEVER exceeds the exact Σn² — so
+    // q_err ≤ 1 is structural, not data luck).
+    val uids = graft.Tables.events(spark, sf001)
+      .select("user_id").collect().map(_.getLong(0))
+    val perUser = uids.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expBuckets = perUser.toSeq.groupBy(kv => kv._1 * 7919 % 104729 % 16)
+      .view.mapValues { xs =>
+        val rows = xs.map(_._2).sum; val ndv = xs.length.toLong
+        val actual = xs.map(kv => kv._2 * kv._2).sum
+        (rows, ndv, (rows * rows).toDouble / ndv.toDouble, actual,
+          (rows * rows).toDouble / ndv.toDouble / actual.toDouble) }.toMap
+    val got144 = run("q144_cardest_audit").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got144 == expBuckets, "q144 bucket statistics differ from replay")
+    got144.values.foreach { case (_, _, est, actual, qerr) =>
+      assert(est <= actual.toDouble && qerr <= 1.0,
+        "uniformity estimate exceeded the exact size — AM-QM violated")
+    }
+
+    // q145: sequential merge replay over the base + changelog.
+    val ords = graft.Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expFinal = scala.collection.mutable.Map.empty[Long, (String, String, BigDecimal)]
+    ords.foreach { case (k, st, p) =>
+      expFinal(k) = (st, "kept", BigDecimal(p).setScale(4)) }
+    // apply in seq order: D (seq1), U (seq2), I (seq3) — latest op wins,
+    // which sequential application reproduces exactly
+    ords.foreach { case (k, _, _) if k % 11 == 0 => expFinal.remove(k); case _ => }
+    ords.foreach { case (k, st, p) if k % 13 == 0 =>
+      expFinal(k) = (st, "updated", BigDecimal(p).setScale(2) + 1); case _ => }
+    ords.foreach { case (k, st, p) if k % 17 == 0 =>
+      expFinal(k + 10000000L) = (st, "inserted", BigDecimal(p).setScale(4)); case _ => }
+    val expAgg = expFinal.values.groupBy(v => (v._1, v._2)).view.mapValues { xs =>
+      (xs.size.toLong, xs.map(_._3.setScale(4)).sum.toDouble) }.toMap
+    val got145 = run("q145_cdc_apply").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got145 == expAgg, "q145 post-merge reconciliation differs from replay")
+    // every surviving key is accounted for exactly once
+    assert(got145.values.map(_._1).sum == expFinal.size.toLong)
+  }
 }
