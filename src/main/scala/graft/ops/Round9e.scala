@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-9 fifth wave: experimentation analytics (A/B two-proportion
+  * test) and operational data-freshness auditing — the last two
+  * workload families a platform team runs daily that the inventory
+  * didn't yet exercise.
+  *
+  * Reference provenance: N/A (empty checkout, SURVEY.md §0).
+  */
+object Round9e {
+  import Tables._
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // --------------------------------------------------------------- q146
+    // A/B experiment readout: users hash-assign to two variants (the
+    // house multiplicative family — assignment is a pure function of the
+    // key, reproducible across reruns, the property experiment platforms
+    // require), user-level conversion = any purchase over $150, and the
+    // readout is the two-proportion pooled z statistic. All counts are
+    // exact int64; rates and z are raw IEEE expressions of identical
+    // shape on both engines. Degenerate experiments (all or none
+    // converted — z undefined) are excluded by EXACT integer compare, so
+    // the query is total at any SF. Scale shape: one map-side-combinable
+    // per-user aggregate, a 2-row variant rollup, a 1-row pivot — the
+    // whole readout is one shuffle over user keys.
+    "q146_ab_test" -> QDef(
+      (s, d) => {
+        val assign = events(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+            .otherwise(0L)).as("converted"))
+          .withColumn("variant", col("user_id") * 7919 % 104729 % 2)
+        val v = assign.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum("converted").as("c"))
+        val w = v.agg(
+          max(when(col("variant") === 0, col("n"))).as("n0"),
+          max(when(col("variant") === 0, col("c"))).as("c0"),
+          max(when(col("variant") === 1, col("n"))).as("n1"),
+          max(when(col("variant") === 1, col("c"))).as("c1"))
+        val p = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")).cast("double")
+        w.where(col("c0") + col("c1") > 0 && col("c0") + col("c1") < col("n0") + col("n1"))
+          .select(col("n0"), col("c0"), col("n1"), col("c1"),
+            (col("c0").cast("double") / col("n0").cast("double")).as("rate0"),
+            (col("c1").cast("double") / col("n1").cast("double")).as("rate1"),
+            ((col("c1").cast("double") / col("n1").cast("double")
+              - col("c0").cast("double") / col("n0").cast("double"))
+              / sqrt(p * (lit(1) - p)
+                * (lit(1) / col("n0").cast("double") + lit(1) / col("n1").cast("double"))))
+              .as("z"))
+      },
+      """WITH assign AS (
+        |  SELECT user_id, user_id * 7919 % 104729 % 2 AS variant,
+        |         max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c
+        |      FROM assign GROUP BY 1),
+        |w AS (SELECT
+        |        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |        MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+        |        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |        MAX(CASE WHEN variant = 1 THEN c END) AS c1
+        |      FROM v)
+        |SELECT n0, c0, n1, c1,
+        |       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+        |       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+        |       (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |         / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |                * (1 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |                * (1 / CAST(n0 AS DOUBLE) + 1 / CAST(n1 AS DOUBLE))) AS z
+        |FROM w
+        |WHERE c0 + c1 > 0 AND c0 + c1 < n0 + n1""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q147
+    // Data-freshness audit: per event type, the lag of its newest record
+    // behind the table's global high-water mark, and the fraction of its
+    // rows older than a 7-day staleness horizon — the data-ops dashboard
+    // row that catches a stalled upstream producer (the ingest-side
+    // sibling of q108's referential audit and q129's snapshot diff). All
+    // arithmetic is exact int64 micros; stale_frac is one raw quotient.
+    // Scale shape: ONE scan computes every per-type aggregate (the global
+    // max rides a 1-row broadcast back over the 5-row type table, not
+    // over the data).
+    "q147_freshness_audit" -> QDef(
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val g = ev.agg(max("us").as("gmax"))
+        ev.crossJoin(broadcast(g))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("us").as("tmax"),
+            sum(when(col("us") < col("gmax") - 604800000000L, 1L).otherwise(0L))
+              .as("n_stale"),
+            max("gmax").as("gmax"))
+          .select(col("event_type"), col("n"), col("tmax"),
+            (col("gmax") - col("tmax")).as("lag_us"),
+            (col("n_stale").cast("double") / col("n").cast("double")).as("stale_frac"))
+          .orderBy("event_type")
+      },
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+        |t AS (SELECT event_type, COUNT(*) AS n, max(epoch_us(ts)) AS tmax,
+        |             CAST(SUM(CASE WHEN epoch_us(ts) < g.gmax - 604800000000
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+        |             g.gmax AS gmax
+        |      FROM events, g GROUP BY 1, g.gmax)
+        |SELECT event_type, n, tmax, gmax - tmax AS lag_us,
+        |       CAST(n_stale AS DOUBLE) / CAST(n AS DOUBLE) AS stale_frac
+        |FROM t ORDER BY event_type""".stripMargin
+    )
+  )
+}

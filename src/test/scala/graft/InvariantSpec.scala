@@ -1307,4 +1307,46 @@ class InvariantSpec extends AnyFunSuite {
     // every surviving key is accounted for exactly once
     assert(got145.values.map(_._1).sum == expFinal.size.toLong)
   }
+
+  test("round-9g invariants: q146 A/B readout reproduces from a per-user " +
+    "replay, q147 freshness lags reconcile against the global high-water mark") {
+    val evs = graft.Tables.events(spark, sf001)
+      .select("user_id", "event_type", "value", "ts").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp](3).toInstant
+        (r.getLong(0), r.getString(1), r.getDouble(2),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L) }
+
+    // q146: per-user conversion + pooled z replay (identical double shape)
+    val conv = evs.groupBy(_._1).view.mapValues(
+      _.exists(e => e._2 == "purchase" && e._3 > 150)).toMap
+    val byVar = conv.toSeq.groupBy(kv => kv._1 * 7919 % 104729 % 2)
+    val (n0, c0) = (byVar(0).size.toLong, byVar(0).count(_._2).toLong)
+    val (n1, c1) = (byVar(1).size.toLong, byVar(1).count(_._2).toLong)
+    val p = (c0 + c1).toDouble / (n0 + n1).toDouble
+    val expZ = (c1.toDouble / n1.toDouble - c0.toDouble / n0.toDouble) /
+      math.sqrt(p * (1 - p) * (1 / n0.toDouble + 1 / n1.toDouble))
+    val row = run("q146_ab_test").collect()
+    assert(row.length == 1, "q146 must emit exactly one readout row")
+    val r0 = row.head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3)) ==
+      ((n0, c0, n1, c1)), "q146 variant counts differ from replay")
+    assert(r0.getDouble(4) == c0.toDouble / n0.toDouble &&
+      r0.getDouble(5) == c1.toDouble / n1.toDouble &&
+      r0.getDouble(6) == expZ, "q146 rates/z differ from replay")
+
+    // q147: per-type freshness replay; the global-max type must have
+    // lag 0 and every lag/stale fraction must reconcile
+    val gmax = evs.map(_._4).max
+    val expFresh = evs.groupBy(_._2).view.mapValues { xs =>
+      val tmax = xs.map(_._4).max
+      (xs.length.toLong, tmax, gmax - tmax,
+        xs.count(_._4 < gmax - 604800000000L).toDouble / xs.length.toDouble) }.toMap
+    val gotFresh = run("q147_freshness_audit").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(gotFresh == expFresh, "q147 freshness audit differs from replay")
+    assert(gotFresh.values.exists(_._3 == 0L),
+      "q147: some type must own the global high-water mark")
+  }
 }
