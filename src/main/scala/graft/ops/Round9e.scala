@@ -110,6 +110,57 @@ object Round9e {
         |SELECT event_type, n, tmax, gmax - tmax AS lag_us,
         |       CAST(n_stale AS DOUBLE) / CAST(n AS DOUBLE) AS stale_frac
         |FROM t ORDER BY event_type""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q148
+    // CEP with NEGATION: click → purchase with NO error between — the
+    // pattern class q38/s4's two-step detector cannot express (negative
+    // conditions are what separate MATCH_RECOGNIZE-style CEP from plain
+    // sequence joins). Each purchase row reads two running conditional
+    // maxima over the strictly-preceding user timeline (last click, last
+    // error); the path is clean iff a click exists and no error follows
+    // it. ONE keyed window over (ts, event_id) order computes both —
+    // single user_id shuffle, partitions bounded by per-user activity,
+    // no self-join of the event table against itself. All comparisons
+    // exact int64 micros.
+    "q148_pattern_negation" -> QDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("last_click",
+            max(when(col("event_type") === "click", col("us"))).over(w))
+          .withColumn("last_error",
+            max(when(col("event_type") === "error", col("us"))).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            when(col("last_click").isNotNull &&
+              (col("last_error").isNull || col("last_error") < col("last_click")), 1L)
+              .otherwise(0L).as("matched"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"), sum("matched").as("n_clean_paths"))
+          .where(col("n_clean_paths") > 0)
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, event_id, event_type, us,
+        |             max(us) FILTER (WHERE event_type = 'click') OVER win AS last_click,
+        |             max(us) FILTER (WHERE event_type = 'error') OVER win AS last_error
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT user_id,
+        |             CASE WHEN last_click IS NOT NULL
+        |                   AND (last_error IS NULL OR last_error < last_click)
+        |                  THEN 1 ELSE 0 END AS matched
+        |      FROM w WHERE event_type = 'purchase')
+        |SELECT user_id, COUNT(*) AS n_purchases,
+        |       CAST(SUM(matched) AS BIGINT) AS n_clean_paths
+        |FROM m GROUP BY 1 HAVING CAST(SUM(matched) AS BIGINT) > 0
+        |ORDER BY user_id""".stripMargin
     )
   )
 }

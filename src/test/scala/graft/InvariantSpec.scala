@@ -1348,5 +1348,32 @@ class InvariantSpec extends AnyFunSuite {
     assert(gotFresh == expFresh, "q147 freshness audit differs from replay")
     assert(gotFresh.values.exists(_._3 == 0L),
       "q147: some type must own the global high-water mark")
+
+    // q148: sequential per-user CEP replay — walk each user's timeline in
+    // (us, event_id) order tracking last click/error; a purchase matches
+    // iff a click exists with no later error strictly before the purchase.
+    val evs148 = graft.Tables.events(spark, sf001)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp](3).toInstant
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L) }
+    val expCep = evs148.groupBy(_._1).view.mapValues { xs =>
+      var (lastClick, lastError) = (Option.empty[Long], Option.empty[Long])
+      var (nP, nClean) = (0L, 0L)
+      xs.sortBy(e => (e._4, e._2)).foreach { e =>
+        if (e._3 == "purchase") {
+          nP += 1
+          if (lastClick.isDefined &&
+            (lastError.isEmpty || lastError.get < lastClick.get)) nClean += 1
+        }
+        if (e._3 == "click") lastClick = Some(e._4)
+        if (e._3 == "error") lastError = Some(e._4)
+      }
+      (nP, nClean)
+    }.filter(_._2._2 > 0).toMap
+    val gotCep = run("q148_pattern_negation").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotCep == expCep, "q148 CEP-negation counts differ from sequential replay")
   }
 }
