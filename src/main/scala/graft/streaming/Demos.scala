@@ -1280,6 +1280,53 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s24 — streaming freshness monitor: the ingest-time twin of batch
+    * q147. Per-type high-water marks and row counts merge trivially
+    * (max and sum — both associative), so the versioned state is ≤ one
+    * row per event type at ANY stream volume; each commit publishes the
+    * audit rows (type, n, tmax, lag behind the table-wide high-water
+    * mark) — the "which producer stalled" alarm, updated per micro-batch.
+    * Commit protocol = s14/s16/s21–s23's versioned overwrite with
+    * predecessor-only history (exactly-once under replays).
+    */
+  def s24FreshnessMonitor(spark: SparkSession, events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        freshnessBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One freshness-monitor step (factored out so the spec can replay a
+    * batch with the same batchId and assert identical output). */
+  private[graft] def freshnessBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delta = batch
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), max("us").as("tmax"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/state")
+      case None    => delta.limit(0)
+    }
+    // watermark merge: counts add, high-water marks take max
+    base.unionByName(delta).groupBy("event_type")
+      .agg(sum("n").as("n"), max("tmax").as("tmax"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/state")
+    val state = spark.read.parquet(s"$dir/v=$batchId/state")
+    val g = state.agg(max("tmax").as("gmax"))
+    state.crossJoin(broadcast(g))
+      .select(col("event_type"), col("n"), col("tmax"),
+        (col("gmax") - col("tmax")).as("lag_us"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/audit")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =
     events

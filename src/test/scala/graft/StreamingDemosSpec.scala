@@ -606,4 +606,43 @@ class StreamingDemosSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(replayed == gotHist, "replaying the committed last batch changed the histogram")
   }
+
+  test("s24: streaming freshness monitor — merged watermarks equal the " +
+    "batch audit, the newest type lags zero, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s24").toString + "/fresh"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector
+    val input = MemoryStream[Event]
+    val q = Demos.s24FreshnessMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def us(e: Event): Long = {
+      val i = e.ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val gmax = evs.map(us).max
+    val exp = evs.groupBy(_.event_type).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(us).max, gmax - xs.map(us).max) }.toMap
+    def audit(v: Long) = spark.read.parquet(s"$dir/v=$v/audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = audit(last)
+    assert(got == exp, "merged freshness state differs from the batch computation")
+    assert(got.values.exists(_._3 == 0L), "some type must own the high-water mark")
+    // bounded state, pruned history, idempotent replay
+    assert(spark.read.parquet(s"$dir/v=$last/state").count() <= 5)
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    Demos.freshnessBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(audit(last) == got, "replaying the committed last batch changed the audit")
+  }
 }
