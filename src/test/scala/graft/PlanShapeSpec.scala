@@ -107,6 +107,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sampling shuffled beyond the output sort:\n${exchanges.mkString("\n")}")
   }
 
+  test("round-9 wave plans: q134 LM join broadcasts, q142 probe join " +
+    "broadcasts, q143 has no join at all, q145 merges with exactly one " +
+    "sort-merge join and no nested loop") {
+    val p134 = plan("q134_unigram_nll")
+    assert(p134.contains("BroadcastHashJoin"),
+      "q134 per-token LM join must broadcast the vocab-sized table")
+    assert(!p134.contains("SortMergeJoin"),
+      "q134 must not sort-merge the token table against the LM")
+    val p142 = plan("q142_containment_join")
+    assert(p142.contains("BroadcastHashJoin"),
+      "q142 postings join must broadcast the langs×3 probe set")
+    assert(!p142.contains("SortMergeJoin"))
+    val p143 = plan("q143_golden_record")
+    assert(!p143.contains("Join"),
+      "q143 survivorship is one aggregate over a union — no join allowed")
+    val p145 = plan("q145_cdc_apply")
+    assert(p145.contains("SortMergeJoin") && p145.contains("FullOuter"),
+      "q145 must merge base and changelog with a full-outer merge join")
+    assert(!p145.contains("NestedLoop"), "q145 must not plan a nested loop")
+  }
+
   test("q73 decontamination broadcasts the benchmark side (no sort-merge join)") {
     val p = plan("q73_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "benchmark side not broadcast")
