@@ -161,6 +161,58 @@ object Round9e {
         |       CAST(SUM(matched) AS BIGINT) AS n_clean_paths
         |FROM m GROUP BY 1 HAVING CAST(SUM(matched) AS BIGINT) > 0
         |ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q149
+    // Semiring graph step — widest (max-min) 2-hop path over the event-
+    // transition graph: W₂(a,c) = max_b min(w(a,b), w(b,c)), the
+    // bottleneck-capacity relaxation that shortest-path/PageRank (plus-
+    // times and min-plus, q103) can't express; one step of the min-max
+    // closure a capacity-planning analysis iterates. The transition
+    // graph comes from q96's keyed lead window; the semiring "matrix
+    // product" is an equi-join on the middle vertex + a max-min rollup.
+    // Scale shape: the edge table is |types|² rows at ANY volume (the
+    // data-sized work is the one keyed window building it), so the join
+    // is broadcast-tiny; argmax via made total by (width DESC, via ASC).
+    "q149_widest_path" -> QDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("a"))
+          .withColumn("b", lead("a", 1).over(w))
+          .where(col("b").isNotNull)
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        val hop2 = edges.as("e1")
+          .join(broadcast(edges.as("e2")), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("src"), col("e2.b").as("dst"),
+            col("e1.b").as("via"), least(col("e1.w"), col("e2.w")).as("width"))
+        val rk = org.apache.spark.sql.expressions.Window
+          .partitionBy("src", "dst").orderBy(col("width").desc, col("via"))
+        hop2.withColumn("rk", row_number().over(rk)).where(col("rk") === 1)
+          .join(edges.select(col("a").as("src"), col("b").as("dst"),
+            col("w").as("direct_w")), Seq("src", "dst"), "left")
+          .select("src", "dst", "direct_w", "width", "via")
+          .withColumnRenamed("width", "two_hop_width")
+          .orderBy("src", "dst")
+      },
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS a,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |edges AS (SELECT a, b, COUNT(*) AS w FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+        |hop2 AS (
+        |  SELECT e1.a AS src, e2.b AS dst, e1.b AS via,
+        |         CASE WHEN e1.w < e2.w THEN e1.w ELSE e2.w END AS width
+        |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+        |best AS (
+        |  SELECT src, dst, via, width,
+        |         ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY width DESC, via) AS rk
+        |  FROM hop2)
+        |SELECT b.src, b.dst, d.w AS direct_w, b.width AS two_hop_width, b.via
+        |FROM best b LEFT JOIN edges d ON d.a = b.src AND d.b = b.dst
+        |WHERE b.rk = 1 ORDER BY b.src, b.dst""".stripMargin
     )
   )
 }

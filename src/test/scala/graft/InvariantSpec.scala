@@ -1375,5 +1375,27 @@ class InvariantSpec extends AnyFunSuite {
     val gotCep = run("q148_pattern_negation").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotCep == expCep, "q148 CEP-negation counts differ from sequential replay")
+
+    // q149: replay the max-min semiring product over the transition graph.
+    val edges = evs148.groupBy(_._1).values.flatMap { xs =>
+      val seq = xs.sortBy(e => (e._4, e._2)).map(_._3).toVector
+      seq.zip(seq.drop(1))
+    }.toVector.groupBy(p => p).view.mapValues(_.length.toLong).toMap
+    val expWide = (for {
+      ((a, b1), w1) <- edges.toSeq; ((b2, c), w2) <- edges.toSeq; if b1 == b2
+    } yield ((a, c), (math.min(w1, w2), b1)))
+      .groupBy(_._1).view.mapValues { xs =>
+        val best = xs.map(_._2).minBy { case (wd, via) => (-wd, via) }
+        (edges.get((xs.head._1._1, xs.head._1._2)), best._1, best._2) }.toMap
+    val gotWide = run("q149_widest_path").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(gotWide == expWide, "q149 widest-path table differs from semiring replay")
+    // width of a 2-hop path can never exceed the bottleneck: every width
+    // must equal min of some edge pair — and appear among edge weights
+    val weightSet = edges.values.toSet
+    assert(gotWide.values.forall(v => weightSet.contains(v._2)),
+      "q149 widths must be actual edge weights (min of a pair)")
   }
 }
