@@ -213,6 +213,77 @@ object Round9e {
         |SELECT b.src, b.dst, d.w AS direct_w, b.width AS two_hop_width, b.via
         |FROM best b LEFT JOIN edges d ON d.a = b.src AND d.b = b.dst
         |WHERE b.rk = 1 ORDER BY b.src, b.dst""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q150
+    // Histogram-median accuracy audit — the quantile member of the
+    // sketch-audit family (bloom q79, CMS q122, heavy-hitters q127, LSH
+    // recall q83): estimate the median from a 100-bin equi-width
+    // coarsening of the exact per-cent count table (linear interpolation
+    // inside the median bin — exactly how engines answer quantiles from
+    // column statistics), next to the EXACT median, with the structural
+    // bound |err| < bin width (both the exact median and the estimate
+    // lie in the same bin — InvariantSpec locks it). Scale shape: one
+    // per-cent pre-aggregate; the exact side runs the bucketed Scan
+    // cumulative; the coarse side's window covers only the ≤100-row bin
+    // table (bounded by the cent domain, the q105 argument). At 100 TB
+    // the audit costs one aggregate — the coarse summary IS what a
+    // stats catalog stores, and this query measures what that storage
+    // decision gives up.
+    "q150_hist_median_audit" -> QDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byv = events(s, d)
+          .select((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+        val need = byv.agg(sum("cnt").as("n"))
+          .select(expr("(n + 1) DIV 2").as("k"), col("n"))
+        val cum = Scan.runningSumByRange(byv, col("v"), col("v"), col("cnt"), "cx",
+          lo = 0L, hi = 49100L)
+        val exact = cum.crossJoin(broadcast(need))
+          .where(col("cx") + col("cnt") >= col("k"))
+          .agg(min("v").as("exact_med"))
+        val bins = byv.withColumn("bin", expr("v DIV 500"))
+          .groupBy("bin").agg(sum("cnt").as("bc"))
+        val wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        val bcum = bins.withColumn("bcx", coalesce(sum("bc").over(wb), lit(0L)))
+        val mbin = bcum.crossJoin(broadcast(need))
+          .where(col("bcx") + col("bc") >= col("k"))
+          .agg(min("bin").as("mbin"))
+        val est = bcum.crossJoin(broadcast(need))
+          .join(broadcast(mbin), col("bin") === col("mbin"))
+          .select((col("bin") * 500 +
+            (col("k") - col("bcx")).cast("double") / col("bc").cast("double") * 500)
+            .as("est_med"))
+        exact.crossJoin(est)
+          .select(col("exact_med"), col("est_med"),
+            abs(col("est_med") - col("exact_med").cast("double")).as("abs_err"),
+            lit(500L).as("bound_cents"))
+      },
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+        |byv AS (SELECT v, COUNT(*) AS cnt FROM e GROUP BY 1),
+        |tots AS (SELECT SUM(cnt) AS n FROM byv),
+        |cum AS (SELECT v, cnt,
+        |               COALESCE(SUM(cnt) OVER (ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cx
+        |        FROM byv),
+        |need AS (SELECT (n + 1) // 2 AS k, n FROM tots),
+        |exact AS (SELECT min(v) AS exact_med FROM cum, need WHERE cx + cnt >= k),
+        |bins AS (SELECT v // 500 AS bin, SUM(cnt) AS bc FROM byv GROUP BY 1),
+        |bcum AS (SELECT bin, bc,
+        |                COALESCE(SUM(bc) OVER (ORDER BY bin
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bcx
+        |         FROM bins),
+        |mbin AS (SELECT min(bin) AS mbin FROM bcum, need WHERE bcx + bc >= k),
+        |est AS (SELECT b.bin * 500
+        |               + CAST(need.k - b.bcx AS DOUBLE)
+        |                 / CAST(b.bc AS DOUBLE) * 500 AS est_med
+        |        FROM bcum b JOIN mbin ON b.bin = mbin.mbin, need)
+        |SELECT exact.exact_med, est.est_med,
+        |       abs(est.est_med - CAST(exact.exact_med AS DOUBLE)) AS abs_err,
+        |       CAST(500 AS BIGINT) AS bound_cents
+        |FROM exact, est""".stripMargin
     )
   )
 }

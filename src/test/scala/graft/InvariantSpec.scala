@@ -1397,5 +1397,31 @@ class InvariantSpec extends AnyFunSuite {
     val weightSet = edges.values.toSet
     assert(gotWide.values.forall(v => weightSet.contains(v._2)),
       "q149 widths must be actual edge weights (min of a pair)")
+
+    // q150: exact-median + histogram-interpolation replay, and the
+    // STRUCTURAL bound: exact and estimate share the median bin, so
+    // |err| < bin width by construction.
+    val cents = graft.Tables.events(spark, sf001).select("value").collect()
+      .map(r => (BigDecimal(r.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+    val sortedC = cents.sorted
+    val k = (sortedC.length + 1) / 2
+    val exactMed = sortedC(k - 1)
+    val binCounts = cents.groupBy(_ / 500).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var bcx = 0L
+    val (mbin, mbcx, mbc) = binCounts.collectFirst {
+      case (b, c) if { val before = bcx; bcx += c; before + c >= k } =>
+        (b, bcx - c, c)
+    }.get
+    val estMed = mbin * 500 + (k - mbcx).toDouble / mbc.toDouble * 500
+    val r150 = run("q150_hist_median_audit").collect()
+    assert(r150.length == 1)
+    val h = r150.head
+    assert(h.getLong(0) == exactMed && h.getDouble(1) == estMed &&
+      h.getDouble(2) == math.abs(estMed - exactMed.toDouble) &&
+      h.getLong(3) == 500L, "q150 audit row differs from replay")
+    assert(h.getDouble(2) < 500.0,
+      "q150 structural bound violated: |err| must stay under the bin width")
   }
 }
