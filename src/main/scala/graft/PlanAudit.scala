@@ -45,12 +45,14 @@ object PlanAudit {
     *  - q150_hist_median_audit: one Scan carry window (same bound) plus
     *    the coarse-side window over the ≤100-row bin table (bounded by
     *    the fixed cent domain — the q105 argument).
+    *  - q151_decile_lift: one Scan carry window over the per-score count
+    *    table (same P-row carry bound).
     */
   private val globalWindowWhitelist: Set[String] = Set(
     "q37_late_events", "q51_fingerprint", "q62_ivf_ann",
     "q63_late_events_scan", "q71_seq_pack", "q105_skyline",
     "q107_systematic_sample", "q135_ks_drift", "q138_equidepth_hist",
-    "q150_hist_median_audit")
+    "q150_hist_median_audit", "q151_decile_lift")
 
   /** Walk the EXECUTED plan including adaptive and reused wrappers —
     * collect() on an AQE plan does not descend into query stages. */

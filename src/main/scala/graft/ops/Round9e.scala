@@ -284,6 +284,64 @@ object Round9e {
         |       abs(est.est_med - CAST(exact.exact_med AS DOUBLE)) AS abs_err,
         |       CAST(500 AS BIGINT) AS bound_cents
         |FROM exact, est""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q151
+    // Decile lift (gains) table — THE model-evaluation query: rank users
+    // by a score (here activity volume), split into ranked deciles, and
+    // report each decile's conversion rate against the base rate. The
+    // ranking never sorts the users globally: per-score counts cumulate
+    // through the bucketed Scan (score domain descending via the
+    // order-flip 100000−score; per-user event counts stay far below that
+    // at any test SF — at true 100 TB widen the constant with the
+    // domain), decile = floor(cum_before·10/n) on exact integers, and
+    // the rollup is 10 rows. Rates/lift are raw IEEE quotients of exact
+    // counts with identical association.
+    "q151_decile_lift" -> QDef(
+      (s, d) => {
+        val u = events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+              .otherwise(0L)).as("conv"))
+        val tots = u.agg(count(lit(1)).as("n"), sum("conv").as("tc"))
+        val bys = u.groupBy("score")
+          .agg(count(lit(1)).as("cnt"), sum("conv").as("cc"))
+          .withColumn("ord", lit(100000L) - col("score"))
+        val cum = Scan.runningSumByRange(bys, col("ord"), col("ord"), col("cnt"), "cx",
+          lo = 0L, hi = 100000L)
+        cum.crossJoin(broadcast(tots))
+          .withColumn("decile", expr("cx * 10 DIV n"))
+          .groupBy("decile")
+          .agg(sum("cnt").as("n_users"), sum("cc").as("n_conv"),
+            max("tc").as("tc"), max("n").as("n"))
+          .select(col("decile"), col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") / col("n_users").cast("double")).as("conv_rate"),
+            ((col("n_conv").cast("double") / col("n_users").cast("double"))
+              / (col("tc").cast("double") / col("n").cast("double"))).as("lift"))
+          .orderBy("decile")
+      },
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS score,
+        |         max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |tots AS (SELECT COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS tc FROM u),
+        |bys AS (SELECT score, COUNT(*) AS cnt, CAST(SUM(conv) AS BIGINT) AS cc
+        |        FROM u GROUP BY 1),
+        |cum AS (SELECT score, cnt, cc,
+        |               COALESCE(SUM(cnt) OVER (ORDER BY 100000 - score
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cx
+        |        FROM bys),
+        |dec AS (SELECT CAST(cx * 10 // n AS BIGINT) AS decile, cnt, cc, tc, n
+        |        FROM cum, tots),
+        |agg AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_users,
+        |               CAST(SUM(cc) AS BIGINT) AS n_conv,
+        |               MAX(tc) AS tc, MAX(n) AS n
+        |        FROM dec GROUP BY 1)
+        |SELECT decile, n_users, n_conv,
+        |       CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+        |       (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |         / (CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)) AS lift
+        |FROM agg ORDER BY decile""".stripMargin
     )
   )
 }

@@ -1423,5 +1423,30 @@ class InvariantSpec extends AnyFunSuite {
       h.getLong(3) == 500L, "q150 audit row differs from replay")
     assert(h.getDouble(2) < 500.0,
       "q150 structural bound violated: |err| must stay under the bin width")
+
+    // q151: replay the ranked-decile lift table (conversion = purchase > 150).
+    val usersConv = graft.Tables.events(spark, sf001)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.length.toLong,
+          if (xs.exists(e => e._2 == "purchase" && e._3 > 150)) 1L else 0L) }.toMap
+    val nU = usersConv.size.toLong
+    val tc = usersConv.values.map(_._2).sum
+    val byScore = usersConv.values.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, xs.map(_._2).sum) }.toSeq.sortBy(-_._1)
+    var cxS = 0L
+    val expLift = byScore.map { case (_, (cnt, cc)) =>
+      val d = cxS * 10 / nU; cxS += cnt; (d, cnt, cc) }
+      .groupBy(_._1).view.mapValues { xs =>
+        val (nu, nc) = (xs.map(_._2).sum, xs.map(_._3).sum)
+        val rate = nc.toDouble / nu.toDouble
+        (nu, nc, rate, rate / (tc.toDouble / nU.toDouble)) }.toMap
+    val gotLift = run("q151_decile_lift").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(gotLift == expLift, "q151 lift table differs from replay")
+    assert(gotLift.values.map(_._1).sum == nU && gotLift.values.map(_._2).sum == tc,
+      "q151 deciles must cover every user and every conversion")
   }
 }
