@@ -342,6 +342,50 @@ object Round9e {
         |       (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
         |         / (CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)) AS lift
         |FROM agg ORDER BY decile""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q152
+    // Time-to-convert percentiles by acquisition cohort — duration
+    // analytics (the latency-distribution readout of q85's funnel): per
+    // user, first click → first subsequent purchase, then exact
+    // interpolated p50/p90 of the conversion lag per first-click cohort
+    // week. Durations are exact int64 micro differences; percentile/
+    // quantile_cont agree at these magnitudes (the q55 discipline,
+    // re-verified by the oracle gate at both SFs). Scale shape: one
+    // type-pruned scan per side, one user-keyed equi-join, one cohort
+    // rollup — per-user state is two timestamps, never an event list.
+    "q152_time_to_convert" -> QDef(
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("us"))
+        val fc = ev.where(col("event_type") === "click")
+          .groupBy("user_id").agg(min("us").as("fc_us"), min("ts").as("fc_ts"))
+        val fp = ev.where(col("event_type") === "purchase")
+          .join(fc, "user_id")
+          .where(col("us") > col("fc_us"))
+          .groupBy("user_id", "fc_us", "fc_ts")
+          .agg(min("us").as("fp_us"))
+        fp.select(to_date(date_trunc("week", col("fc_ts"))).as("cohort_week"),
+            (col("fp_us") - col("fc_us")).as("dur_us"))
+          .groupBy("cohort_week")
+          .agg(count(lit(1)).as("n_users"),
+            expr("percentile(dur_us, 0.5)").as("median_us"),
+            expr("percentile(dur_us, 0.9)").as("p90_us"))
+          .orderBy("cohort_week")
+      },
+      """WITH fc AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS fc_us, min(ts) AS fc_ts
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, fc.fc_us, fc.fc_ts, min(epoch_us(e.ts)) AS fp_us
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.fc_us
+        |  GROUP BY 1, 2, 3)
+        |SELECT date_trunc('week', fc_ts) AS cohort_week,
+        |       COUNT(*) AS n_users,
+        |       quantile_cont(fp_us - fc_us, 0.5) AS median_us,
+        |       quantile_cont(fp_us - fc_us, 0.9) AS p90_us
+        |FROM fp GROUP BY 1 ORDER BY cohort_week""".stripMargin
     )
   )
 }

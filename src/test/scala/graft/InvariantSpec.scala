@@ -1448,5 +1448,39 @@ class InvariantSpec extends AnyFunSuite {
     assert(gotLift == expLift, "q151 lift table differs from replay")
     assert(gotLift.values.map(_._1).sum == nU && gotLift.values.map(_._2).sum == tc,
       "q151 deciles must cover every user and every conversion")
+
+    // q152: replay first-click → first-subsequent-purchase durations per
+    // cohort; percentiles must land inside the bracketing order
+    // statistics (formula-independent check).
+    val durByCohort = evs148.groupBy(_._1).values.flatMap { xs =>
+      val clicks = xs.filter(_._3 == "click")
+      if (clicks.isEmpty) None
+      else {
+        val fcUs = clicks.map(_._4).min
+        val after = xs.filter(e => e._3 == "purchase" && e._4 > fcUs)
+        if (after.isEmpty) None
+        else {
+          val week = java.time.Instant.ofEpochSecond(fcUs / 1000000L)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate
+          val cohort = week.minusDays((week.getDayOfWeek.getValue - 1).toLong)
+          Some(cohort.toString -> (after.map(_._4).min - fcUs))
+        }
+      }
+    }.toVector.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got152 = run("q152_time_to_convert").collect()
+      .map(r => r.getAs[java.sql.Date](0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got152.keySet == durByCohort.keySet, "q152 cohorts differ from replay")
+    got152.foreach { case (c, (n, med, p90)) =>
+      val ds = durByCohort(c)
+      assert(n == ds.length.toLong, s"q152 cohort $c user count differs")
+      def bracket(p: Double, v: Double): Unit = {
+        val pos = p * (ds.length - 1)
+        val (lo, hi) = (ds(pos.toInt), ds(math.ceil(pos).toInt))
+        assert(v >= lo.toDouble && v <= hi.toDouble,
+          s"q152 cohort $c p$p=$v outside [$lo, $hi]")
+      }
+      bracket(0.5, med); bracket(0.9, p90)
+    }
   }
 }
