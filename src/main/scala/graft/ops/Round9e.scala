@@ -386,6 +386,46 @@ object Round9e {
         |       quantile_cont(fp_us - fc_us, 0.5) AS median_us,
         |       quantile_cont(fp_us - fc_us, 0.9) AS p90_us
         |FROM fp GROUP BY 1 ORDER BY cohort_week""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q153
+    // Frame-edge window functions — first_value / nth_value / last_value
+    // over the FULL partition frame (unbounded preceding → unbounded
+    // following), the session-bookend readout ("how did each user's
+    // journey start, continue, end?") and the last window-function
+    // family the inventory didn't exercise (q20–q24 cover rank/frame/
+    // lag/ntile; q86/q110 use last_value IGNORE NULLS). One keyed
+    // window, one row kept per user via rn = 1 — the window shuffles
+    // user-bounded partitions once, nothing global.
+    "q153_window_edges" -> QDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val full = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("first_type", first("event_type").over(full))
+          .withColumn("last_type", last("event_type").over(full))
+          .withColumn("second_type", expr("nth_value(event_type, 2)").over(full))
+          .withColumn("n_events", count(lit(1)).over(full))
+          .withColumn("rn", row_number().over(seq))
+          .where(col("rn") === 1)
+          .select("user_id", "first_type", "second_type", "last_type", "n_events")
+          .orderBy("user_id")
+      },
+      """WITH w AS (
+        |  SELECT user_id,
+        |         first_value(event_type) OVER win AS first_type,
+        |         last_value(event_type) OVER win AS last_type,
+        |         nth_value(event_type, 2) OVER win AS second_type,
+        |         COUNT(*) OVER win AS n_events,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, second_type, last_type, n_events
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin
     )
   )
 }

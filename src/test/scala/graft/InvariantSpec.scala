@@ -1482,5 +1482,18 @@ class InvariantSpec extends AnyFunSuite {
       }
       bracket(0.5, med); bracket(0.9, p90)
     }
+
+    // q153: frame-edge window functions replay against each user's
+    // fully-sorted timeline.
+    val exp153 = evs148.groupBy(_._1).view.mapValues { xs =>
+      val seq = xs.sortBy(e => (e._4, e._2)).map(_._3)
+      (seq.head, if (seq.length >= 2) seq(1) else null,
+        seq.last, seq.length.toLong) }.toMap
+    val got153 = run("q153_window_edges").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got153 == exp153, "q153 frame-edge values differ from replay")
+    assert(got153.size == evs148.map(_._1).distinct.length,
+      "q153 must emit one bookend row per user")
   }
 }
