@@ -3,10 +3,11 @@ package graft.ops
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** Round-9 fifth wave: experimentation analytics (A/B two-proportion
-  * test) and operational data-freshness auditing — the last two
-  * workload families a platform team runs daily that the inventory
-  * didn't yet exercise.
+/** Round-9 fifth wave — the daily platform workloads: experimentation
+  * (q146 A/B readout, q151 decile lift, q152 time-to-convert),
+  * operations (q147 freshness audit), CEP with negation (q148), the
+  * widest-path semiring step (q149), the quantile sketch-audit (q150),
+  * and frame-edge window functions (q153).
   *
   * Reference provenance: N/A (empty checkout, SURVEY.md §0).
   */
