@@ -427,6 +427,36 @@ object Round9e {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, first_type, second_type, last_type, n_events
         |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q154
+    // Source-concentration audit — per-language Herfindahl index over
+    // document sources plus the top-source share: the corpus-diversity
+    // metric a curation pipeline reads next to q74's mix weights (q74
+    // computes target proportions; this flags when one source DOMINATES
+    // a language and resampling is needed). All-integer HHI: counts are
+    // exact int64, Σcnt² and (Σcnt)² stay far below 2^53 so every
+    // double cast is portable (the q116 bound), and hhi/top_share are
+    // raw IEEE quotients of identical shape. Scale shape: two map-side-
+    // combinable aggregates, output bounded by the language count.
+    "q154_source_concentration" -> QDef(
+      (s, d) => {
+        documents(s, d).groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sources"), sum("cnt").as("n_docs"),
+            sum(col("cnt") * col("cnt")).as("ss"), max("cnt").as("mx"))
+          .select(col("lang"), col("n_sources"), col("n_docs"),
+            (col("ss").cast("double") /
+              (col("n_docs") * col("n_docs")).cast("double")).as("hhi"),
+            (col("mx").cast("double") / col("n_docs").cast("double")).as("top_share"))
+          .orderBy("lang")
+      },
+      """WITH g AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_sources, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |       CAST(SUM(cnt * cnt) AS DOUBLE)
+        |         / CAST(CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS hhi,
+        |       CAST(MAX(cnt) AS DOUBLE) / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS top_share
+        |FROM g GROUP BY 1 ORDER BY lang""".stripMargin
     )
   )
 }

@@ -1495,5 +1495,25 @@ class InvariantSpec extends AnyFunSuite {
     assert(got153 == exp153, "q153 frame-edge values differ from replay")
     assert(got153.size == evs148.map(_._1).distinct.length,
       "q153 must emit one bookend row per user")
+
+    // q154: HHI replay + the structural range 1/n_sources ≤ hhi ≤ 1.
+    val docs154 = graft.Tables.documents(spark, sf001)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp154 = docs154.groupBy(_._1).view.mapValues { xs =>
+      val cnts = xs.groupBy(_._2).values.map(_.length.toLong).toVector
+      val n = cnts.sum
+      (cnts.length.toLong, n,
+        cnts.map(c => c * c).sum.toDouble / (n * n).toDouble,
+        cnts.max.toDouble / n.toDouble) }.toMap
+    val got154 = run("q154_source_concentration").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got154 == exp154, "q154 concentration table differs from replay")
+    got154.values.foreach { case (ns, _, hhi, top) =>
+      assert(hhi >= 1.0 / ns.toDouble - 1e-12 && hhi <= 1.0 &&
+        top * top <= hhi + 1e-12,
+        "q154 structural HHI bounds violated (1/n_sources ≤ hhi ≤ 1, top² ≤ hhi)")
+    }
   }
 }
