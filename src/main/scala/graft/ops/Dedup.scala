@@ -52,13 +52,20 @@ object Dedup {
     // pays one less improving round (the fixpoint-confirming round
     // remains). Label values stay component NODES (min over self+
     // neighbors), which the shortcut join requires.
+    // (Round 10 measured a 2-hop seed — one pointer jump folded into the
+    // seed job via union-then-regroup. It cut round-1 improvements ~4×
+    // but removed NO round on the bench graph: the deep-chain stragglers
+    // that force round 2 sit beyond 2 hops either way, so the extra seed
+    // shuffle was pure cost and the plain 1-hop seed stays.)
     var labels = edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
 
     var converged = false
     var i = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && i < maxIter) {
+      val tR0 = System.nanoTime()
       val propagated = labels
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"), lit(false).as("own"))
@@ -122,6 +129,7 @@ object Dedup {
       converged = acc.value == 0L
       labels = next
       i += 1
+      if (dbg) println(f"[cc] round $i ${(System.nanoTime() - tR0) / 1e9}%.2f s improved=${acc.value}")
     }
     // Unconverged labels would silently over- or under-dedup downstream
     // (dedupByCluster keeps docs whose cluster merge never propagated).

@@ -189,11 +189,19 @@ object LlmExt2 {
         base.select(col("doc_id"), col("lang"),
           transform(col("toks"), t => pmod(xxhash64(t), lit(P))).as("ids"))
     val sig = mat(explodeBandSigs(withIds))
+    // Explicit 32-way spread of the candidate table before the verify
+    // joins: the signature tables are byte-small, so AQE broadcasts the
+    // array sides and coalesces the candidate stream to ~1 partition —
+    // and the per-pair array_intersect CPU of the verify then serializes
+    // onto one task (the q97/q40/q83 lesson; AQE never coalesces an
+    // explicit numbered repartition). On a dense corpus the verify is the
+    // dominant stage, so the spread matters even at bench scale.
     val cand = sig.as("x")
       .join(sig.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .repartition(32)
     // Exact-Jaccard verify as per-candidate array intersection of the two
     // carried per-doc sets — one join per side against the doc-level table
     // instead of the token-exploded twin joins + re-group this replaced
@@ -380,6 +388,17 @@ object LlmExt2 {
     // index, piece value) instead of the all-pairs scan q47 does. The
     // hamming <= 3 verify on candidates is then exact (no recall loss —
     // unlike MinHash banding, the pigeonhole bound is a guarantee).
+    //
+    // Round 10 (VERDICT r9 task #3): this is the SCALE form of SimHash, so
+    // it uses the portable pure-projection token hash (md5-hex → long, the
+    // q69/q107 family — identical in DuckDB) instead of q47's rank
+    // dictionary, and packs all 16 sign sums into ONE statically-unrolled
+    // aggregation. That removes the dict's distinct+windows+join and the
+    // crossJoin(16)+second-groupBy — 4 fewer stages, which cut the
+    // fresh-plan (cold JVM) cost from ~10.6 s to the low single digits;
+    // warm cost also drops (no 16× row expansion through the shuffle).
+    // Sign-bit quality is unchanged: any fixed pseudo-random tid family
+    // works, and both engines compute the identical md5-derived tid.
     "q56_simhash_blocked" -> QDef(
       (s, d) => {
         val tf = documents(s, d)
@@ -387,14 +406,19 @@ object LlmExt2 {
           .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "lang", "tok")
           .agg(count(lit(1)).as("cnt"))
-        val dict = tokenDict(tf.select("doc_id", "lang", "tok"))
-        val bits = s.range(0, 16).toDF("j")
-        val sims = tf.join(dict, "tok").crossJoin(bits)
-          .withColumn("g", ((col("tid") * (lit(2) * col("j") + 3) + (lit(7) * col("j") + 1)) % P) % 2)
-          .groupBy("doc_id", "lang", "j")
-          .agg(sum(col("cnt") * (lit(2) * col("g") - 1)).as("score"))
-          .groupBy("doc_id", "lang")
-          .agg(sum(when(col("score") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+          .withColumn("tid",
+            conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % P)
+        // one aggregation, 16 static conditional sums (j is a literal, so
+        // the per-j hash arithmetic constant-folds at plan time)
+        val signSums = (0 until 16).map { j =>
+          sum(col("cnt") *
+            (lit(2) * (((col("tid") * (2 * j + 3) + (7 * j + 1)) % P) % 2) - 1)).as(s"s$j")
+        }
+        val sims = tf.groupBy("doc_id", "lang")
+          .agg(signSums.head, signSums.tail: _*)
+          .select(col("doc_id"), col("lang"),
+            (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+              .reduce(_ + _).as("simhash"))
           .localCheckpoint()
         // four 4-bit pieces per fingerprint
         val pieces = sims.select(
@@ -433,13 +457,14 @@ object LlmExt2 {
          |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
          |   WHERE doc_id % 2 = 0) t
          |  GROUP BY 1, 2, 3),
-         |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
-         |         FROM (SELECT DISTINCT tok FROM tf) u),
+         |tid AS (SELECT doc_id, lang, cnt,
+         |          CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $P AS tid
+         |        FROM tf),
          |sims AS (SELECT doc_id, lang,
          |           CAST(SUM(CASE WHEN score > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |         FROM (SELECT doc_id, lang, j,
          |                 SUM(cnt * (2 * (((tid * (2*j+3) + (7*j+1)) % $P) % 2) - 1)) AS score
-         |               FROM tf JOIN dict USING (tok) CROSS JOIN range(0, 16) b(j)
+         |               FROM tid CROSS JOIN range(0, 16) b(j)
          |               GROUP BY 1, 2, 3) sc
          |         GROUP BY 1, 2),
          |pieces AS (SELECT doc_id, lang, simhash, p AS piece_idx,

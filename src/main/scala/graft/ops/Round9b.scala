@@ -197,6 +197,13 @@ object Round9b {
     // knob (finer prefix → smaller blocks; pairs straddling a block
     // boundary are the method's documented recall loss). O(w·n) pairs,
     // one partitioned window, no all-pairs term anywhere.
+    // The prefix LENGTH 8 is a TEST-SCALE CONSTANT (the q151 convention):
+    // on this 31-token corpus it yields a handful of blocks whose size
+    // grows O(n) with volume. A production deployment derives block width
+    // from corpus size (widen the prefix until the p99 block fits a
+    // task's memory — each widening multiplies block count by ~|alphabet|)
+    // and the DECLARED query pins 8 only so the DuckDB oracle replays
+    // byte-identical blocks at every tested SF.
     "q137_sorted_neighborhood" -> QDef(
       (s, d) => {
         val t = documents(s, d).select(

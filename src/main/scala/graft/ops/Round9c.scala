@@ -124,17 +124,23 @@ object Round9c {
           sum(col("x1") * col("x2")).as("sx1x2"),
           sum(col("x1") * col("y")).as("sx1y"),
           sum(col("x2") * col("y")).as("sx2y"))
+        // Degeneracy guard on the DOUBLE det, not an exact decimal product:
+        // m11·m22 and m12² are products of two ~1e13 decimals, and a
+        // DECIMAL(38,0)×DECIMAL(38,0) product overflows 38 digits long
+        // before the matrix ENTRIES leave their documented 2^53 double
+        // bound (round-9 ADVICE — Spark non-ANSI nulls the overflow while
+        // DuckDB promotes, a latent divergence at large n). The entries
+        // themselves are exact-in-double by the q116 bound, so det as the
+        // IEEE double expression m11·m22 − m12² is bit-identical in both
+        // engines, and `det != 0` is the portable collinearity filter.
         sums
-          .where((col("n") * col("sx1x1") - col("sx1") * col("sx1")) *
-            (col("n") * col("sx2x2") - col("sx2") * col("sx2")) =!=
-            (col("n") * col("sx1x2") - col("sx1") * col("sx2")) *
-              (col("n") * col("sx1x2") - col("sx1") * col("sx2")))
           .withColumn("m11", (col("n") * col("sx1x1") - col("sx1") * col("sx1")).cast("double"))
           .withColumn("m22", (col("n") * col("sx2x2") - col("sx2") * col("sx2")).cast("double"))
           .withColumn("m12", (col("n") * col("sx1x2") - col("sx1") * col("sx2")).cast("double"))
           .withColumn("c1", (col("n") * col("sx1y") - col("sx1") * col("sy")).cast("double"))
           .withColumn("c2", (col("n") * col("sx2y") - col("sx2") * col("sy")).cast("double"))
           .withColumn("det", col("m11") * col("m22") - col("m12") * col("m12"))
+          .where(col("det") =!= 0.0)
           .withColumn("b1", (col("m22") * col("c1") - col("m12") * col("c2")) / col("det"))
           .withColumn("b2", (col("m11") * col("c2") - col("m12") * col("c1")) / col("det"))
           .withColumn("b0",
@@ -163,15 +169,14 @@ object Round9c {
         |         CAST(n * sx1x2 - sx1 * sx2 AS DOUBLE) AS m12,
         |         CAST(n * sx1y - sx1 * sy AS DOUBLE) AS c1,
         |         CAST(n * sx2y - sx2 * sy AS DOUBLE) AS c2
-        |  FROM sums
-        |  WHERE (n * sx1x1 - sx1 * sx1) * (n * sx2x2 - sx2 * sx2) <>
-        |        (n * sx1x2 - sx1 * sx2) * (n * sx1x2 - sx1 * sx2)),
+        |  FROM sums),
         |b AS (
         |  SELECT event_type, n, sx1, sx2, sy,
         |         m11 * m22 - m12 * m12 AS det,
         |         (m22 * c1 - m12 * c2) / (m11 * m22 - m12 * m12) AS b1,
         |         (m11 * c2 - m12 * c1) / (m11 * m22 - m12 * m12) AS b2
-        |  FROM m)
+        |  FROM m
+        |  WHERE m11 * m22 - m12 * m12 <> 0)
         |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
         |       (CAST(sy AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE)
         |          - b2 * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) AS b0,

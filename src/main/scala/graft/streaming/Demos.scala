@@ -1251,11 +1251,17 @@ object Demos {
       else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("v="))
         .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
-    val (baseH, ref) = prevVersions.sorted.lastOption match {
+    val (baseH, ref0) = prevVersions.sorted.lastOption match {
       case Some(v) => (spark.read.parquet(s"$dir/v=$v/hist"),
         spark.read.parquet(s"$dir/v=$v/ref"))
       case None => (delta.limit(0), delta) // first batch freezes the reference
     }
+    // Round-9 ADVICE: an EMPTY first micro-batch must not freeze an empty
+    // reference — rt would be 0 and every subsequent ref_share/drift NaN
+    // for the stream's lifetime. While the stored reference is still empty,
+    // keep deferring the freeze to the first non-empty batch (the emptiness
+    // probe is a ≤10-row action on the versioned state, constant cost).
+    val ref = if (ref0.isEmpty) delta else ref0
     // histogram merge = bucket-count addition
     baseH.unionByName(delta).groupBy("decile").agg(sum("n").as("n"))
       .write.mode("overwrite").parquet(s"$dir/v=$batchId/hist")

@@ -607,6 +607,36 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(replayed == gotHist, "replaying the committed last batch changed the histogram")
   }
 
+  test("s23: an empty first micro-batch defers the reference freeze — no " +
+    "NaN shares for the stream's lifetime (round-9 ADVICE)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s23e").toString + "/drift"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val half = evs.length / 2
+    // batch 0 is EMPTY; the reference must defer to batch 1, not freeze empty
+    Demos.valueDriftBatch(spark, Seq.empty[Event].toDF(), dir, 0L)
+    Demos.valueDriftBatch(spark, evs.take(half).toSeq.toDF(), dir, 1L)
+    Demos.valueDriftBatch(spark, evs.drop(half).toSeq.toDF(), dir, 2L)
+    def decile(e: Event): Long =
+      (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+        .toLongExact / 5000
+    def histOf(es: Seq[Event]): Map[Long, Long] =
+      es.groupBy(decile).view.mapValues(_.length.toLong).toMap
+    val gotRef = spark.read.parquet(s"$dir/v=2/ref").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRef == histOf(evs.take(half).toSeq),
+      "reference must freeze at the first NON-empty batch")
+    val audit = spark.read.parquet(s"$dir/v=2/audit").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN && !r.getDouble(5).isNaN,
+        s"NaN share survived the empty-first-batch guard: $r")
+    }
+  }
+
   test("s24: streaming freshness monitor — merged watermarks equal the " +
     "batch audit, the newest type lags zero, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
