@@ -1,9 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.{CoalesceExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, RangeExec, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Dev tool AND build-time gate: dump per-query physical-plan stats
@@ -54,6 +57,62 @@ object PlanAudit {
     "q107_systematic_sample", "q135_ks_drift", "q138_equidepth_hist",
     "q150_hist_median_audit", "q151_decile_lift")
 
+  /** Queries ALLOWED to plan a nested-loop/cartesian join whose build side
+    * is NOT bounded-by-construction (see [[boundedBuild]]) — each bounded
+    * by a documented data carve or fixed domain instead (round-9 verdict
+    * task #7: gate NLJ like global windows). Keep MINIMAL. */
+  private val nestedLoopWhitelist: Set[String] = Set(
+    // q48: the DELIBERATE all-pairs cosine oracle twin — inequality-only
+    // self-join on the 1/5 vec_id carve; the scale paths are the
+    // bucket-equi-joined q52/q62 (labeled in code, PlanShapeSpec-gated).
+    "q48_embedding_neardup")
+
+  /** True when a nested-loop join's BUILD side cannot exceed broadcast
+    * scale BY CONSTRUCTION: its defining node (walking through row-
+    * preserving wrappers) is a global aggregate (grouping-free → exactly
+    * one row), a ≤100-row LocalTableScan, or a ≤100-element Range. This
+    * is the 1-row `crossJoin(broadcast(totals))` scalar-glue pattern the
+    * repo uses everywhere — always safe; everything else must be
+    * whitelisted per query. */
+  @annotation.tailrec
+  private def definingNode(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => definingNode(w.child)
+    case i: InputAdapter => definingNode(i.child)
+    case q: QueryStageExec => definingNode(q.plan)
+    case r: ReusedExchangeExec => definingNode(r.child)
+    case e: Exchange => definingNode(e.child)
+    case a: AQEShuffleReadExec => definingNode(a.child)
+    case p2: ProjectExec => definingNode(p2.child)
+    case f: FilterExec => definingNode(f.child)
+    case s: SortExec => definingNode(s.child)
+    case c: CoalesceExec => definingNode(c.child)
+    // row-preserving (Window) / row-reducing (WindowGroupLimit): the bound
+    // of whatever sits beneath carries through
+    case w: WindowExec => definingNode(w.child)
+    case w: WindowGroupLimitExec => definingNode(w.child)
+    case other => other
+  }
+
+  private def boundedBuild(p: SparkPlan): Boolean = definingNode(p) match {
+    case a: HashAggregateExec => a.groupingExpressions.isEmpty
+    case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+    case a: SortAggregateExec => a.groupingExpressions.isEmpty
+    case l: LocalTableScanExec => l.rows.size <= 100
+    case r: RangeExec => r.numElements <= BigInt(100)
+    // explicit limits: the library's convention for key-bounded builds
+    // (kNN query carves, nlist-row centroid tables) is a no-op .limit(n)
+    // at the build site, which turns the semantic bound into this
+    // structural one
+    case g: org.apache.spark.sql.execution.GlobalLimitExec => g.limit <= 100
+    case c: org.apache.spark.sql.execution.CollectLimitExec => c.limit <= 100
+    case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t.limit <= 100
+    // under a BroadcastExchange a .limit(n) plans as LocalLimit (the
+    // broadcast gather makes the global cut redundant): build ≤ n × P
+    // rows — still broadcast-scale for n ≤ 100
+    case l: org.apache.spark.sql.execution.LocalLimitExec => l.limit <= 100
+    case _ => false
+  }
+
   /** Walk the EXECUTED plan including adaptive and reused wrappers —
     * collect() on an AQE plan does not descend into query stages. */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
@@ -92,6 +151,26 @@ object PlanAudit {
         }
         if (globalWins > 0 && !globalWindowWhitelist.contains(name))
           bad :+= s"$name ($globalWins unpartitioned Window nodes)"
+        // NLJ/cartesian gate: a nested-loop join whose build side is not
+        // bounded by construction silently re-plans as an all-pairs scan
+        // at scale (the q48 shape). Scalar-glue crossJoins (global-agg
+        // build = exactly 1 row) pass structurally.
+        val unboundedNlj = nodes.collect {
+          case j: BroadcastNestedLoopJoinExec
+            if !boundedBuild(j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }) =>
+            s"${j.nodeName}[build=${definingNode(j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }).nodeName}]"
+          case c: CartesianProductExec
+            if !boundedBuild(c.left) && !boundedBuild(c.right) =>
+            s"${c.nodeName}[l=${definingNode(c.left).nodeName},r=${definingNode(c.right).nodeName}]"
+        }
+        if (unboundedNlj.nonEmpty && !nestedLoopWhitelist.contains(name))
+          bad :+= s"$name (unbounded: ${unboundedNlj.mkString("; ")})"
         val p = nodes.map(_.nodeName).mkString("\n")
         def n(pat: String) = pat.r.findAllIn(p).size
         println(f"$name%-26s ${n("Exchange")}%5d ${n("BroadcastExchange")}%5d " +
@@ -102,10 +181,13 @@ object PlanAudit {
     spark.stop()
     if (bad.nonEmpty) {
       System.err.println(
-        s"planaudit: ${bad.size} quer${if (bad.size == 1) "y has" else "ies have"} an " +
-          s"un-whitelisted unpartitioned Window:\n  ${bad.mkString("\n  ")}\n" +
-          "Either partition the window or add the query to globalWindowWhitelist " +
-          "with a bounded-by-construction justification.")
+        s"planaudit: ${bad.size} gate violation${if (bad.size == 1) "" else "s"} " +
+          s"(un-whitelisted unpartitioned Window or unbounded nested-loop/cartesian " +
+          s"join):\n  ${bad.mkString("\n  ")}\n" +
+          "Either fix the plan (partition the window; bound the build side — a " +
+          "no-op .limit(n<=100) makes a key-bounded build structural) or add the " +
+          "query to the matching whitelist with a bounded-by-construction " +
+          "justification.")
       sys.exit(1)
     }
   }

