@@ -26,10 +26,11 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int, features: A
 case class ResizedMedia(media_id: Long, width: Int, height: Int, payload: Array[Byte])
 
 /** Multimodal-column plumbing: real Spark schema, partitioning, and
-  * per-partition batch shape. The decoder is REAL for binary Netpbm
-  * images (P6/P5 — a public, zero-dependency raster format this
-  * container can decode in pure JVM code: header parse + pixel-stats
-  * features, `decodeNetpbm`); formats with no JVM codec here (jpeg, wav,
+  * per-partition batch shape. The decoder is REAL for two modalities:
+  * binary Netpbm images (P6/P5 — header parse + pixel-stats features,
+  * `decodeNetpbm`) and RIFF/WAVE PCM audio (container walk + amplitude-
+  * stats features, `decodeWav`) — both public, zero-dependency formats
+  * decodable in pure JVM code. Formats with no JVM codec here (jpeg,
   * mp4, ...) fall to the deterministic `decodeStub` stand-in — swap that
   * one function for a JNI/javacpp codec binding in production. Dispatch
   * is per-record on the declared format, with malformed payloads
@@ -156,12 +157,93 @@ object Multimodal {
       }
     }
 
-  /** Format dispatch: real Netpbm decode where the payload parses, stub
-    * for everything else (and as the malformed-payload fallback — a bad
-    * byte stream must degrade, not kill the partition). */
+  /** REAL decoder for RIFF/WAVE PCM audio — the second public
+    * zero-dependency format (images: Netpbm). Parses the RIFF container
+    * (little-endian sizes, word-aligned chunks, unknown chunks skipped
+    * per the spec) up to the `data` chunk and returns
+    * (audioFormat, channels, sampleRate, bitsPerSample, dataOffset,
+    * dataLen), or None when the bytes aren't a well-formed container. */
+  private[graft] def parseWavHeader(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    while (i + 8 <= b.length) {
+      val id = tag(i)
+      val sz = u32(i + 4)
+      if (sz < 0 || i + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16)
+        fmt = Some((u16(i + 8), u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
+      else if (id == "data")
+        return fmt.map { case (af, ch, sr, bps) =>
+          (af, ch, sr, bps, i + 8, sz.toInt)
+        }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Decode a PCM WAV payload (8-bit unsigned or 16-bit signed LE, any
+    * channel count; frames averaged across channels) to the 8-wide
+    * amplitude-stats feature vector:
+    * [mean, rms, min, max, zero-crossing rate, duration/10s capped at 1,
+    *  channels/8, sampleRate/96000] — amplitudes normalized to [-1,1].
+    * None when the container, format, or data length is malformed. */
+  private[graft] def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
+    parseWavHeader(payload).flatMap { case (af, ch, sr, bps, off, len) =>
+      val bytesPer = bps / 8
+      if (af != 1 || ch < 1 || sr <= 0 || (bps != 8 && bps != 16)) None
+      else {
+        val n = len / (bytesPer * ch) // whole frames in the data chunk
+        if (n == 0 || off + n.toLong * bytesPer * ch > payload.length) None
+        else {
+          var (s, s2) = (0.0, 0.0)
+          var mn = 1.0
+          var mx = -1.0
+          var zc = 0L
+          var prevNeg = false
+          var f = 0
+          while (f < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val p = off + (f * ch + c) * bytesPer
+              val v =
+                if (bps == 8) ((payload(p) & 0xff) - 128) / 128.0
+                else ((payload(p) & 0xff) | (payload(p + 1) << 8)).toShort / 32768.0
+              acc += v
+              c += 1
+            }
+            val v = acc / ch
+            s += v; s2 += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            val neg = v < 0
+            if (f > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            f += 1
+          }
+          val nd = n.toDouble
+          Some(Array(
+            (s / nd).toFloat, math.sqrt(s2 / nd).toFloat, mn.toFloat, mx.toFloat,
+            (zc.toDouble / math.max(1.0, nd - 1)).toFloat,
+            math.min(1.0, nd / sr / 10.0).toFloat,
+            ch / 8f, sr / 96000f))
+        }
+      }
+    }
+
+  /** Format dispatch: real Netpbm/WAV decode where the payload parses,
+    * stub for everything else (and as the malformed-payload fallback — a
+    * bad byte stream must degrade, not kill the partition). */
   private[graft] def decode(format: String, payload: Array[Byte]): Array[Float] =
     if (format == "ppm" || format == "pgm")
       decodeNetpbm(payload).getOrElse(decodeStub(payload))
+    else if (format == "wav")
+      decodeWav(payload).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
   /** Feature extraction with per-partition batching (codec init once per
@@ -193,13 +275,42 @@ object Multimodal {
     header ++ px
   }
 
+  /** Build a real PCM16-mono WAV payload with deterministic LCG samples —
+    * the audio twin of [[makePpm]] (fixture generator; in production a
+    * test-tone writer). */
+  def makeWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(i: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, i); () }
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(i: Int, v: Long): Unit = {
+      p16(i, (v & 0xffff).toInt); p16(i + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    put(0, "RIFF"); p32(4, 36L + dataLen); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, 1); p32(24, sampleRate.toLong)
+    p32(28, sampleRate.toLong * 2); p16(32, 2); p16(34, 16)
+    put(36, "data"); p32(40, dataLen.toLong)
+    var x = seed
+    var f = 0
+    while (f < nFrames) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      p16(44 + 2 * f, ((x >>> 40) & 0xffff).toInt)
+      f += 1
+    }
+    out
+  }
+
   /** Real-format twin of [[synthesize]]: every third doc carries an actual
-    * P6 raster (pixels seeded by doc_id, metadata matching the embedded
-    * header), the rest keep the fake-rgb stand-in — so ONE corpus
-    * exercises the real decoder, the stub, and the dispatch between them.
-    * Typed map, not a projection: payload GENERATION is fixture plumbing,
-    * not a scan path (production payloads arrive in parquet and prune as
-    * q77 asserts). */
+    * P6 raster, every doc_id ≡ 1 (mod 3) a real PCM16 WAV (both seeded by
+    * doc_id with metadata matching the embedded header), the rest keep the
+    * fake-rgb stand-in — so ONE corpus exercises both real decoders, the
+    * stub, and the dispatch between them. For audio, width carries the
+    * frame count and height the channel count (the catalog convention the
+    * meta probe checks). Typed map, not a projection: payload GENERATION
+    * is fixture plumbing, not a scan path (production payloads arrive in
+    * parquet and prune as q77 asserts). */
   def synthesizeMixed(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     synthesize(spark, sfDir).map { r =>
@@ -207,6 +318,10 @@ object Multimodal {
         val (w, h) = (8 + (r.doc_id % 9).toInt, 8 + (r.doc_id % 7).toInt)
         r.copy(format = "ppm", width = w, height = h,
           payload = makePpm(w, h, r.doc_id))
+      } else if (r.doc_id % 3 == 1) {
+        val frames = 64 + (r.doc_id % 129).toInt
+        r.copy(kind = "audio", format = "wav", width = frames, height = 1,
+          payload = makeWav(frames, 8000, r.doc_id))
       } else r
     }
   }
@@ -220,9 +335,18 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       records.map { r =>
-        val hdr = parseNetpbmHeader(r.payload)
-        (r.media_id, r.format, hdr.map(_._1).getOrElse("unknown"),
-          hdr.map(_._2).getOrElse(-1), hdr.map(_._3).getOrElse(-1), hdr.isDefined)
+        // probe image containers first, then audio; for WAV the probed
+        // (width, height) carry (frames, channels) — the synthesizeMixed
+        // catalog convention
+        val img = parseNetpbmHeader(r.payload)
+          .map(t => (t._1, t._2, t._3))
+        val probe = img.orElse(parseWavHeader(r.payload).map {
+          case (_, ch, _, bps, _, len) =>
+            ("wav", len / math.max(1, (bps / 8) * ch), ch)
+        })
+        (r.media_id, r.format, probe.map(_._1).getOrElse("unknown"),
+          probe.map(_._2).getOrElse(-1), probe.map(_._3).getOrElse(-1),
+          probe.isDefined)
       }
     }.toDF("media_id", "declared_format", "probed_format",
       "probed_width", "probed_height", "header_ok")

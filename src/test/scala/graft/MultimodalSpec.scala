@@ -98,30 +98,72 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeStub(short).toSeq)
   }
 
-  test("mixed corpus end-to-end: ppm rows decode for real, others stub, " +
-    "and the metadata probe surfaces the embedded header") {
+  test("WAV decode is REAL: container fields recovered, features track " +
+    "sample content, 8-bit/multichannel/unknown-chunk payloads parse") {
+    // round-trip the fixture writer through the parser
+    val wav = Multimodal.makeWav(100, 8000, seed = 42L)
+    assert(Multimodal.parseWavHeader(wav)
+      .map(t => (t._1, t._2, t._3, t._4, t._6))
+      .contains((1, 1, 8000, 16, 200)))
+    // features respond to sample content, not just byte length
+    val f1 = Multimodal.decodeWav(Multimodal.makeWav(100, 8000, 1L)).get
+    val f2 = Multimodal.decodeWav(Multimodal.makeWav(100, 8000, 2L)).get
+    assert(f1.length == 8 && f1.toSeq != f2.toSeq)
+    // a hand-built 8-bit stereo file with an unknown chunk BEFORE data:
+    // frames (128,255)->(0, ~1) and (128,0)->(0, -1) average to ~+0.5/-0.5
+    val hdr = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes
+    val fmt = "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+      Array[Byte](1, 0, 2, 0) ++ Array[Byte](0x40, 0x1f, 0, 0) ++ // 8000 Hz
+      Array[Byte](0x80.toByte, 0x3e, 0, 0) ++ Array[Byte](2, 0, 8, 0) // align 2, 8 bit
+    val junk = "LIST".getBytes ++ Array[Byte](2, 0, 0, 0) ++ Array[Byte](7, 7)
+    val data = "data".getBytes ++ Array[Byte](4, 0, 0, 0) ++
+      Array[Byte](128.toByte, 255.toByte, 128.toByte, 0)
+    val f8 = Multimodal.decodeWav(hdr ++ fmt ++ junk ++ data).get
+    assert(math.abs(f8(0) - (0.49609375f - 0.5f) / 2) < 1e-6, "mean wrong")
+    assert(f8(2) < 0 && f8(3) > 0 && f8(4) == 1f, "min/max/zcr wrong")
+    assert(f8(6) == 2f / 8 && f8(7) == 8000f / 96000)
+  }
+
+  test("malformed WAV payloads degrade to the stub, never throw") {
+    val garbage = "RIFFnot really a wave file at all.............".getBytes
+    assert(Multimodal.decodeWav(garbage).isEmpty)
+    assert(Multimodal.decode("wav", garbage).toSeq ==
+      Multimodal.decodeStub(garbage).toSeq)
+    // truncated data chunk: declared length overruns the payload
+    val t = Multimodal.makeWav(10, 8000, 1L).dropRight(5)
+    assert(Multimodal.decodeWav(t).isEmpty)
+    assert(Multimodal.decode("wav", t).toSeq == Multimodal.decodeStub(t).toSeq)
+  }
+
+  test("mixed corpus end-to-end: ppm and wav rows decode for real, others " +
+    "stub, and the metadata probe surfaces the embedded headers") {
     val mixed = Multimodal.synthesizeMixed(spark, sf001)
     val feats = Multimodal.extractFeatures(mixed).collect()
       .map(f => f.media_id -> f).toMap
     val recs = mixed.collect()
-    assert(recs.exists(_.format == "ppm") && recs.exists(_.format == "fake-rgb"))
+    assert(recs.exists(_.format == "ppm") && recs.exists(_.format == "wav") &&
+      recs.exists(_.format == "fake-rgb"))
     recs.foreach { r =>
-      val expected =
-        if (r.format == "ppm") Multimodal.decodeNetpbm(r.payload).get
-        else Multimodal.decodeStub(r.payload)
+      val expected = r.format match {
+        case "ppm" => Multimodal.decodeNetpbm(r.payload).get
+        case "wav" => Multimodal.decodeWav(r.payload).get
+        case _     => Multimodal.decodeStub(r.payload)
+      }
       assert(feats(r.media_id).features.toSeq == expected.toSeq,
         s"media ${r.media_id} (${r.format}) took the wrong decode path")
     }
-    // the probe reads the BYTES: ppm rows surface their embedded header
-    // (matching the catalog metadata), fake rows are flagged unparseable
+    // the probe reads the BYTES: ppm/wav rows surface their embedded
+    // headers (matching the catalog metadata: for wav, width=frames,
+    // height=channels), fake rows are flagged unparseable
     val probed = Multimodal.inferMeta(mixed).collect()
       .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3), r.getInt(4),
         r.getBoolean(5)))).toMap
     recs.foreach { r =>
       val (pf, pw, ph, ok) = probed(r.media_id)
-      if (r.format == "ppm")
-        assert(ok && pf == "ppm" && pw == r.width && ph == r.height,
-          s"media ${r.media_id}: probed ($pf,$pw,$ph) != declared (ppm,${r.width},${r.height})")
+      if (r.format == "ppm" || r.format == "wav")
+        assert(ok && pf == r.format && pw == r.width && ph == r.height,
+          s"media ${r.media_id}: probed ($pf,$pw,$ph) != declared " +
+            s"(${r.format},${r.width},${r.height})")
       else assert(!ok && pf == "unknown")
     }
   }
