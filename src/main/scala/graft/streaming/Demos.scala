@@ -18,6 +18,11 @@ case class Event(
     props: String
 )
 
+/** A CDC changelog row (s25): op ∈ I/U/D, per-key seq monotone in arrival
+  * order; price/status are None where the op doesn't carry them. */
+case class Change(k: Long, seq: Long, op: String,
+    price: Option[Double], status: Option[String])
+
 /** A broadcast rule (the control-stream element; FIXTURES.md fixture R). */
 case class Rule(event_type: String, threshold: Double, severity: String)
 
@@ -1332,6 +1337,72 @@ object Demos {
       .write.mode("overwrite").parquet(s"$dir/v=$batchId/audit")
     pruneVersions(spark, dir, batchId)
   }
+
+  /** s25 — streaming CDC apply: the ingest twin of batch q145's
+    * merge-apply. The stream is a changelog of (k, seq, op ∈ I/U/D,
+    * price, status) rows; each micro-batch merges into a versioned
+    * snapshot with latest-op-wins per key (q145's exact rule: D drops the
+    * row from the LIVE view, U/I set the price, status keeps the earliest
+    * non-null — the base's — value; see [[cdcLiveView]]). State is
+    * O(live keys + tombstones), the floor for CDC compaction: updates
+    * replace in place, so the snapshot never grows with change volume.
+    * Assumes the standard changelog contract — per-key seq is monotone in
+    * arrival order.
+    * Commit protocol = s14/s16/s21–s24's versioned overwrite with
+    * predecessor-only history (exactly-once under replays).
+    */
+  def s25CdcApply(spark: SparkSession, changes: DataFrame, dir: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        cdcApplyBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One CDC-apply step (factored out so the spec can replay a batch with
+    * the same batchId and assert identical output). */
+  private[graft] def cdcApplyBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cols = Seq("k", "seq", "op", "price", "status").map(col)
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    // Deletes persist as TOMBSTONES (op='D' rows, price null, status
+    // retained): q145's batch merge resolves a D→U key to the updated row
+    // with the BASE's status, and only a tombstone carrying that status
+    // lets the incremental apply reproduce it. This is the standard CDC
+    // compaction design — the live view is op != 'D'; production prunes
+    // tombstones past the changelog's max-reorder horizon, so state is
+    // O(live keys + recent deletes), never O(changes).
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v").select(cols: _*)
+      case None    => batch.select(cols: _*).limit(0)
+    }
+    // latest-op-wins per key in ONE keyed aggregation (no window sort):
+    // winner op/price by seq (a replayed batch ties with its own prior
+    // effect at EQUAL values, so either pick is byte-identical); status =
+    // the EARLIEST non-null status (q145's coalesce(base.status,
+    // op.status): the base wins while its lineage lives — U/D carry null)
+    base.unionByName(batch.select(cols: _*))
+      .groupBy("k")
+      .agg(
+        max(col("seq")).as("seq"),
+        max_by(col("op"), col("seq")).as("op"),
+        max_by(col("price"), col("seq")).as("price"),
+        min_by(col("status"), when(col("status").isNotNull, col("seq"))).as("status"))
+      .select(cols: _*)
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    pruneVersions(spark, dir, batchId)
+  }
+
+  /** The LIVE view of an s25 snapshot version: tombstones excluded. */
+  private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$dir/v=$version")
+      .where(col("op") =!= "D")
+      .select("k", "seq", "price", "status")
 
   /** s5 — session windows (30-minute gap), watermark-bounded state. */
   def s5Sessions(events: DataFrame): DataFrame =

@@ -637,6 +637,65 @@ class StreamingDemosSpec extends AnyFunSuite {
     }
   }
 
+  test("s25: streaming CDC apply — the final snapshot equals q145's batch " +
+    "merge on the same changelog, deletes drop, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s25").toString + "/cdc"
+    // the q145 changelog over the q145 base, as one ordered stream:
+    // base rows arrive first as seq-0 inserts, then D %11, U %13, I %17
+    val ords = graft.Tables.orders(spark, SharedSpark.sf001)
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "CAST(o_totalprice AS DOUBLE)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val baseB = ords.map { case (k, st, pr) =>
+      Change(k, 0L, "I", Some(pr), Some(st)) }.toSeq
+    val chg1 = ords.collect { case (k, _, _) if k % 11 == 0 =>
+      Change(k, 1L, "D", None, None) }.toSeq
+    val chg2 = ords.collect { case (k, _, pr) if k % 13 == 0 =>
+      Change(k, 2L, "U", Some(pr + 1), None) }.toSeq
+    val chg3 = ords.collect { case (k, st, pr) if k % 17 == 0 =>
+      Change(k + 10000000L, 3L, "I", Some(pr), Some(st)) }.toSeq
+    val input = MemoryStream[Change]
+    val q = Demos.s25CdcApply(spark, input.toDF(), dir)
+    try Seq(baseB, chg1, chg2, chg3).foreach { c =>
+      input.addData(c: _*); q.processAllAvailable()
+    } finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == 3L)
+
+    // q145's merge rules applied in one shot (latest-op-wins, D drops,
+    // U/I set price, status = earliest non-null = the base's)
+    val expected = (baseB ++ chg1 ++ chg2 ++ chg3)
+      .groupBy(_.k).flatMap { case (k, cs) =>
+        val byseq = cs.sortBy(_.seq)
+        val top = byseq.last
+        if (top.op == "D") None
+        else Some(k -> ((top.price.get, byseq.flatMap(_.status).headOption)))
+      }
+    def snap(v: Long) = Demos.cdcLiveView(spark, dir, v).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), Option(r.getString(3))))).toMap
+    val got = snap(last)
+    assert(got == expected, "streamed snapshot differs from the batch merge")
+    // deletes actually dropped from the live view (unless a later U
+    // resurrected the key — the D∩U overlap q145 also resolves to U);
+    // inserts actually present
+    val deleted = chg1.filter(_.k % 13 != 0)
+    assert(deleted.forall(c => !got.contains(c.k)) && deleted.nonEmpty)
+    assert(chg1.exists(_.k % 13 == 0), "fixture must exercise the D→U overlap")
+    assert(chg3.forall(c => got.contains(c.k)) && chg3.nonEmpty)
+    // bounded state: exactly the live keys, pruned history
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    // replay the committed last batch (post-crash re-execution)
+    Demos.cdcApplyBatch(spark, chg3.toDF(), dir, last)
+    assert(snap(last) == got, "replaying the committed last batch changed the snapshot")
+  }
+
   test("s24: streaming freshness monitor — merged watermarks equal the " +
     "batch audit, the newest type lags zero, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
