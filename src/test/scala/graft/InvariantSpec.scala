@@ -1516,4 +1516,51 @@ class InvariantSpec extends AnyFunSuite {
         "q154 structural HHI bounds violated (1/n_sources ≤ hhi ≤ 1, top² ≤ hhi)")
     }
   }
+
+  test("q155–q159 round-10 text/curation audits hold their structural bounds") {
+    // q155: 0 ≤ min ≤ avg ≤ max ≤ ln(vocab) (+ rounding slack: per-type
+    // terms round to 4 decimals, ≤ 31 types/doc on this corpus)
+    val docs = graft.Tables.documents(spark, sf001)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val hMax = math.log(vocab.toDouble) + 31 * 5e-5
+    run("q155_token_entropy").collect().foreach { r =>
+      val (avg, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn >= 0 && mn <= avg && avg <= mx && mx <= hMax,
+        s"q155 entropy bounds violated: $r (ln V = $hMax)")
+    }
+    // q156: every language's avg NLL is positive and below ln(c1_max + V)
+    // (add-one smoothing keeps every probability in (0, 1)); bigram count
+    // is exactly Σ_docs (len - 1)
+    val nBigrams = docs.select((size(split(col("text"), " ")) - 1).cast("long").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    val got156 = run("q156_bigram_nll").collect()
+    assert(got156.map(_.getLong(1)).sum == nBigrams, "q156 bigram count wrong")
+    got156.foreach(r => assert(r.getDouble(3) > 0, s"q156 NLL not positive: $r"))
+    // q157: per source, distinct ≤ total and inflation ≥ 1; totals cover
+    // the corpus
+    val got157 = run("q157_dup_inflation").collect()
+    assert(got157.map(_.getLong(1)).sum == docs.count())
+    got157.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getDouble(4) >= 1.0, s"q157: $r")
+    }
+    // q158: novel docs across sources == corpus-wide distinct texts;
+    // rates in (0, 1]
+    val nDistinctTexts = docs.select("text").distinct().count()
+    val got158 = run("q158_novelty_rate").collect()
+    assert(got158.map(_.getLong(2)).sum == nDistinctTexts, "q158 novelty sum wrong")
+    got158.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0, s"q158: $r")
+    }
+    // q159: distinct ≤ occurrences, top share in (0, 1], occurrences =
+    // Σ_docs (len - 2) within each language's docs summed globally
+    val nTrigrams = docs.select((size(split(col("text"), " ")) - 2).cast("long").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    val got159 = run("q159_trigram_coverage").collect()
+    assert(got159.map(_.getLong(1)).sum == nTrigrams, "q159 trigram count wrong")
+    got159.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getDouble(4) > 0 && r.getDouble(4) <= 1.0,
+        s"q159: $r")
+    }
+  }
 }
