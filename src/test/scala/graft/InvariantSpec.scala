@@ -1563,4 +1563,60 @@ class InvariantSpec extends AnyFunSuite {
         s"q159: $r")
     }
   }
+
+  test("q160–q164 round-10 batch-2 audits hold their structural bounds") {
+    val docs = graft.Tables.documents(spark, sf001)
+    // q160: pair matrix is upper-triangular; n_common ≤ min(sz); jaccard
+    // is exactly n_common/(union) and in (0, 1]; row count ≤ C(nsrc, 2)
+    val got160 = run("q160_source_overlap").collect()
+    got160.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (nc, sa, sb, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b && nc >= 1 && nc <= math.min(sa, sb) && j > 0 && j <= 1.0, s"q160: $r")
+      assert(j == nc.toDouble / (sa + sb - nc), s"q160 jaccard identity: $r")
+    }
+    val nSources = docs.select("source").distinct().count()
+    assert(got160.length <= nSources * (nSources - 1) / 2)
+    // q161: label counts cover the embeddings table; cosines in [-1, 1];
+    // away-count bounded by the label count
+    val got161 = run("q161_embed_outliers").collect()
+    assert(got161.map(_.getLong(1)).sum == graft.Tables.embeddings(spark, sf001).count())
+    got161.foreach { r =>
+      val (n, mn, mx, away) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(mn >= -1.0 - 1e-12 && mn <= mx && mx <= 1.0 + 1e-12 && away <= n, s"q161: $r")
+    }
+    // q162: bigram mass across languages is exactly Σ(len−1); every
+    // context contributes ≥ 1 to top-1 mass; predictability in (0, 1]
+    val nBigrams = docs.select((size(split(col("text"), " ")) - 1).cast("long").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    val got162 = run("q162_next_token_predictability").collect()
+    assert(got162.map(_.getLong(2)).sum == nBigrams, "q162 bigram count wrong")
+    got162.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3) && r.getLong(3) <= r.getLong(2), s"q162: $r")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0, s"q162 share: $r")
+    }
+    // q163: the CSV is sorted, duplicate-free, has exactly n_vocab parts,
+    // and csv_len is its length
+    run("q163_vocab_stringagg").collect().foreach { r =>
+      val parts = r.getString(2).split(",")
+      assert(parts.length.toLong == r.getLong(1), s"q163 parts: $r")
+      assert(parts.sameElements(parts.distinct.sorted), s"q163 order: $r")
+      assert(r.getInt(3) == r.getString(2).length, s"q163 len: $r")
+    }
+    // q164: within each month the ranks are exactly the permutation 1..n;
+    // within each nation the delta reconciles against the previous
+    // PRESENT month's rank (null on the nation's first month)
+    val got164 = run("q164_rank_movers").collect()
+    got164.groupBy(_.get(0)).foreach { case (_, rows) =>
+      val rks = rows.map(_.getInt(3)).sorted
+      assert(rks.sameElements(1 to rks.length), "q164 ranks not a permutation")
+    }
+    got164.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val srt = rows.sortBy(_.getDate(0).toString)
+      srt.zipWithIndex.foreach { case (r, i) =>
+        if (i == 0) assert(r.isNullAt(4), s"q164 first-month delta: $r")
+        else assert(r.getInt(4) == r.getInt(3) - srt(i - 1).getInt(3), s"q164 delta: $r")
+      }
+    }
+  }
 }
