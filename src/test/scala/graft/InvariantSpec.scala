@@ -1619,4 +1619,57 @@ class InvariantSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q165–q169 round-10 batch-3 curation/monitor ops hold their bounds") {
+    val docs = graft.Tables.documents(spark, sf001)
+    // q165: the BPE pretokenizer never merges whitespace tokens, so
+    // fertility ≥ 1; counts positive
+    run("q165_bpe_fertility").collect().foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) >= r.getLong(2), s"q165: $r")
+      assert(r.getDouble(4) >= 1.0, s"q165 fertility < 1: $r")
+    }
+    // q166: the schedule emits each source's docs in rank order (the
+    // interleave is a merge of per-source sequences), rn ≤ n_src, and
+    // pos_key is non-decreasing in output order
+    val got166 = run("q166_mix_schedule").collect()
+    assert(got166.length == math.min(500L, docs.count()).toInt)
+    var prevKey = 0.0
+    got166.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= r.getLong(3), s"q166 rn bound: $r")
+      assert(r.getDouble(4) >= prevKey, s"q166 pos_key order: $r")
+      prevKey = r.getDouble(4)
+    }
+    got166.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val rns = rows.map(_.getInt(2))
+      assert(rns.sameElements(1 to rns.length), "q166 per-source ranks not 1..k in order")
+    }
+    // q167: kept = Σ_blocks min(2, |block|), recomputed independently;
+    // totals cover the corpus
+    val got167 = run("q167_cap_duplicates").collect()
+    assert(got167.map(_.getLong(1)).sum == docs.count())
+    val expectedKept = docs
+      .withColumn("blk", array_join(slice(split(col("text"), " "), 1, 8), " "))
+      .groupBy("lang", "blk").agg(count(lit(1)).as("n"))
+      .agg(sum(least(col("n"), lit(2L)))).collect()(0).getLong(0)
+    assert(got167.map(_.getLong(2)).sum == expectedKept, "q167 kept total wrong")
+    got167.foreach(r => assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0, s"q167: $r"))
+    // q168: every label keeps exactly the minority count; totals cover
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val minLabel = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(min("n")).collect()(0).getLong(0)
+    val got168 = run("q168_label_balance").collect()
+    assert(got168.map(_.getLong(1)).sum == emb.count())
+    got168.foreach { r =>
+      assert(r.getLong(2) == minLabel, s"q168 kept != minority count: $r")
+      assert(r.getLong(3) == r.getLong(1) - minLabel, s"q168 dropped: $r")
+    }
+    // q169: every flagged hour satisfies the integer predicate with a
+    // full-enough trailing frame, and the flag set is non-vacuous
+    val got169 = run("q169_burst_detect").collect()
+    assert(got169.nonEmpty, "q169 is vacuous — no bursts at sf0.001")
+    got169.foreach { r =>
+      val (cnt, ts, tn) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tn >= 3 && tn <= 5 && cnt * tn * 2 > ts * 3, s"q169: $r")
+    }
+  }
 }
