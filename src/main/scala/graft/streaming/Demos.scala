@@ -108,6 +108,9 @@ case class DropVerdict(doc_id: Long, n_bench: Long)
 /** s11 ingest row after the token-count projection. */
 case class DocTok(doc_id: Long, ts: Timestamp, lang: String, n_toks: Long)
 
+/** s26 ingest row: a document with its crawler/source attribution. */
+case class DocSrc(doc_id: Long, source: String, text: String)
+
 /** s11 output: admission verdict under the per-language token budget —
   * `prior_toks` is the tokens admitted to `lang` BEFORE this doc. */
 case class AdmitVerdict(doc_id: Long, lang: String, n_toks: Long, prior_toks: Long, admitted: Boolean)
@@ -1395,6 +1398,66 @@ object Demos {
         min_by(col("status"), when(col("status").isNotNull, col("seq"))).as("status"))
       .select(cols: _*)
       .write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    pruneVersions(spark, dir, batchId)
+  }
+
+  /** s26 — streaming per-source novelty monitor: the ingest twin of batch
+    * q158. Each micro-batch of documents is split into corpus-wide FIRST
+    * occurrences vs re-serves of already-seen content, and the versioned
+    * snapshot carries (a) the seen-set as xxhash64(text) keys — the 8-byte
+    * state design the 100 TB posture calls for: state is O(distinct
+    * texts) longs, never O(docs) strings — and (b) the cumulative
+    * per-source (n_docs, novel_docs) counters. Commit protocol = s14's
+    * versioned overwrite (a replayed batch reads only versions STRICTLY
+    * below its id and rewrites its own version byte-identically ⇒
+    * exactly-once under retries). Once the corpus has streamed in doc_id
+    * order, the final counters equal batch q158's exactly (q158 keys
+    * first-occurrence on exact text; the hash key is collision-free on
+    * real corpora at 64 bits and the spec's equality assertion would
+    * catch one).
+    */
+  def s26NoveltyMonitor(spark: SparkSession, docs: DataFrame, dir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        noveltyBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One novelty-monitor step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def noveltyBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val withH = batch.select(col("doc_id"), col("source"), xxhash64(col("text")).as("h"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val (seen, counts0) = prevVersions.sorted.lastOption match {
+      case Some(v) => (
+        spark.read.parquet(s"$dir/v=$v/seen"),
+        spark.read.parquet(s"$dir/v=$v/counts"))
+      case None => (
+        withH.select("h").limit(0),
+        withH.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), count(lit(1)).as("novel_docs")).limit(0))
+    }
+    // a batch may itself carry duplicates: only the batch's lowest doc_id
+    // per hash can be the corpus-wide first occurrence
+    val firstInBatch = withH.groupBy("h").agg(min("doc_id").as("first_id"))
+    val delta = withH
+      .join(firstInBatch, "h")
+      .join(seen.select(col("h"), lit(1).as("dup")), Seq("h"), "left")
+      .withColumn("novel", col("dup").isNull && col("doc_id") === col("first_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(when(col("novel"), 1)).as("novel_docs"))
+    counts0.unionByName(delta).groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("novel_docs").as("novel_docs"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
+    seen.unionByName(withH.select("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/seen")
     pruneVersions(spark, dir, batchId)
   }
 

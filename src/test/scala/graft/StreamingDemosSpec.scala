@@ -696,6 +696,49 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(snap(last) == got, "replaying the committed last batch changed the snapshot")
   }
 
+  test("s26: streaming novelty monitor — final counters equal batch q158, " +
+    "state is hash-only and distinct-text-sized, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s26").toString + "/novel"
+    val docs = graft.Tables.documents(spark, SharedSpark.sf001)
+      .select("doc_id", "source", "text").orderBy("doc_id").collect()
+      .map(r => DocSrc(r.getLong(0), r.getString(1), r.getString(2)))
+    // doc_id-ordered chunks: the stream admission order q158's
+    // first-occurrence-by-doc_id semantics assume
+    val chunks = docs.grouped((docs.length + 2) / 3).toVector
+    val input = MemoryStream[DocSrc]
+    val q = Demos.s26NoveltyMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def counters(v: Long): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$dir/v=$v/counts").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = counters(last)
+    // batch q158 on the same corpus: (source, n_docs, novel_docs)
+    val expected = SparkEntry.queries("q158_novelty_rate")(spark, SharedSpark.sf001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "streamed novelty counters differ from batch q158")
+    // state is 8-byte hash keys only, exactly one per distinct text
+    val seenDf = spark.read.parquet(s"$dir/v=$last/seen")
+    assert(seenDf.schema.length == 1 &&
+      seenDf.schema.head.dataType == org.apache.spark.sql.types.LongType)
+    val nDistinctTexts = graft.Tables.documents(spark, SharedSpark.sf001)
+      .select("text").distinct().count()
+    assert(seenDf.count() == nDistinctTexts, "seen-set not distinct-text-sized")
+    // versioned history pruned to the last two snapshots
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    // replay the committed last batch (post-crash re-execution)
+    Demos.noveltyBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(counters(last) == got, "replaying the committed last batch changed the counters")
+  }
+
   test("s24: streaming freshness monitor — merged watermarks equal the " +
     "batch audit, the newest type lags zero, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
