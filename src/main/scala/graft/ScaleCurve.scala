@@ -173,10 +173,85 @@ object ScaleCurve {
       .select("doc_a", "doc_b")
   }
 
+  /** Deterministic synthetic vectors: id → 64 hash-arithmetic dims in
+    * [-1, 1], any size regenerates bit-identically. */
+  private def vecs(spark: SparkSession, n: Long): DataFrame =
+    spark.read.format("graft-gen")
+      .option("rows", n.toString).option("partitions", "32").load()
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          k => (pmod(xxhash64(col("id") * lit(2654435761L) + k.cast("long")),
+            lit(2001L)) - 1000L).cast("double") / 1000.0).as("embedding"))
+
+  /** ANN regime: measure brute-force / LSH-bucketed / IVF top-5 search for
+    * Q=100 queries as the corpus grows, plus each approximate method's
+    * recall@5 against the brute answer AT THAT SIZE (recall is the claim
+    * the bucketed plans trade time for — a curve without it would hide
+    * degenerating answers). Shapes are q41/q52/q62's production forms:
+    * broadcast query side, bucket/list equi-joins, no all-pairs. */
+  private def annCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
+    val K = 5
+    println(f"${"pipeline"}%-16s ${"n_vecs"}%8s ${"sec"}%8s ${"rows"}%10s ${"recall@5"}%9s")
+    for (n <- sizes) {
+      val emb = vecs(spark, n)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("n2", n2C(col("e")))
+        .localCheckpoint()
+      val q = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn"))
+      val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+
+      // the thunk runs INSIDE the clock so eager steps (ivfIndex's
+      // localCheckpoint build) are charged to their pipeline
+      def timed(nm: String, mk: () => DataFrame,
+          brute: Option[Set[(Long, Long)]]): Set[(Long, Long)] = {
+        val t0 = System.nanoTime()
+        val rows = mk().select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val recall = brute.map(b => rows.intersect(b).size.toDouble / b.size)
+        println(f"$nm%-16s $n%8d $dt%8.2f ${rows.size}%10d ${recall.map(r => f"$r%9.3f").getOrElse("    exact")}%s")
+        rows
+      }
+
+      val brute = timed("brute_topk", () =>
+        emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K),
+        None)
+
+      // q52's hyperplane-LSH at 8 bits (256 buckets)
+      def hyper(j: Int): org.apache.spark.sql.Column =
+        transform(sequence(lit(0), lit(63)),
+          k => ((lit(j.toLong) * 64 + k) * lit(2654435761L) % 97 - 48).cast("double"))
+      for (bits <- Seq(4, 8)) timed(s"lsh_bucket$bits", () => {
+        val be = emb.withColumn("bucket",
+          (0 until bits).map(j => when(dotC(col("e"), hyper(j)) > 0, 1L << j).otherwise(0L))
+            .reduce(_ + _)).localCheckpoint()
+        val bq = be.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"), col("n2").as("qn"))
+        be.join(broadcast(bq), Seq("bucket")).where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K)
+      }, Some(brute))
+
+      // q62's IVF — index build (inside the clock: the build IS the cost)
+      // + 100-query probe at nprobe=8/64
+      timed("ivf64_probe8", () => {
+        val (index, centroids) = graft.ops.Ann.ivfIndex(
+          emb.select(col("vec_id"), col("e").as("embedding")), nlist = 64)
+        graft.ops.Ann.ivfTopK(index, centroids,
+          q.select(col("qid"), col("qe")), k = K, nprobe = 8)
+      }, Some(brute))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val regime = args.headOption.getOrElse("real")
     val sizes = (if (args.length > 1) args(1) else regime match {
       case "adv" => "5000,10000,20000"
+      case "ann" => "5000,50000,250000"
       case _     => "5000,50000,250000"
     }).split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
@@ -186,6 +261,13 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (regime == "ann") {
+      // warm the session so the first size isn't charged JVM spin-up
+      vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
+      annCurve(spark, sizes)
+      spark.stop()
+      return
+    }
     // warm the session so size-1 rows aren't charged JVM spin-up
     docs(spark, 1000, regime).selectExpr("sum(length(text))").collect()
 

@@ -1672,4 +1672,49 @@ class InvariantSpec extends AnyFunSuite {
       assert(tn >= 3 && tn <= 5 && cnt * tn * 2 > ts * 3, s"q169: $r")
     }
   }
+
+  test("q170–q173 round-10 batch-4 statistics hold their identities") {
+    // q170: the weight ladder is exact — row i of a type carries
+    // den = Σ_{k≤min(i,10)} 2^(10−k); the first row's ewma IS its count
+    val got170 = run("q170_ewma_counts").collect()
+    got170.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val srt = rows.sortBy(_.getTimestamp(1).getTime)
+      srt.zipWithIndex.foreach { case (r, i) =>
+        val expDen = (0 to math.min(i, 10)).map(k => 1L << (10 - k)).sum
+        assert(r.getLong(4) == expDen, s"q170 den at row $i: $r")
+        assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(4), s"q170 ewma: $r")
+      }
+      assert(srt.head.getDouble(5) == srt.head.getLong(2).toDouble, "q170 first ewma != cnt")
+    }
+    // q171: ρ reconstructs from (n, Σd²) and lands in [−1, 1+ε] (row_number
+    // ranks of two orderings are permutations of 1..n, so Σd² ≤ the
+    // reversed-permutation maximum n(n²−1)/3)
+    run("q171_spearman").collect().foreach { r =>
+      val (n, d2, rho) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d2 <= n * (n * n - 1) / 3, s"q171 d2 over max: $r")
+      assert(rho == 1.0 - (6L * d2).toDouble / (n * (n * n - 1)), s"q171 identity: $r")
+      assert(rho >= -1.0 && rho <= 1.0, s"q171 range: $r")
+    }
+    // q172: type masses cover the table; per-cell rounding slack bounds
+    // total MI below by −(cells · 5e-5); cells ≤ 24 hours
+    val got172 = run("q172_mutual_info").collect()
+    assert(got172.map(_.getLong(2)).sum ==
+      graft.Tables.events(spark, sf001).count())
+    val totalCells = got172.map(_.getLong(1)).sum
+    assert(got172.map(_.getDouble(3)).sum >= -(totalCells * 5e-5), "q172 MI < 0 beyond slack")
+    got172.foreach(r => assert(r.getLong(1) <= 24, s"q172 cells: $r"))
+    // q173: ranks are 1..n_sources, cum_docs ends at the corpus size,
+    // cum_share is nondecreasing, and in_head80 is a monotone prefix
+    val got173 = run("q173_pareto_coverage").collect().sortBy(_.getInt(0))
+    val docs = graft.Tables.documents(spark, sf001)
+    assert(got173.map(_.getInt(0)).sameElements(1 to got173.length))
+    assert(got173.last.getLong(3) == docs.count(), "q173 cum_docs != corpus")
+    got173.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(4), "q173 cum_share decreasing")
+        assert(a.getBoolean(5) || !b.getBoolean(5), "q173 head flag not a prefix")
+      case _ =>
+    }
+    assert(got173.head.getBoolean(5), "q173 top source must be in the head")
+  }
 }
