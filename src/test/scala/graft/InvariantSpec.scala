@@ -1717,4 +1717,32 @@ class InvariantSpec extends AnyFunSuite {
     }
     assert(got173.head.getBoolean(5), "q173 top source must be in the head")
   }
+
+  test("q174–q176 round-10 batch-5 distribution statistics hold") {
+    // q174: frequency is non-increasing in rank, so the fitted slope is
+    // negative (strictly, on any non-degenerate frequency table)
+    run("q174_zipf_fit").collect().foreach { r =>
+      assert(r.getLong(1) >= 2, s"q174 needs ≥2 points: $r")
+      assert(r.getDouble(2) > 0, s"q174 sx: $r")
+      val slope = r.getDouble(4)
+      assert(!slope.isNaN && slope < 0, s"q174 slope must be negative: $r")
+    }
+    // q175: Cauchy-Schwarz (n·S2 ≥ S1²), positive mean, non-negative
+    // variance and fano
+    run("q175_fano_factor").collect().foreach { r =>
+      val (n, s1, s2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n * s2 >= s1 * s1, s"q175 Cauchy-Schwarz: $r")
+      assert(r.getDouble(4) > 0 && r.getDouble(5) >= 0 && r.getDouble(6) >= 0, s"q175: $r")
+    }
+    // q176: one row per event type; the split is interior; the score is
+    // exactly |mean_before − mean_after|
+    val got176 = run("q176_changepoint").collect()
+    val nTypes = graft.Tables.events(spark, sf001)
+      .select("event_type").distinct().count()
+    assert(got176.length == nTypes, "q176 must pick one changepoint per type")
+    got176.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) < r.getLong(3), s"q176 interior split: $r")
+      assert(r.getDouble(6) == math.abs(r.getDouble(4) - r.getDouble(5)), s"q176 score: $r")
+    }
+  }
 }
