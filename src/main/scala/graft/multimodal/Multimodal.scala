@@ -157,6 +157,67 @@ object Multimodal {
       }
     }
 
+  /** REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)
+    * — the third public zero-dependency format. Parses the file header
+    * (magic, pixel-data offset) and DIB header (dimensions, planes=1,
+    * bpp=24, compression=0; negative height = top-down per the spec) and
+    * returns (width, height, topDown, rasterOffset, rowStride) — rows pad
+    * to 4-byte boundaries. None when the bytes aren't a well-formed
+    * header. */
+  private[graft] def parseBmpHeader(
+      b: Array[Byte]): Option[(Int, Int, Boolean, Int, Int)] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def i32(i: Int): Int = u32(i).toInt
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val off = u32(10)
+    val dib = u32(14)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val (h, topDown) = if (hRaw < 0) (-hRaw, true) else (hRaw, false)
+    if (dib < 40 || w <= 0 || h <= 0 || u16(26) != 1 ||
+      u16(28) != 24 || u32(30) != 0L) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off + stride.toLong * h > b.length) None
+    else Some((w, h, topDown, off.toInt, stride))
+  }
+
+  /** Decode a BMP payload to the SAME 8-wide pixel-stats feature vector
+    * as Netpbm ([mean R, mean G, mean B, luminance stddev, min lum,
+    * max lum, aspect, depth/32]) — pixels are stored BGR with padded
+    * bottom-up rows, but every emitted statistic is pixel-order-free so
+    * the layout differences stay inside the loop. None when the header
+    * or raster length is malformed. */
+  private[graft] def decodeBmp(payload: Array[Byte]): Option[Array[Float]] =
+    parseBmpHeader(payload).map { case (w, h, _, off, stride) =>
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var (sl, sl2) = (0.0, 0.0)
+      var (mn, mxl) = (1.0, 0.0)
+      var row = 0
+      while (row < h) {
+        var cCol = 0
+        while (cCol < w) {
+          val p = off + row * stride + cCol * 3
+          val (bl, g, r) = (payload(p) & 0xff, payload(p + 1) & 0xff, payload(p + 2) & 0xff)
+          val (rf, gf, bf) = (r / 255.0, g / 255.0, bl / 255.0)
+          sr += rf; sg += gf; sb += bf
+          val lum = 0.299 * rf + 0.587 * gf + 0.114 * bf
+          sl += lum; sl2 += lum * lum
+          if (lum < mn) mn = lum
+          if (lum > mxl) mxl = lum
+          cCol += 1
+        }
+        row += 1
+      }
+      val nd = w.toDouble * h
+      val meanL = sl / nd
+      val varL = math.max(0.0, sl2 / nd - meanL * meanL)
+      Array(
+        (sr / nd).toFloat, (sg / nd).toFloat, (sb / nd).toFloat,
+        math.sqrt(varL).toFloat, mn.toFloat, mxl.toFloat,
+        w.toFloat / (w + h), 24f / 32f)
+    }
+
   /** REAL decoder for RIFF/WAVE PCM audio — the second public
     * zero-dependency format (images: Netpbm). Parses the RIFF container
     * (little-endian sizes, word-aligned chunks, unknown chunks skipped
@@ -244,6 +305,8 @@ object Multimodal {
       decodeNetpbm(payload).getOrElse(decodeStub(payload))
     else if (format == "wav")
       decodeWav(payload).getOrElse(decodeStub(payload))
+    else if (format == "bmp")
+      decodeBmp(payload).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
   /** Feature extraction with per-partition batching (codec init once per
@@ -275,6 +338,35 @@ object Multimodal {
     header ++ px
   }
 
+  /** Build a real 24-bit bottom-up BMP payload with deterministic LCG
+    * pixels — the BMP twin of [[makePpm]]. */
+  def makeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * height)
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(i: Int, v: Long): Unit = {
+      p16(i, (v & 0xffff).toInt); p16(i + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    p32(2, out.length.toLong); p32(10, 54)
+    p32(14, 40); p32(18, width.toLong); p32(22, height.toLong)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, (stride * height).toLong)
+    var x = seed
+    var row = 0
+    while (row < height) {
+      var i = 0
+      while (i < width * 3) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        out(54 + row * stride + i) = (x >>> 33).toByte
+        i += 1
+      }
+      row += 1
+    }
+    out
+  }
+
   /** Build a real PCM16-mono WAV payload with deterministic LCG samples —
     * the audio twin of [[makePpm]] (fixture generator; in production a
     * test-tone writer). */
@@ -303,9 +395,10 @@ object Multimodal {
   }
 
   /** Real-format twin of [[synthesize]]: every third doc carries an actual
-    * P6 raster, every doc_id ≡ 1 (mod 3) a real PCM16 WAV (both seeded by
-    * doc_id with metadata matching the embedded header), the rest keep the
-    * fake-rgb stand-in — so ONE corpus exercises both real decoders, the
+    * P6 raster, every doc_id ≡ 1 (mod 3) a real PCM16 WAV, every
+    * doc_id ≡ 2 (mod 6) a real 24-bit BMP (all seeded by doc_id with
+    * metadata matching the embedded header), the rest keep the fake-rgb
+    * stand-in — so ONE corpus exercises all three real decoders, the
     * stub, and the dispatch between them. For audio, width carries the
     * frame count and height the channel count (the catalog convention the
     * meta probe checks). Typed map, not a projection: payload GENERATION
@@ -322,6 +415,10 @@ object Multimodal {
         val frames = 64 + (r.doc_id % 129).toInt
         r.copy(kind = "audio", format = "wav", width = frames, height = 1,
           payload = makeWav(frames, 8000, r.doc_id))
+      } else if (r.doc_id % 6 == 2) {
+        val (w, h) = (6 + (r.doc_id % 11).toInt, 6 + (r.doc_id % 5).toInt)
+        r.copy(format = "bmp", width = w, height = h,
+          payload = makeBmp(w, h, r.doc_id))
       } else r
     }
   }
@@ -335,11 +432,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       records.map { r =>
-        // probe image containers first, then audio; for WAV the probed
-        // (width, height) carry (frames, channels) — the synthesizeMixed
-        // catalog convention
+        // probe image containers first (Netpbm, then BMP), then audio;
+        // for WAV the probed (width, height) carry (frames, channels) —
+        // the synthesizeMixed catalog convention
         val img = parseNetpbmHeader(r.payload)
           .map(t => (t._1, t._2, t._3))
+          .orElse(parseBmpHeader(r.payload).map(t => ("bmp", t._1, t._2)))
         val probe = img.orElse(parseWavHeader(r.payload).map {
           case (_, ch, _, bps, _, len) =>
             ("wav", len / math.max(1, (bps / 8) * ch), ch)

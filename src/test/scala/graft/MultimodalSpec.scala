@@ -135,24 +135,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode("wav", t).toSeq == Multimodal.decodeStub(t).toSeq)
   }
 
-  test("mixed corpus end-to-end: ppm and wav rows decode for real, others " +
-    "stub, and the metadata probe surfaces the embedded headers") {
+  test("BMP decode is REAL: header fields recovered, features track pixel " +
+    "content, row padding is skipped") {
+    val bmp = Multimodal.makeBmp(7, 5, seed = 42L) // stride 24 > 21: padded rows
+    assert(Multimodal.parseBmpHeader(bmp).contains((7, 5, false, 54, 24)))
+    val f1 = Multimodal.decodeBmp(Multimodal.makeBmp(7, 5, 1L)).get
+    val f2 = Multimodal.decodeBmp(Multimodal.makeBmp(7, 5, 2L)).get
+    assert(f1.length == 8 && f1.toSeq != f2.toSeq)
+    // hand-built 1×1 white-pixel BMP with GARBAGE padding bytes: stats see
+    // only the pixel (mean 1, stddev 0) — padding must be skipped
+    val one = Multimodal.makeBmp(1, 1, 0L)
+    one(54) = 0xff.toByte; one(55) = 0xff.toByte; one(56) = 0xff.toByte
+    one(57) = 0x13.toByte // padding byte: junk on purpose
+    val fw = Multimodal.decodeBmp(one).get
+    assert(fw(0) == 1f && fw(1) == 1f && fw(2) == 1f && fw(3) == 0f &&
+      fw(4) == 1f && fw(5) == 1f, s"white-pixel stats wrong: ${fw.toSeq}")
+  }
+
+  test("malformed BMP payloads degrade to the stub, never throw") {
+    val garbage = "BMnot a bitmap at all...........................................".getBytes
+    assert(Multimodal.decodeBmp(garbage).isEmpty)
+    assert(Multimodal.decode("bmp", garbage).toSeq ==
+      Multimodal.decodeStub(garbage).toSeq)
+    // truncated raster: header fine, pixel rows overrun the payload
+    val t = Multimodal.makeBmp(9, 9, 1L).dropRight(10)
+    assert(Multimodal.decodeBmp(t).isEmpty)
+    assert(Multimodal.decode("bmp", t).toSeq == Multimodal.decodeStub(t).toSeq)
+  }
+
+  test("mixed corpus end-to-end: ppm, wav, and bmp rows decode for real, " +
+    "others stub, and the metadata probe surfaces the embedded headers") {
     val mixed = Multimodal.synthesizeMixed(spark, sf001)
     val feats = Multimodal.extractFeatures(mixed).collect()
       .map(f => f.media_id -> f).toMap
     val recs = mixed.collect()
     assert(recs.exists(_.format == "ppm") && recs.exists(_.format == "wav") &&
-      recs.exists(_.format == "fake-rgb"))
+      recs.exists(_.format == "bmp") && recs.exists(_.format == "fake-rgb"))
     recs.foreach { r =>
       val expected = r.format match {
         case "ppm" => Multimodal.decodeNetpbm(r.payload).get
         case "wav" => Multimodal.decodeWav(r.payload).get
+        case "bmp" => Multimodal.decodeBmp(r.payload).get
         case _     => Multimodal.decodeStub(r.payload)
       }
       assert(feats(r.media_id).features.toSeq == expected.toSeq,
         s"media ${r.media_id} (${r.format}) took the wrong decode path")
     }
-    // the probe reads the BYTES: ppm/wav rows surface their embedded
+    // the probe reads the BYTES: ppm/bmp/wav rows surface their embedded
     // headers (matching the catalog metadata: for wav, width=frames,
     // height=channels), fake rows are flagged unparseable
     val probed = Multimodal.inferMeta(mixed).collect()
@@ -160,7 +189,7 @@ class MultimodalSpec extends AnyFunSuite {
         r.getBoolean(5)))).toMap
     recs.foreach { r =>
       val (pf, pw, ph, ok) = probed(r.media_id)
-      if (r.format == "ppm" || r.format == "wav")
+      if (r.format == "ppm" || r.format == "wav" || r.format == "bmp")
         assert(ok && pf == r.format && pw == r.width && ph == r.height,
           s"media ${r.media_id}: probed ($pf,$pw,$ph) != declared " +
             s"(${r.format},${r.width},${r.height})")
