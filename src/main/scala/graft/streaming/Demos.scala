@@ -1461,6 +1461,58 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s27 — streaming burst monitor: the ingest twin of batch q169. Each
+    * micro-batch's (event_type, hour) count delta merges into a versioned
+    * exact hour-count snapshot (counts merge by sum — associative, the
+    * s24 mergeable-summary argument; state is bounded by
+    * types × time range, never event volume), and each commit publishes
+    * the burst hours the merged table implies under q169's pure-integer
+    * predicate (2·cnt·trail_n > 3·trail_sum over the trailing-5-hour
+    * frame). Commit protocol = s14's versioned overwrite ⇒ exactly-once
+    * under retries; once the whole stream is in, the published bursts
+    * equal batch q169 EXACTLY. */
+  def s27BurstMonitor(spark: SparkSession, events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        burstBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One burst-monitor step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def burstBatch(
+      spark: SparkSession, batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delta = graft.Tables.normalizeTs(batch)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/counts")
+      case None    => delta.limit(0)
+    }
+    base.unionByName(delta)
+      .groupBy("event_type", "hour").agg(sum("cnt").as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
+    // publish the burst hours the merged snapshot implies — q169's
+    // integer predicate over the trailing-5-hour frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour").rowsBetween(-5, -1)
+    spark.read.parquet(s"$dir/v=$batchId/counts")
+      .withColumn("trail_sum", sum("cnt").over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .where(col("trail_n") >= 3 &&
+        col("cnt") * col("trail_n") * 2 > col("trail_sum") * 3)
+      .select("event_type", "hour", "cnt", "trail_sum", "trail_n")
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/bursts")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v=$version")

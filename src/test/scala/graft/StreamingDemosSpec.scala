@@ -739,6 +739,46 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(counters(last) == got, "replaying the committed last batch changed the counters")
   }
 
+  test("s27: streaming burst monitor — published bursts equal batch q169, " +
+    "state is hour-count-bounded, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s27").toString + "/burst"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector
+    val input = MemoryStream[Event]
+    val q = Demos.s27BurstMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def bursts(v: Long): Set[(String, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$dir/v=$v/bursts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val got = bursts(last)
+    val expected = SparkEntry.queries("q169_burst_detect")(spark, SharedSpark.sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, "streamed bursts differ from batch q169")
+    assert(got.nonEmpty, "burst fixture is vacuous")
+    // state is the exact hour-count table: one row per (type, hour), mass
+    // equal to the event count
+    val counts = spark.read.parquet(s"$dir/v=$last/counts")
+    val distinctHours = graft.Tables.events(spark, SharedSpark.sf001)
+      .selectExpr("event_type", "date_trunc('hour', ts)").distinct().count()
+    assert(counts.count() == distinctHours, "state not hour-count-bounded")
+    assert(counts.selectExpr("sum(cnt)").collect()(0).getLong(0) == evs.length.toLong)
+    // replay the committed last batch (post-crash re-execution)
+    Demos.burstBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(bursts(last) == got, "replaying the committed last batch changed the bursts")
+  }
+
   test("s24: streaming freshness monitor — merged watermarks equal the " +
     "batch audit, the newest type lags zero, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
