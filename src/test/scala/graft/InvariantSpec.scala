@@ -1745,4 +1745,60 @@ class InvariantSpec extends AnyFunSuite {
       assert(r.getDouble(6) == math.abs(r.getDouble(4) - r.getDouble(5)), s"q176 score: $r")
     }
   }
+
+  test("q177–q179 Spark-4 surface queries hold their contracts") {
+    val ev = graft.Tables.events(spark, sf001)
+    // q177: the VARIANT path covers every event; distinct ≤ count; avg
+    // reconstructs
+    val got177 = run("q177_variant_json").collect()
+    assert(got177.map(_.getLong(1)).sum == ev.count())
+    got177.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"q177 distinct: $r")
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1), s"q177 avg: $r")
+    }
+    // q178: the script's fixpoint — threshold is the MINIMAL power of two
+    // whose clear-count ≤ 1000 (one step down must overshoot, unless the
+    // loop never ran)
+    val got178 = run("q178_sql_script").collect()
+    val thr = got178.head.getDouble(1)
+    val k = (math.log(thr) / math.log(2.0)).round
+    assert(math.pow(2.0, k.toDouble) == thr, s"q178 threshold not a power of two: $thr")
+    assert(got178.map(_.getLong(2)).sum <= 1000, "q178 clear-count over budget")
+    if (thr > 1.0)
+      assert(ev.where(col("value") >= thr / 2).count() > 1000,
+        "q178 threshold not minimal — the loop overshot")
+    // q179: every reported group average sits above the global average the
+    // variable carried (all contributing rows do)
+    run("q179_sql_variables").collect().foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getDouble(3) > r.getDouble(1), s"q179: $r")
+    }
+  }
+
+  test("q180–q182 aggregate-surface queries hold their bounds") {
+    val ev = graft.Tables.events(spark, sf001)
+    // q180: user masses cover the distinct users; active hours in [1, 24]
+    val got180 = run("q180_hour_bitmask").collect()
+    assert(got180.map(_.getLong(1)).sum == ev.select("user_id").distinct().count())
+    got180.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 24, s"q180: $r")
+    }
+    // q181: per-type estimates and the merged union within 5% of exact
+    // (lgK=12 ⇒ rsd ≈ 1.6%; same envelope the parity gate enforces)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("ALL" -> ev.select("user_id").distinct().count())
+    val got181 = run("q181_hll_union").collect()
+    assert(got181.map(_.getString(0)).toSet == exact.keySet, "q181 groups")
+    got181.foreach { r =>
+      val (k, e) = (r.getString(0), r.getLong(1))
+      val x = exact(k)
+      assert(x > 0 && math.abs(e - x).toDouble / x <= 0.05, s"q181 $k: est=$e exact=$x")
+    }
+    // q182: bucket masses cover the orders table; buckets within the
+    // SQL-spec range [0, 21]
+    val got182 = run("q182_width_bucket").collect()
+    assert(got182.map(_.getLong(1)).sum == graft.Tables.orders(spark, sf001).count())
+    got182.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) <= 21, s"q182: $r"))
+  }
 }

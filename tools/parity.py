@@ -71,6 +71,37 @@ def check_q54(con, out_dir):
     return True
 
 
+def check_q181(con, out_dir):
+    """q181 declares NO oracle (DataSketches HLL binaries are
+    engine-specific), but the estimates are boundable: lgK=12 gives
+    rsd ≈ 1.6%, so every per-type estimate AND the merged union must sit
+    within 5% of the exact distinct count. Returns True on pass."""
+    try:
+        est = {r[0]: r[1] for r in con.execute(
+            f"SELECT event_type, est_users "
+            f"FROM '{out_dir}/q181_hll_union/*.parquet'").fetchall()}
+        exact = {r[0]: r[1] for r in con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) "
+            "FROM events GROUP BY 1").fetchall()}
+        exact["ALL"] = con.execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    except Exception as e:
+        print(f"FAIL q181_hll_union (bounded): execution error: {e}")
+        return False
+    if set(est) != set(exact):
+        print(f"FAIL q181_hll_union (bounded): groups spark={sorted(est)} "
+              f"exact={sorted(exact)}")
+        return False
+    for k, e in est.items():
+        x = exact[k]
+        if x == 0 or abs(e - x) / x > 0.05:
+            print(f"FAIL q181_hll_union (bounded): {k} est={e} exact={x}")
+            return False
+    print(f"PASS q181_hll_union (bounded: {len(est) - 1} sketches + merged "
+          f"union all within 5% of exact)")
+    return True
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -146,6 +177,11 @@ def main():
             n_pass += 1
     if not only or "q54_approx_stats" in only:
         if check_q54(con, out_dir):
+            n_pass += 1
+        else:
+            n_fail += 1
+    if not only or "q181_hll_union" in only:
+        if check_q181(con, out_dir):
             n_pass += 1
         else:
             n_fail += 1
