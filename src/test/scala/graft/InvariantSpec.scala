@@ -1801,4 +1801,41 @@ class InvariantSpec extends AnyFunSuite {
     assert(got182.map(_.getLong(1)).sum == graft.Tables.orders(spark, sf001).count())
     got182.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) <= 21, s"q182: $r"))
   }
+
+  test("q183–q185 split/collation/null-safe-join queries hold their bounds") {
+    val docs = graft.Tables.documents(spark, sf001)
+    // q183: the manifest partitions the corpus; all three splits exist;
+    // the train share is near its 80% target (hash-binomial slack)
+    val got183 = run("q183_train_val_split").collect()
+    assert(got183.map(_.getLong(2)).sum == docs.count())
+    val bySplit = got183.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit.keySet == Set("train", "val", "test"), s"q183 splits: ${bySplit.keySet}")
+    val trainShare = bySplit("train").toDouble / docs.count()
+    assert(trainShare > 0.65 && trainShare < 0.95, s"q183 train share $trainShare")
+    // q184: collated groups cover the corpus at the clean-lang cardinality
+    // (case variants merged); emitted keys are lowercase
+    val got184 = run("q184_collated_group").collect()
+    assert(got184.map(_.getLong(1)).sum == docs.count())
+    assert(got184.length == docs.select("lang").distinct().count().toInt,
+      "q184 collation failed to merge case variants")
+    got184.foreach { r =>
+      assert(r.getString(0) == r.getString(0).toLowerCase, s"q184 key case: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 2, s"q184 variants: $r")
+    }
+    // q185: each band's pair count is exactly C(n, 2) of the carved band
+    // size — including the NULL band a plain equi-join would drop
+    val carve = graft.Tables.orders(spark, sf001)
+      .where(col("o_orderkey") % 100 === 0)
+      .select(when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") >= 300000, "high").otherwise("NULL_BAND").as("band"))
+      .groupBy("band").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got185 = run("q185_null_safe_join").collect()
+    got185.foreach { r =>
+      val n = carve(r.getString(0))
+      assert(r.getLong(1) == n * (n - 1) / 2, s"q185 triangular identity: $r (n=$n)")
+    }
+    assert(got185.map(_.getString(0)).contains("NULL_BAND"),
+      "q185 must exercise the NULL band")
+  }
 }
