@@ -38,6 +38,11 @@ object Round10b {
     // bounded by source².
     "q160_source_overlap" -> QDef(
       (s, d) => {
+        // grams collapse to xxhash64 BEFORE the distinct+join: the
+        // shuffle/join keys drop from ~15-byte strings to 8-byte longs
+        // (the q157 scale note, applied); every count is identical to the
+        // oracle's string-keyed counts absent a 64-bit collision, which
+        // the hash-green parity gate would surface
         val st = documents(s, d)
           .withColumn("toks", split(col("text"), " "))
           .where(size(col("toks")) >= 3)
@@ -47,7 +52,8 @@ object Round10b {
               i => concat_ws(" ",
                 element_at(col("toks"), i),
                 element_at(col("toks"), i + 1),
-                element_at(col("toks"), i + 2)))).as("g"))
+                element_at(col("toks"), i + 2)))).as("gs"))
+          .select(col("source"), xxhash64(col("gs")).as("g"))
           .distinct()
         val sz = st.groupBy("source").agg(count(lit(1)).as("sz"))
         val pairs = st.as("a")
