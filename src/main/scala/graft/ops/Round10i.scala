@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-10 batch 9: the remaining uncovered techniques — a salted JOIN
+  * (q186, the join-side complement of q67's salted aggregation), a Welch
+  * two-sample t-test on a continuous metric (q187, the continuous
+  * complement of q146's two-proportion z), n-gram-overlap benchmark
+  * decontamination (q188, the token-level complement of q73's exact and
+  * q79's bloom-hash document matching), and the Spark 4 parameterized-SQL
+  * surface `IDENTIFIER(:tbl)` + named parameter markers (q189).
+  *
+  * Determinism: doubles are aggregated ONLY through the CLAUDE.md
+  * quantize bridge (FLOOR(x·10^k) → BIGINT — floor and the power-of-ten
+  * multiply are identical IEEE ops in both engines, BIGINT sums are
+  * exact and order-free), then divided back out in identically-spelled
+  * double expressions; sqrt is IEEE-exact.
+  */
+object Round10i {
+  import Tables._
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // --------------------------------------------------------------- q186
+    // Salted equi-join: the fact side carries salt = xxhash64(event_id)
+    // mod S, the dim side is replicated S ways, and the join key becomes
+    // (event_type, salt) — S reducers per hot key instead of one. This is
+    // the shuffle-join skew counter for when the dim is too large to
+    // broadcast and AQE skew splitting is unavailable (pre-Spark-3 envs,
+    // or deterministic-layout requirements); q67 is the aggregation twin.
+    // The salt is invisible to the RESULT (the oracle is the plain join):
+    // any per-(key,salt) partial regrouped by key alone reproduces the
+    // unsalted answer, which is exactly what the final groupBy does.
+    // S = 16 is a test-scale constant; at production scale S tracks the
+    // observed per-key row share (SCALE.md §9 salting discipline).
+    // events.value is DOUBLE → FLOOR(value·1e9) BIGINT bridge (value ≤
+    // ~561, 100k rows ⇒ Σ ≤ 5.7e16, far inside int64).
+    "q186_skew_join_salted" -> QDef(
+      (s, d) => {
+        val S = 16
+        val dim = s.createDataFrame(Seq(
+          ("click", 1.5), ("view", 0.2), ("purchase", 9.0),
+          ("signup", 3.0), ("error", 0.0)
+        )).toDF("event_type", "weight")
+        val saltedDim = dim.withColumn("salt",
+          explode(sequence(lit(0L), lit(S - 1L))))
+        val fact = events(s, d).select(
+          col("event_type"),
+          pmod(xxhash64(col("event_id")), lit(S.toLong)).as("salt"),
+          floor(col("value") * lit(1e9)).as("vq"))
+        fact.join(saltedDim, Seq("event_type", "salt"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("vq").as("svq"),
+            first("weight").as("w"))
+          .select(col("event_type"), col("n_events"),
+            (col("svq").cast("double") / lit(1e9) * col("w"))
+              .as("weighted_value"))
+          .orderBy("event_type")
+      },
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('click', 1.5), ('view', 0.2), ('purchase', 9.0),
+        |  ('signup', 3.0), ('error', 0.0))
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |       CAST(CAST(SUM(CAST(FLOOR(e.value * 1e9) AS BIGINT)) AS BIGINT)
+        |            AS DOUBLE) / 1e9 * MIN(d.weight) AS weighted_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q187
+    // Welch's two-sample t-test: does mean order value differ between
+    // open ('O') and fulfilled ('F') orders? Everything flows from three
+    // exact per-group BIGINT aggregates (n, Σ⌊x·1e6⌋, Σ⌊x²·1e2⌋) — one
+    // map-side-combinable pass over orders, a 2-row cross of the group
+    // stats, and an identically-spelled double formula on both engines:
+    // m = (Σxq/1e6)/n, v = (Σx2q/1e2 − n·m²)/(n−1),
+    // t = (m1−m2)/√(v1/n1 + v2/n2), Welch–Satterthwaite df.
+    // Bounds (o_totalprice < 5e5, ~50k rows/group at sf0.1): Σxq ≤
+    // 2.5e16, Σx2q ≤ 1.25e18 — inside int64. The 1e2 quantum on x² is a
+    // test-scale constant: at 100× the rows, drop it to 1 (or carve) to
+    // stay inside int64 — the t-stat loses nothing observable either way.
+    "q187_welch_ttest" -> QDef(
+      (s, d) => {
+        val g = orders(s, d)
+          .where(col("o_orderstatus").isin("O", "F"))
+          .select(col("o_orderstatus").as("grp"),
+            floor(col("o_totalprice") * lit(1e6)).as("xq"),
+            floor(col("o_totalprice") * col("o_totalprice") * lit(1e2))
+              .as("x2q"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("x2q").as("sx2"))
+        val m = (st: String) =>
+          col(s"$st.sx").cast("double") / lit(1e6) / col(s"$st.n")
+        val v = (st: String) =>
+          (col(s"$st.sx2").cast("double") / lit(1e2) -
+            col(s"$st.n") * m(st) * m(st)) / (col(s"$st.n") - lit(1))
+        val se2 = (st: String) => v(st) / col(s"$st.n")
+        // Each side is exactly one group row; the limit(1) is a no-op that
+        // makes the 1×1 cross bounded-by-construction for the NLJ gate.
+        g.as("a").where(col("grp") === "O").limit(1)
+          .crossJoin(g.as("b").where(col("grp") === "F").limit(1))
+          .select(
+            col("a.n").as("n_open"), col("b.n").as("n_fulfilled"),
+            m("a").as("mean_open"), m("b").as("mean_fulfilled"),
+            ((m("a") - m("b")) / sqrt(se2("a") + se2("b"))).as("t_stat"),
+            ((se2("a") + se2("b")) * (se2("a") + se2("b")) /
+              (se2("a") * se2("a") / (col("a.n") - lit(1)) +
+                se2("b") * se2("b") / (col("b.n") - lit(1)))).as("df"))
+      },
+      """WITH g AS (
+        |  SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS sx,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * o_totalprice * 1e2) AS BIGINT))
+        |              AS BIGINT) AS sx2
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+        |s AS (
+        |  SELECT grp, n,
+        |         CAST(sx AS DOUBLE) / 1e6 / n AS m,
+        |         (CAST(sx2 AS DOUBLE) / 1e2 -
+        |          n * (CAST(sx AS DOUBLE) / 1e6 / n) * (CAST(sx AS DOUBLE) / 1e6 / n))
+        |         / (n - 1) AS v
+        |  FROM g)
+        |SELECT a.n AS n_open, b.n AS n_fulfilled,
+        |       a.m AS mean_open, b.m AS mean_fulfilled,
+        |       (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t_stat,
+        |       (a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+        |       ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
+        |        (b.v / b.n) * (b.v / b.n) / (b.n - 1)) AS df
+        |FROM s a CROSS JOIN s b WHERE a.grp = 'O' AND b.grp = 'F'""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q188
+    // N-gram benchmark decontamination: flag every candidate document
+    // sharing at least one 8-token n-gram with the benchmark carve
+    // (doc_id % 50 = 0) — the token-level contamination check training
+    // pipelines run against eval sets, catching paraphrase-adjacent
+    // overlap that q73's exact-text and q79's whole-doc-hash forms miss.
+    // Scale shape: gram extraction is a map-side explode (Θ(tokens)); the
+    // benchmark gram set is DISTINCT over the small carve (broadcastable
+    // at any corpus scale — the benchmark is eval-set-sized by
+    // definition); the probe is a semi-join on the gram key. The 8-gram
+    // width and the %50 carve are test-scale constants (production uses
+    // the real eval registry; 8–13 grams is the published range).
+    // HOF discipline: tk is staged as a plain attribute before the
+    // transform/slice chain references it (the q46/q75 staging rule).
+    "q188_ngram_decontam" -> QDef(
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= 8)
+        val grams = toks.select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+            .as("gram"))
+        val bench = grams.where(col("doc_id") % 50 === 0)
+          .select("gram").distinct()
+        val hit = grams.where(col("doc_id") % 50 =!= 0)
+          .join(bench, Seq("gram"), "left_semi")
+          .select("doc_id").distinct()
+        toks.where(col("doc_id") % 50 =!= 0)
+          .join(hit.withColumn("contam", lit(1)), Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("contam").as("n_contaminated"))
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("n_contaminated"), lit(0L)) / col("n_docs"))
+              .as("contamination_rate"))
+          .orderBy("lang")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |tt AS (SELECT * FROM toks WHERE len(tk) >= 8),
+        |g AS (SELECT doc_id, lang, array_to_string(tk[i:i+7], ' ') AS gram
+        |      FROM (SELECT doc_id, lang, tk,
+        |                   unnest(generate_series(1, len(tk) - 7)) AS i
+        |            FROM tt) sub),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM g
+        |        WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench))
+        |SELECT tt.lang, COUNT(*) AS n_docs,
+        |       CAST(COUNT(hit.doc_id) AS BIGINT) AS n_contaminated,
+        |       CAST(COUNT(hit.doc_id) AS BIGINT) / COUNT(*) AS contamination_rate
+        |FROM tt LEFT JOIN hit ON tt.doc_id = hit.doc_id
+        |WHERE tt.doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY lang""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q189
+    // Spark 4 parameterized SQL: IDENTIFIER(:tbl) binds a table name from
+    // a named parameter (injection-safe dynamic SQL — the identifier is
+    // resolved as a name, never spliced as text), and :min_chars binds a
+    // literal. The plan under it is an ordinary pushdown-friendly
+    // aggregate; the surface is what's being exercised (the q177–q179
+    // convention). The oracle replays the resolved query.
+    "q189_identifier_param" -> QDef(
+      (s, d) => {
+        documents(s, d).createOrReplaceTempView("graft_q189_docs")
+        s.sql(
+          """SELECT lang, COUNT(*) AS n_docs,
+            |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            |FROM IDENTIFIER(:tbl) WHERE n_chars >= :min_chars
+            |GROUP BY lang ORDER BY lang""".stripMargin,
+          Map("tbl" -> "graft_q189_docs", "min_chars" -> 200))
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    )
+  )
+}

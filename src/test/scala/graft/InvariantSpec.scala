@@ -1838,4 +1838,67 @@ class InvariantSpec extends AnyFunSuite {
     assert(got185.map(_.getString(0)).contains("NULL_BAND"),
       "q185 must exercise the NULL band")
   }
+
+  test("q186–q189 salted-join/Welch/decontam/parameterized-SQL invariants") {
+    // q186: the salt is result-invisible — the salted join reproduces the
+    // plain (unsalted) join + group bit-for-bit (the q67 discipline,
+    // join-side). This is the Spark-internal twin of the DuckDB oracle.
+    val weights = Map("click" -> 1.5, "view" -> 0.2, "purchase" -> 9.0,
+      "signup" -> 3.0, "error" -> 0.0)
+    val plain = graft.Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * lit(1e9))).as("svq"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2).toDouble / 1e9 * weights(r.getString(0))))
+      .toMap
+    val got186 = run("q186_skew_join_salted").collect()
+    assert(got186.length == 5, s"q186 types: ${got186.length}")
+    got186.foreach { r =>
+      val (n, wv) = plain(r.getString(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == wv,
+        s"q186 salt visibility: $r vs ($n, $wv)")
+    }
+    // q187: single row; t finite; Welch–Satterthwaite df sits inside its
+    // analytic bounds [min(n)-1, n1+n2-2]; the quantized mean tracks the
+    // raw double mean to the 1e-6 quantum.
+    val got187 = run("q187_welch_ttest").collect()
+    assert(got187.length == 1)
+    val r187 = got187.head
+    val (n1, n2) = (r187.getLong(0), r187.getLong(1))
+    val df = r187.getDouble(5)
+    assert(!df.isNaN && !r187.getDouble(4).isNaN, s"q187 NaN: $r187")
+    assert(df >= math.min(n1, n2) - 1 && df <= n1 + n2 - 2, s"q187 df: $r187")
+    val rawMeanO = graft.Tables.orders(spark, sf001)
+      .where(col("o_orderstatus") === "O")
+      .agg(avg("o_totalprice")).collect().head.getDouble(0)
+    assert(math.abs(r187.getDouble(2) - rawMeanO) < 1e-4,
+      s"q187 mean_open ${r187.getDouble(2)} vs raw $rawMeanO")
+    // q188: candidates exclude the benchmark carve exactly; rates bounded;
+    // contamination is monotone — every flagged doc really shares a gram
+    // (parity proves it cross-engine; here lock the partition identity).
+    val docs188 = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 8)
+    val candByLang = docs188.where(col("doc_id") % 50 =!= 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got188 = run("q188_ngram_decontam").collect()
+    got188.foreach { r =>
+      assert(r.getLong(1) == candByLang(r.getString(0)), s"q188 carve: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), s"q188 bound: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"q188 rate: $r")
+    }
+    // q189: IDENTIFIER + parameter markers resolve to the same result as
+    // the direct DataFrame aggregation.
+    val direct189 = graft.Tables.documents(spark, sf001)
+      .where(col("n_chars") >= 200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got189 = run("q189_identifier_param").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got189.toSeq == direct189.toSeq, "q189 parameterized != direct")
+  }
 }
