@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
 object Round10i {
   import Tables._
 
+  /** q188's candidate universe: docs with ≥ 8 tokens, tokens staged as a
+    * plain attribute (the HOF staging rule). Shared with the s28 streaming
+    * decontamination monitor so the twins are the same logic by
+    * construction. */
+  private[graft] def docToks(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 8)
+
+  /** q188's 8-token n-gram extraction over [[docToks]]. */
+  private[graft] def docGrams(docs: org.apache.spark.sql.DataFrame) =
+    docToks(docs).select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+        .as("gram"))
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // --------------------------------------------------------------- q186
@@ -146,13 +161,8 @@ object Round10i {
     // transform/slice chain references it (the q46/q75 staging rule).
     "q188_ngram_decontam" -> QDef(
       (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
-          .where(size(col("tk")) >= 8)
-        val grams = toks.select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
-            .as("gram"))
+        val toks = docToks(documents(s, d))
+        val grams = docGrams(documents(s, d))
         val bench = grams.where(col("doc_id") % 50 === 0)
           .select("gram").distinct()
         val hit = grams.where(col("doc_id") % 50 =!= 0)
@@ -207,6 +217,89 @@ object Round10i {
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars >= 200
         |GROUP BY lang ORDER BY lang""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q190
+    // Sparse TF-IDF cosine top-k: each document's 3 nearest neighbors
+    // under cosine over TF-IDF term vectors, paired via the inverted-index
+    // (term-key) join — the weighted-similarity complement of q101's
+    // set-Jaccard prefix filter and the sparse complement of q41's dense
+    // embeddings. IDF-zero terms (df = N — the corpus's universal tokens)
+    // drop out of the vectors, which is stop-word pruning for free and
+    // exactly the df-cap discipline the inverted-index join needs at
+    // scale (a term's pair fan-out is df²; production prunes df > θ·N —
+    // here the adversarial 31-token vocabulary makes EVERY term common,
+    // so the 1-in-20 doc carve bounds the quadratic the q47/q48 way).
+    // Determinism: weights are rounded transcendentals as DECIMAL(18,4)
+    // (q70's recipe), so norms (Σw²) and dots (Σ wa·wb) are exact
+    // decimals; the emitted cosine is one identically-spelled double
+    // expression (sqrt IEEE-exact). Zero-norm docs are filtered on both
+    // engines before any quotient.
+    "q190_sparse_cosine_topk" -> QDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val carve = documents(s, d).where(col("doc_id") % 20 === 0)
+        val tf = carve
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nd = carve.agg(count(lit(1)).as("n")).limit(1)
+        val w = tf.join(broadcast(dfs), "tok")
+          .crossJoin(broadcast(nd))
+          .withColumn("score", round(col("tf") * log(col("n") / col("df")), 4))
+          .where(col("score") =!= 0)
+          .select(col("doc_id"), col("tok"),
+            col("score").cast(DecimalType(18, 4)).as("w"))
+        val norms = w.groupBy("doc_id")
+          .agg(sum(col("w") * col("w")).as("n2"))
+          .where(col("n2") > 0)
+        val dots = w.as("a")
+          .join(w.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        val cos = dots
+          .join(norms.as("na"), col("da") === col("na.doc_id"))
+          .join(norms.as("nb"), col("db") === col("nb.doc_id"))
+          .select(col("da"), col("db"),
+            (col("dot").cast("double") /
+              (sqrt(col("na.n2").cast("double")) *
+                sqrt(col("nb.n2").cast("double")))).as("cosine"))
+        cos
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("da").orderBy(col("cosine").desc, col("db"))))
+          .where(col("rk") <= 3)
+          .select(col("da").as("doc_id"), col("rk"),
+            col("db").as("neighbor_id"), col("cosine"))
+          .orderBy("doc_id", "rk")
+      },
+      """WITH carve AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM carve),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n FROM carve),
+        |w AS (SELECT doc_id, tf.tok,
+        |        CAST(round(tf * ln(n / df), 4) AS DECIMAL(18,4)) AS w
+        |      FROM tf JOIN dfs ON tf.tok = dfs.tok CROSS JOIN nd
+        |      WHERE round(tf * ln(n / df), 4) <> 0),
+        |norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w
+        |          GROUP BY 1 HAVING SUM(w * w) > 0),
+        |dots AS (SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.w * b.w) AS dot
+        |         FROM w a JOIN w b
+        |           ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |         GROUP BY 1, 2),
+        |cos AS (SELECT da, db,
+        |          CAST(dot AS DOUBLE) /
+        |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |        FROM dots JOIN norms na ON da = na.doc_id
+        |                  JOIN norms nb ON db = nb.doc_id),
+        |rk AS (SELECT da, db, cosine,
+        |         CAST(row_number() OVER (PARTITION BY da
+        |              ORDER BY cosine DESC, db) AS INTEGER) AS rk
+        |       FROM cos)
+        |SELECT da AS doc_id, rk, db AS neighbor_id, cosine
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
     )
   )
 }

@@ -108,6 +108,9 @@ case class DropVerdict(doc_id: Long, n_bench: Long)
 /** s11 ingest row after the token-count projection. */
 case class DocTok(doc_id: Long, ts: Timestamp, lang: String, n_toks: Long)
 
+/** s28 ingest row: a candidate document for n-gram decontamination. */
+case class DocLang(doc_id: Long, lang: String, text: String)
+
 /** s26 ingest row: a document with its crawler/source attribution. */
 case class DocSrc(doc_id: Long, source: String, text: String)
 
@@ -1510,6 +1513,59 @@ object Demos {
         col("cnt") * col("trail_n") * 2 > col("trail_sum") * 3)
       .select("event_type", "hour", "cnt", "trail_sum", "trail_n")
       .write.mode("overwrite").parquet(s"$dir/v=$batchId/bursts")
+    pruneVersions(spark, dir, batchId)
+  }
+
+  /** s28 — streaming n-gram decontamination monitor: the ingest twin of
+    * batch q188. The benchmark gram set is STATIC (eval sets change by
+    * release, not by stream — it broadcasts at any corpus scale because
+    * it is eval-set-sized by definition); each micro-batch's candidate
+    * docs are flagged by the same shared gram extraction
+    * (ops.Round10i.docGrams — twins are the same logic by construction),
+    * and the per-lang (n_docs, n_contaminated) delta merges into a
+    * versioned exact snapshot (counts merge by sum — associative, the
+    * s24 mergeable-summary argument; state is bounded by the language
+    * cardinality, never doc volume). Commit protocol = s14's versioned
+    * overwrite ⇒ exactly-once under retries; once the whole corpus is
+    * in, the snapshot equals batch q188's counts EXACTLY. */
+  def s28DecontamMonitor(spark: SparkSession, docs: DataFrame,
+      benchGrams: DataFrame, dir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        decontamBatch(spark, batch.toDF(), benchGrams, dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One decontamination step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def decontamBatch(spark: SparkSession, batch: DataFrame,
+      benchGrams: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cand = graft.ops.Round10i.docToks(batch)
+      .where(col("doc_id") % 50 =!= 0)
+    val hit = graft.ops.Round10i.docGrams(batch)
+      .where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(benchGrams.select("gram")), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val delta = cand
+      .join(hit.withColumn("contam", lit(1)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("contam"), lit(0L)).as("n_contaminated"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/counts")
+      case None    => delta.limit(0)
+    }
+    base.unionByName(delta)
+      .groupBy("lang")
+      .agg(sum("n_docs").as("n_docs"), sum("n_contaminated").as("n_contaminated"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
     pruneVersions(spark, dir, batchId)
   }
 

@@ -1900,5 +1900,19 @@ class InvariantSpec extends AnyFunSuite {
     val got189 = run("q189_identifier_param").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got189.toSeq == direct189.toSeq, "q189 parameterized != direct")
+    // q190: nonneg TF-IDF weights ⇒ cosine ∈ [0, 1] (+ half-ulp); ranks
+    // dense 1..k per doc; no self-neighbors; every doc in the carve with
+    // a nonzero vector appears
+    val got190 = run("q190_sparse_cosine_topk").collect()
+    assert(got190.nonEmpty)
+    got190.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"q190 ranks not dense for doc $id")
+      rows.foreach { r =>
+        assert(r.getLong(2) != id, s"q190 self-neighbor: $r")
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12,
+          s"q190 cosine out of range: $r")
+      }
+    }
   }
 }

@@ -739,6 +739,50 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(counters(last) == got, "replaying the committed last batch changed the counters")
   }
 
+  test("s28: streaming decontamination monitor — final counters equal batch " +
+    "q188, state is language-cardinality-bounded, replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s28").toString + "/decon"
+    // the static benchmark gram registry: the eval carve of the corpus,
+    // known before ingest (exactly batch q188's bench set)
+    val benchGrams = graft.ops.Round10i
+      .docGrams(graft.Tables.documents(spark, SharedSpark.sf001))
+      .where(col("doc_id") % 50 === 0)
+      .select("gram").distinct().localCheckpoint()
+    val docs = graft.Tables.documents(spark, SharedSpark.sf001)
+      .select("doc_id", "lang", "text").orderBy("doc_id").collect()
+      .map(r => DocLang(r.getLong(0), r.getString(1), r.getString(2)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toVector
+    val input = MemoryStream[DocLang]
+    val q = Demos.s28DecontamMonitor(spark, input.toDF(), benchGrams, dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def counters(v: Long): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$dir/v=$v/counts").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = counters(last)
+    // batch q188 on the same corpus: (lang, n_docs, n_contaminated, rate)
+    val expected = SparkEntry.queries("q188_ngram_decontam")(spark, SharedSpark.sf001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"streamed decontam counters $got != batch q188 $expected")
+    // state: one counts row per language, nothing else
+    assert(spark.read.parquet(s"$dir/v=$last/counts").count() ==
+      got.size.toLong, "state not language-cardinality-bounded")
+    // versioned history pruned to the last two snapshots
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    // replay the committed last batch (post-crash re-execution)
+    Demos.decontamBatch(spark, chunks.last.toSeq.toDF(), benchGrams, dir, last)
+    assert(counters(last) == got, "replaying the committed last batch changed the counters")
+  }
+
   test("s27: streaming burst monitor — published bursts equal batch q169, " +
     "state is hour-count-bounded, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
