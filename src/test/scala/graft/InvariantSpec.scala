@@ -1915,4 +1915,41 @@ class InvariantSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q191–q192 padding-waste/Gram-matrix invariants") {
+    // q191: the ladder partitions the corpus exactly — caps are from the
+    // declared rung set, max fits its cap, waste is the stated identity
+    // and nonnegative, shares are proper fractions, and the bucket doc
+    // counts re-add to the corpus size.
+    val got191 = run("q191_padding_waste").collect()
+    val rungs = Set(16, 32, 64, 128)
+    got191.foreach { r =>
+      val (cap, n, sum, mx, waste, share) = (r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(rungs.contains(cap), s"q191 cap: $r")
+      assert(mx <= cap && waste == cap * n - sum && waste >= 0, s"q191: $r")
+      assert(share >= 0.0 && share < 1.0, s"q191 share: $r")
+    }
+    val totalDocs = graft.Tables.documents(spark, sf001).count()
+    assert(got191.map(_.getLong(2)).sum == totalDocs, "q191 partition")
+    // q192: dense upper triangle (D(D+1)/2 cells), nonnegative diagonal,
+    // Cauchy–Schwarz off-diagonal bound, and the (0,0) cell re-derived by
+    // a direct second-moment aggregation over the same quantization.
+    val got192 = run("q192_embedding_gram").collect()
+    assert(got192.length == 64 * 65 / 2, s"q192 cells: ${got192.length}")
+    val g = got192.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    g.foreach { case ((i, j), v) =>
+      assert(i <= j, s"q192 triangle: ($i,$j)")
+      if (i == j) assert(v >= 0.0, s"q192 diag: ($i,$j)=$v")
+      else assert(v * v <= g((i, i)) * g((j, j)) * (1 + 1e-9),
+        s"q192 Cauchy–Schwarz: ($i,$j)")
+    }
+    val direct00 = graft.Tables.embeddings(spark, sf001)
+      .select(expr("CAST(FLOOR(CAST(embedding[0] AS DOUBLE) * 1e6) AS BIGINT)")
+        .as("q0"))
+      .agg(sum(col("q0") * col("q0")).as("s"), count(lit(1)).as("n"))
+      .select(col("s").cast("double") / lit(1e12) / col("n"))
+      .collect().head.getDouble(0)
+    assert(g((0, 0)) == direct00, s"q192 (0,0): ${g((0, 0))} vs $direct00")
+  }
 }
