@@ -86,9 +86,13 @@ object Round10i {
     // --------------------------------------------------------------- q187
     // Welch's two-sample t-test: does mean order value differ between
     // open ('O') and fulfilled ('F') orders? Everything flows from three
-    // exact per-group BIGINT aggregates (n, Σ⌊x·1e6⌋, Σ⌊x²·1e2⌋) — one
-    // map-side-combinable pass over orders, a 2-row cross of the group
-    // stats, and an identically-spelled double formula on both engines:
+    // exact per-group BIGINT aggregates (n, Σ⌊x·1e6⌋, Σ⌊x²·1e2⌋) — and
+    // both groups come out of ONE global conditional aggregation (a
+    // single map-side-combinable pass producing one row; no join of any
+    // kind — a 1×1 self-cross of the group stats would plan a
+    // nested-loop build the PlanAudit gate can't see a bound on, because
+    // the optimizer folds away the bounding limit). Then an identically-
+    // spelled double formula on both engines:
     // m = (Σxq/1e6)/n, v = (Σx2q/1e2 − n·m²)/(n−1),
     // t = (m1−m2)/√(v1/n1 + v2/n2), Welch–Satterthwaite df.
     // Bounds (o_totalprice < 5e5, ~50k rows/group at sf0.1): Σxq ≤
@@ -103,46 +107,60 @@ object Round10i {
             floor(col("o_totalprice") * lit(1e6)).as("xq"),
             floor(col("o_totalprice") * col("o_totalprice") * lit(1e2))
               .as("x2q"))
-          .groupBy("grp")
-          .agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("x2q").as("sx2"))
+          .agg(
+            count(when(col("grp") === "O", lit(1))).as("na"),
+            sum(when(col("grp") === "O", col("xq"))).as("sxa"),
+            sum(when(col("grp") === "O", col("x2q"))).as("sx2a"),
+            count(when(col("grp") === "F", lit(1))).as("nb"),
+            sum(when(col("grp") === "F", col("xq"))).as("sxb"),
+            sum(when(col("grp") === "F", col("x2q"))).as("sx2b"))
         val m = (st: String) =>
-          col(s"$st.sx").cast("double") / lit(1e6) / col(s"$st.n")
+          col(s"sx$st").cast("double") / lit(1e6) / col(s"n$st")
         val v = (st: String) =>
-          (col(s"$st.sx2").cast("double") / lit(1e2) -
-            col(s"$st.n") * m(st) * m(st)) / (col(s"$st.n") - lit(1))
-        val se2 = (st: String) => v(st) / col(s"$st.n")
-        // Each side is exactly one group row; the limit(1) is a no-op that
-        // makes the 1×1 cross bounded-by-construction for the NLJ gate.
-        g.as("a").where(col("grp") === "O").limit(1)
-          .crossJoin(g.as("b").where(col("grp") === "F").limit(1))
-          .select(
-            col("a.n").as("n_open"), col("b.n").as("n_fulfilled"),
-            m("a").as("mean_open"), m("b").as("mean_fulfilled"),
-            ((m("a") - m("b")) / sqrt(se2("a") + se2("b"))).as("t_stat"),
-            ((se2("a") + se2("b")) * (se2("a") + se2("b")) /
-              (se2("a") * se2("a") / (col("a.n") - lit(1)) +
-                se2("b") * se2("b") / (col("b.n") - lit(1)))).as("df"))
+          (col(s"sx2$st").cast("double") / lit(1e2) -
+            col(s"n$st") * m(st) * m(st)) / (col(s"n$st") - lit(1))
+        val se2 = (st: String) => v(st) / col(s"n$st")
+        g.select(
+          col("na").as("n_open"), col("nb").as("n_fulfilled"),
+          m("a").as("mean_open"), m("b").as("mean_fulfilled"),
+          ((m("a") - m("b")) / sqrt(se2("a") + se2("b"))).as("t_stat"),
+          ((se2("a") + se2("b")) * (se2("a") + se2("b")) /
+            (se2("a") * se2("a") / (col("na") - lit(1)) +
+              se2("b") * se2("b") / (col("nb") - lit(1)))).as("df"))
       },
       """WITH g AS (
-        |  SELECT o_orderstatus AS grp, COUNT(*) AS n,
-        |         CAST(SUM(CAST(FLOOR(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS sx,
-        |         CAST(SUM(CAST(FLOOR(o_totalprice * o_totalprice * 1e2) AS BIGINT))
-        |              AS BIGINT) AS sx2
-        |  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+        |  SELECT COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS na,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |                       THEN CAST(FLOOR(o_totalprice * 1e6) AS BIGINT) END)
+        |              AS BIGINT) AS sxa,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |                       THEN CAST(FLOOR(o_totalprice * o_totalprice * 1e2) AS BIGINT) END)
+        |              AS BIGINT) AS sx2a,
+        |         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS nb,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |                       THEN CAST(FLOOR(o_totalprice * 1e6) AS BIGINT) END)
+        |              AS BIGINT) AS sxb,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |                       THEN CAST(FLOOR(o_totalprice * o_totalprice * 1e2) AS BIGINT) END)
+        |              AS BIGINT) AS sx2b
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
         |s AS (
-        |  SELECT grp, n,
-        |         CAST(sx AS DOUBLE) / 1e6 / n AS m,
-        |         (CAST(sx2 AS DOUBLE) / 1e2 -
-        |          n * (CAST(sx AS DOUBLE) / 1e6 / n) * (CAST(sx AS DOUBLE) / 1e6 / n))
-        |         / (n - 1) AS v
+        |  SELECT na, nb,
+        |         CAST(sxa AS DOUBLE) / 1e6 / na AS ma,
+        |         CAST(sxb AS DOUBLE) / 1e6 / nb AS mb,
+        |         (CAST(sx2a AS DOUBLE) / 1e2 -
+        |          na * (CAST(sxa AS DOUBLE) / 1e6 / na) * (CAST(sxa AS DOUBLE) / 1e6 / na))
+        |         / (na - 1) AS va,
+        |         (CAST(sx2b AS DOUBLE) / 1e2 -
+        |          nb * (CAST(sxb AS DOUBLE) / 1e6 / nb) * (CAST(sxb AS DOUBLE) / 1e6 / nb))
+        |         / (nb - 1) AS vb
         |  FROM g)
-        |SELECT a.n AS n_open, b.n AS n_fulfilled,
-        |       a.m AS mean_open, b.m AS mean_fulfilled,
-        |       (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t_stat,
-        |       (a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
-        |       ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
-        |        (b.v / b.n) * (b.v / b.n) / (b.n - 1)) AS df
-        |FROM s a CROSS JOIN s b WHERE a.grp = 'O' AND b.grp = 'F'""".stripMargin
+        |SELECT na AS n_open, nb AS n_fulfilled, ma AS mean_open, mb AS mean_fulfilled,
+        |       (ma - mb) / sqrt(va / na + vb / nb) AS t_stat,
+        |       (va / na + vb / nb) * (va / na + vb / nb) /
+        |       ((va / na) * (va / na) / (na - 1) +
+        |        (vb / nb) * (vb / nb) / (nb - 1)) AS df
+        |FROM s""".stripMargin
     ),
 
     // --------------------------------------------------------------- q188
