@@ -96,15 +96,22 @@ object Round10j {
         val q = embeddings(s, d).select(
           expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
             .as("qa"))
-        q.select(explode(expr(
+        // The per-row fan-out is a FLAT long array (no per-cell (i,j)
+        // structs — struct allocation ~doubled the hot-path cost, measured
+        // 2.6 -> 1.5 s warm at sf0.1), keyed by the upper-triangle linear index
+        // from posexplode; (i,j) are recovered on the 2080-row RESULT side
+        // from constant-folded lookup arrays.
+        val iOf = expr("element_at(flatten(transform(sequence(0, 63), i -> " +
+          "transform(sequence(i, 63), j -> i))), pos + 1)")
+        val jOf = expr("element_at(flatten(transform(sequence(0, 63), i -> " +
+          "transform(sequence(i, 63), j -> j))), pos + 1)")
+        q.select(posexplode(expr(
             """flatten(transform(sequence(0, 63), i ->
-              |  transform(sequence(i, 63), j ->
-              |    struct(i AS i, j AS j, qa[i] * qa[j] AS prod))))""".stripMargin))
-            .as("p"))
-          .select(col("p.i").as("i"), col("p.j").as("j"), col("p.prod").as("prod"))
-          .groupBy("i", "j")
+              |  transform(sequence(i, 63), j -> qa[i] * qa[j])))""".stripMargin))
+            .as(Seq("pos", "prod")))
+          .groupBy("pos")
           .agg(sum("prod").as("sp"), count(lit(1)).as("cnt"))
-          .select(col("i"), col("j"),
+          .select(iOf.as("i"), jOf.as("j"),
             (col("sp").cast("double") / lit(1e12) / col("cnt")).as("gram"))
           .orderBy("i", "j")
       },
