@@ -46,24 +46,45 @@ object Round10f {
 
     // --------------------------------------------------------------- q178
     // SQL scripting (Spark 4 BEGIN…END control flow): an iterative
-    // threshold search — double `thr` until at most 1000 events clear it,
-    // then report the per-type survivors. The loop is DATA-driven but has
-    // a closed form (thr = 2^k for the smallest k whose clear-count
-    // ≤ 1000), which is exactly how the DuckDB oracle replays it — the
-    // same trick the q104 recursive-hierarchy oracle uses for iteration.
-    // Bounded: value ≤ ~561 at every SF, so k ≤ 11 always terminates.
+    // threshold search — double the threshold until at most 1000 events
+    // clear it, then report the per-type survivors. The loop is
+    // DATA-driven but has a closed form (thr = 2^k for the smallest k
+    // whose clear-count ≤ 1000), which is exactly how the DuckDB oracle
+    // replays it — the same trick the q104 recursive-hierarchy oracle
+    // uses for iteration. Scale shape: the loop iterates over a
+    // PRECOMPUTED monotone count table — one scan of events builds per
+    // (event_type, lvl) counts where lvl = #thresholds the value clears
+    // (≤ types × 22 rows, materialized via localCheckpoint), so each
+    // WHILE probe and the final report cost O(tiny) regardless of corpus
+    // size (the naive per-iteration COUNT re-scanned events ~10×). What
+    // remains at bench scale is the scripting iteration floor itself —
+    // ~0.2 s of per-statement planning × ~10 probes (~2.2 s warm, data-
+    // independent; the CLAUDE.md iterative-query floor, here per probe
+    // instead of per localCheckpoint).
+    // Bounded: value ≤ ~561 at every SF, so k ≤ 11 always terminates;
+    // the ladder is exact double comparisons (no log2 — boundary values
+    // under a half-ulp-correct log could mis-bucket).
     "q178_sql_script" -> QDef(
       (s, d) => {
         s.conf.set("spark.sql.scripting.enabled", "true")
-        events(s, d).createOrReplaceTempView("graft_q178_ev")
+        val lvl = (0 to 20)
+          .map(k => s"CAST(COALESCE(value >= ${math.pow(2.0, k)}, false) AS INT)")
+          .mkString(" + ")
+        events(s, d).selectExpr("event_type", s"($lvl) AS lvl")
+          .groupBy("event_type", "lvl")
+          .agg(count(lit(1)).as("n"))
+          .coalesce(1) // ≤ types × 22 rows: 1-task WHILE probes
+          .localCheckpoint()
+          .createOrReplaceTempView("graft_q178_cnt")
         s.sql(
           """BEGIN
-            |  DECLARE thr DOUBLE DEFAULT 1.0;
-            |  WHILE (SELECT COUNT(*) FROM graft_q178_ev WHERE value >= thr) > 1000 DO
-            |    SET thr = thr * 2;
+            |  DECLARE k INT DEFAULT 0;
+            |  WHILE (SELECT COALESCE(SUM(n), 0) FROM graft_q178_cnt WHERE lvl > k)
+            |        > 1000 DO
+            |    SET k = k + 1;
             |  END WHILE;
-            |  SELECT event_type, thr AS threshold, COUNT(*) AS n_over
-            |  FROM graft_q178_ev WHERE value >= thr
+            |  SELECT event_type, POWER(2.0, k) AS threshold, SUM(n) AS n_over
+            |  FROM graft_q178_cnt WHERE lvl > k
             |  GROUP BY event_type ORDER BY event_type;
             |END""".stripMargin)
       },
