@@ -126,30 +126,10 @@ object ScaleCurve {
       .select("new_id", "hist_id")
   }
 
-  /** q101's production shape, uncarved: df-ordered prefix filter at 0.9. */
-  private def prefixFilter(d: DataFrame): DataFrame = {
-    val docsT = d.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val tok = docsT.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val dfTab = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sorted = tok.join(broadcast(dfTab), "tok")
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-        x => x("tok")).as("toks"), count(lit(1)).as("sz"))
-      .withColumn("pref", slice(col("toks"), lit(1), expr("sz - (9 * sz + 9) DIV 10 + 1")))
-      .localCheckpoint()
-    val idx = sorted.select(col("doc_id"), explode(col("pref")).as("ptok"))
-    val cand = idx.repartition(32).as("a")
-      .join(idx.as("b"), col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sza")), "doc_a")
-      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("szb")), "doc_b")
-      .withColumn("nc", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("j", col("nc") / (col("sza") + col("szb") - col("nc")))
-      .where(col("j") >= 0.9)
-      .select("doc_a", "doc_b")
-  }
+  /** q101's production shape, uncarved: the shared PPJoin+ stack
+    * (rarest-first prefix + length + positional filters) at 0.9. */
+  private def prefixFilter(d: DataFrame): DataFrame =
+    graft.ops.Mining.ppjoinPairs(d).select("doc_a", "doc_b")
 
   /** q137's shape with the DECLARED test-scale 8-char block prefix —
     * measured as-is to show where the fixed constant stops scaling. */

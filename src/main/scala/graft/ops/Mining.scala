@@ -18,6 +18,69 @@ import org.apache.spark.sql.functions._
 object Mining {
   import Tables._
 
+  /** PPJoin+-style exact set-similarity pairs at token-Jaccard ≥ 0.9.
+    * Candidate generation is an equi-join on rarest-first (df ASC, tok)
+    * prefix tokens, pruned by the PPJoin+ LENGTH filter (J ≥ 0.9 forces
+    * 9·|b| ≤ 10·|a| both ways) and POSITIONAL filter (any common token at
+    * sorted positions (i, j) bounds the overlap by
+    * min(i,j) + 1 + min(|a|−i−1, |b|−j−1), which must reach the required
+    * ceil(9(|a|+|b|)/19)) — all pure int64 arithmetic, so pruning can
+    * never flake, and both bounds are unconditional identities of
+    * qualifying pairs, so recall stays exactly 1 (the prefix-filter lemma
+    * guarantees a shared indexed token; InvariantSpec re-proves equality
+    * to an in-memory brute force). Exact array_intersect verify makes the
+    * output identical to brute force. Shared by q101 (1/10 bench carve)
+    * and ScaleCurve's uncarved scaling regimes: on the fixed-vocabulary
+    * regime where per-token df grows linearly, the length+positional
+    * pruning is the documented lever against the Θ(n²/V) candidate blowup
+    * (SCALE.md §11 finding 2).
+    * Output columns: doc_a, doc_b, sz_a, sz_b, n_common, jaccard. */
+  private[graft] def ppjoinPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfTab = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens re-assembled in (df, tok) order; struct sort gives
+    // the global total order without a single-partition rank window
+    val sorted = tok.join(broadcast(dfTab), "tok")
+      .groupBy("doc_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+          x => x("tok")).as("toks"),
+        count(lit(1)).as("sz"))
+      .withColumn("pref",
+        slice(col("toks"), lit(1), expr("sz - (9 * sz + 9) DIV 10 + 1")))
+      .localCheckpoint() // feeds the index twice + both verify sides
+    val idx = sorted.select(col("doc_id"), col("sz"),
+      posexplode(col("pref")).as(Seq("pos", "ptok")))
+    // 32-way spread of the probe side (q97 lesson: byte-small ckpt +
+    // broadcast build = one task for the whole candidate expansion)
+    val cand = idx.repartition(32).as("a")
+      .join(idx.as("b"),
+        col("a.ptok") === col("b.ptok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 10 >= col("b.sz") * 9 &&
+          col("b.sz") * 10 >= col("a.sz") * 9 &&
+          least(col("a.pos"), col("b.pos")) + lit(1) +
+            least(col("a.sz") - col("a.pos") - 1,
+              col("b.sz") - col("b.pos") - 1) >=
+            expr("(9 * (a.sz + b.sz) + 18) DIV 19"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b", "sz_a", "sz_b", "n_common", "jaccard")
+  }
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // ---------------------------------------------------------------- q97
@@ -158,61 +221,21 @@ object Mining {
     ),
 
     // --------------------------------------------------------------- q101
-    // Prefix-filtered set-similarity join (PPJoin-style): exact token
-    // Jaccard >= 0.9 pairs found WITHOUT all-pairs — each doc's tokens are
-    // sorted by a global rarest-first order (df ASC, tok) and only the
-    // first |t| - ceil(0.9|t|) + 1 tokens are indexed; the prefix-filter
-    // lemma guarantees any qualifying pair shares an indexed token, so the
-    // candidate equi-join loses nothing and the exact verify makes the
-    // output identical to brute force (oracle = all-pairs; InvariantSpec
-    // re-proves it against an in-memory brute force at sf0.001). This is
-    // the EXACT complement of the probabilistic LSH family (q46/q52): same
-    // never-all-pairs plan shape, zero recall loss. Prefix length is pure
-    // int64 arithmetic (ceil(9s/10) = (9s+9) DIV 10) — no float ceil to
-    // flake the bound. The 31-token dense corpus is this technique's worst
-    // case (CLAUDE.md): buckets are vocabulary-bounded here, while a real
-    // Zipfian vocab makes prefixes rare tokens and buckets tiny — the 1/10
-    // carve keeps the bench-scale candidate set small, same discipline as
-    // q40's sampled oracle twin.
+    // Prefix-filtered set-similarity join (PPJoin+): exact token
+    // Jaccard >= 0.9 pairs found WITHOUT all-pairs — see [[ppjoinPairs]]
+    // for the prefix/length/positional filter stack (all int64-exact,
+    // recall exactly 1; oracle = all-pairs, and InvariantSpec re-proves
+    // equality against an in-memory brute force at sf0.001). This is the
+    // EXACT complement of the probabilistic LSH family (q46/q52): same
+    // never-all-pairs plan shape, zero recall loss. The 31-token dense
+    // corpus is this technique's worst case (CLAUDE.md): buckets are
+    // vocabulary-bounded here, while a real Zipfian vocab makes prefixes
+    // rare tokens and buckets tiny — the 1/10 carve keeps the bench-scale
+    // candidate set small, same discipline as q40's sampled oracle twin.
     "q101_prefix_filter_join" -> QDef(
-      (s, d) => {
-        val docs = documents(s, d)
-          .where(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-        val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-        val dfTab = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-        // per-doc tokens re-assembled in (df, tok) order; struct sort gives
-        // the global total order without a single-partition rank window
-        val sorted = tok.join(broadcast(dfTab), "tok")
-          .groupBy("doc_id")
-          .agg(
-            transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-              x => x("tok")).as("toks"),
-            count(lit(1)).as("sz"))
-          .withColumn("pref",
-            slice(col("toks"), lit(1), expr("sz - (9 * sz + 9) DIV 10 + 1")))
-          .localCheckpoint() // feeds the index twice + both verify sides
-        // 32-way spread of the probe side (q97 lesson: byte-small ckpt +
-        // broadcast build = one task for the whole candidate expansion)
-        val idx = sorted.select(col("doc_id"), explode(col("pref")).as("ptok"))
-        val cand = idx.repartition(32).as("a")
-          .join(idx.as("b"), col("a.ptok") === col("b.ptok") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
-            col("sz").as("sz_a")), "doc_a")
-          .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
-            col("sz").as("sz_b")), "doc_b")
-          .withColumn("n_common",
-            size(array_intersect(col("ta"), col("tb"))).cast("long"))
-          .withColumn("jaccard",
-            col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
-          .where(col("jaccard") >= 0.9)
-          .select("doc_a", "doc_b", "sz_a", "sz_b", "n_common", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) =>
+        ppjoinPairs(documents(s, d).where(col("doc_id") % 10 === 0))
+          .orderBy("doc_a", "doc_b"),
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         |toks AS (SELECT DISTINCT doc_id, tok FROM
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d) t),
