@@ -53,12 +53,16 @@ object PlanAudit {
     *  - q173_pareto_coverage: the cumulative-share window runs over the
     *    per-SOURCE count table — one row per source, value-domain-bounded
     *    (the q105/q150 argument), never the documents.
+    *  - q197_quota_apportion: the remainder rank runs over the
+    *    (lang, source) STRATA table — ≤ langs×sources rows,
+    *    value-domain-bounded (the q173 argument), never the documents.
     */
   private val globalWindowWhitelist: Set[String] = Set(
     "q37_late_events", "q51_fingerprint", "q62_ivf_ann",
     "q63_late_events_scan", "q71_seq_pack", "q105_skyline",
     "q107_systematic_sample", "q135_ks_drift", "q138_equidepth_hist",
-    "q150_hist_median_audit", "q151_decile_lift", "q173_pareto_coverage")
+    "q150_hist_median_audit", "q151_decile_lift", "q173_pareto_coverage",
+    "q197_quota_apportion")
 
   /** Queries ALLOWED to plan a nested-loop/cartesian join whose build side
     * is NOT bounded-by-construction (see [[boundedBuild]]) — each bounded

@@ -1952,4 +1952,84 @@ class InvariantSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(g((0, 0)) == direct00, s"q192 (0,0): ${g((0, 0))} vs $direct00")
   }
+
+  test("q193–q198 stats/curation invariants") {
+    // q193: interpolated values sit inside the bracketing observations;
+    // observed rows echo their own value (had_obs=1 → non-null).
+    val g193 = run("q193_linear_interp").collect()
+    g193.foreach { r =>
+      val hadObs = r.getInt(2)
+      if (hadObs == 1) assert(!r.isNullAt(3), s"q193 obs null: $r")
+    }
+    // per user: edge rows (before first / after last obs) are null, and
+    // every non-null interp is within the user's observed value range.
+    g193.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val obsVals = rows.filter(_.getInt(2) == 1).map(_.getDouble(3))
+      if (obsVals.nonEmpty) {
+        val (lo, hi) = (obsVals.min, obsVals.max)
+        rows.filter(r => r.getInt(2) == 0 && !r.isNullAt(3)).foreach { r =>
+          val v = r.getDouble(3)
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9, s"q193 range: $r")
+        }
+      }
+    }
+    // q194: confusion table partitions the corpus; po/pe proper; kappa ≤ 1.
+    val k = run("q194_cohen_kappa").collect().head
+    val (n, n11, n10, n01, n00) = (k.getLong(0), k.getLong(1), k.getLong(2),
+      k.getLong(3), k.getLong(4))
+    assert(n11 + n10 + n01 + n00 == n, s"q194 partition: $k")
+    val (po, pe) = (k.getDouble(5), k.getDouble(6))
+    assert(po >= 0.0 && po <= 1.0 && pe >= 0.0 && pe <= 1.0, s"q194 p: $k")
+    if (!k.isNullAt(7)) assert(k.getDouble(7) <= 1.0 + 1e-12, s"q194 kappa: $k")
+    // q195: joint counts re-add to both marginals and the total.
+    val g195 = run("q195_mutual_info").collect()
+    val tot195 = g195.head.getLong(5)
+    assert(g195.map(_.getLong(2)).sum == tot195, "q195 total")
+    g195.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3), "q195 n_x")
+    }
+    g195.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(4), "q195 n_y")
+    }
+    // q196: 13 lags, each |r| ≤ 1 (Cauchy–Schwarz), and every overlap is
+    // bounded by the smaller series' observed-hour count (lag 0 need NOT
+    // be maximal under observed-hours semantics: on sparse grids a
+    // shifted alignment can match more hours).
+    val g196 = run("q196_xcorr_lag").collect()
+    assert(g196.length == 13, s"q196 lags: ${g196.length}")
+    g196.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12, s"q196 r: $r")
+    }
+    val ev = graft.Tables.events(spark, sf001)
+    val hourCap = math.min(
+      ev.where(col("event_type") === "click")
+        .select(date_trunc("hour", col("ts"))).distinct().count(),
+      ev.where(col("event_type") === "purchase")
+        .select(date_trunc("hour", col("ts"))).distinct().count())
+    g196.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= hourCap, s"q196 overlap: $r")
+    }
+    // q197: quotas sum EXACTLY to the budget; each seat adjustment ∈ {0,1};
+    // ranks are a permutation of 1..#strata.
+    val g197 = run("q197_quota_apportion").collect()
+    assert(g197.map(_.getLong(6)).sum == 10000L, "q197 budget")
+    g197.foreach { r =>
+      val d = r.getLong(6) - r.getLong(3)
+      assert(d == 0L || d == 1L, s"q197 seat: $r")
+    }
+    assert(g197.map(_.getInt(5)).sorted.toSeq == (1 to g197.length),
+      "q197 rank permutation")
+    // q198: top-20 by the declared total order; n_occ ≥ df ≥ 1;
+    // df_share = df / #docs exactly.
+    val g198 = run("q198_repeated_ngrams").collect()
+    assert(g198.length <= 20, s"q198 rows: ${g198.length}")
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    g198.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(1) >= 1, s"q198: $r")
+      assert(r.getDouble(4) == r.getLong(1).toDouble / nDocs, s"q198 share: $r")
+    }
+    val keys = g198.map(r => (-r.getLong(1), -r.getLong(2), r.getString(0)))
+    assert(keys.sameElements(keys.sorted), "q198 order")
+  }
 }
