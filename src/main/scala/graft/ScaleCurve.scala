@@ -251,13 +251,18 @@ object ScaleCurve {
     // warm the session so size-1 rows aren't charged JVM spin-up
     docs(spark, 1000, regime).selectExpr("sum(length(text))").collect()
 
-    val pipelines: Seq[(String, DataFrame => DataFrame)] = Seq(
+    val all: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash_lsh" -> ((d: DataFrame) =>
         graft.ops.LlmExt2.minhashLshPairs(d, threshold = 0.6)),
       "simhash_blocked" -> simhashBlocked _,
       "incremental" -> incremental _,
       "prefix_filter" -> prefixFilter _,
       "snm_w8" -> snm _)
+    // optional 3rd arg: csv of pipeline names to run (default all)
+    val pipelines =
+      if (args.length > 2) { val want = args(2).split(",").map(_.trim).toSet
+        all.filter(p => want(p._1)) }
+      else all
     println(f"${"pipeline"}%-16s ${"n_docs"}%8s ${"sec"}%8s ${"pairs"}%10s")
     for ((nm, f) <- pipelines; n <- sizes) {
       val d = docs(spark, n, regime).localCheckpoint()
