@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
 object Round10j {
   import Tables._
 
+  /** q191's power-of-two bucket aggregation — (lang, cap) → exact
+    * (n_docs, sum_tok, max_len). Shared with the s29 streaming
+    * padding-waste monitor so the twins are the same logic by
+    * construction; every column is sum/max-mergeable, which is what lets
+    * the streaming side fold per-batch deltas into an exact snapshot. */
+  private[graft] def padBucketCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cap",
+        when(col("n_tok") <= 16, 16)
+          .when(col("n_tok") <= 32, 32)
+          .when(col("n_tok") <= 64, 64)
+          .otherwise(128))
+      .groupBy("lang", "cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+        max("n_tok").as("max_len"))
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // --------------------------------------------------------------- q191
@@ -38,16 +56,7 @@ object Round10j {
     // bins are the natural source).
     "q191_padding_waste" -> QDef(
       (s, d) => {
-        val t = documents(s, d).select(col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        t.withColumn("cap",
-            when(col("n_tok") <= 16, 16)
-              .when(col("n_tok") <= 32, 32)
-              .when(col("n_tok") <= 64, 64)
-              .otherwise(128))
-          .groupBy("lang", "cap")
-          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
-            max("n_tok").as("max_len"))
+        padBucketCounts(documents(s, d))
           .withColumn("waste", col("cap") * col("n_docs") - col("sum_tok"))
           .select(col("lang"), col("cap"), col("n_docs"), col("sum_tok"),
             col("max_len"), col("waste"),

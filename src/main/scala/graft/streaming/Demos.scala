@@ -1569,6 +1569,49 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s29 — streaming padding-waste monitor: the ingest twin of batch
+    * q191. Each micro-batch aggregates its docs into the shared
+    * power-of-two bucket counts (ops.Round10j.padBucketCounts — twins
+    * are the same logic by construction); the per-(lang, cap) deltas
+    * merge into a versioned exact snapshot (n_docs/sum_tok merge by sum,
+    * max_len by max — all associative, the s24 mergeable-summary
+    * argument; state is bounded by langs × rungs, never doc volume).
+    * waste and pad_share are DERIVED per publish from the merged exact
+    * sums, so they equal batch q191's numbers at every version. Commit
+    * protocol = s14's versioned overwrite ⇒ exactly-once under retries;
+    * once the whole corpus is in, the snapshot equals batch q191 EXACTLY. */
+  def s29PaddingMonitor(spark: SparkSession, docs: DataFrame,
+      dir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        paddingBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One padding-waste step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def paddingBatch(spark: SparkSession, batch: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delta = graft.ops.Round10j.padBucketCounts(batch)
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/counts")
+      case None    => delta.limit(0)
+    }
+    base.unionByName(delta)
+      .groupBy("lang", "cap")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_tok").as("sum_tok"),
+        max("max_len").as("max_len"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v=$version")

@@ -783,6 +783,55 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(counters(last) == got, "replaying the committed last batch changed the counters")
   }
 
+  test("s29: streaming padding-waste monitor — final snapshot equals batch " +
+    "q191, state is langs×rungs-bounded, replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s29").toString + "/pad"
+    val docs = graft.Tables.documents(spark, SharedSpark.sf001)
+      .select("doc_id", "lang", "text").orderBy("doc_id").collect()
+      .map(r => DocLang(r.getLong(0), r.getString(1), r.getString(2)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toVector
+    val input = MemoryStream[DocLang]
+    val q = Demos.s29PaddingMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def snapshot(v: Long): Map[(String, Int), (Long, Long, Long)] =
+      spark.read.parquet(s"$dir/v=$v/counts").collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = snapshot(last)
+    // batch q191: (lang, cap, n_docs, sum_tok, max_len, waste, pad_share);
+    // the snapshot's exact sums must reproduce ALL of it (waste/share are
+    // pure derivations of n_docs/sum_tok)
+    val expected = SparkEntry.queries("q191_padding_waste")(spark, SharedSpark.sf001)
+      .collect().map { r =>
+        ((r.getString(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      }.toMap
+    assert(got.keySet == expected.keySet, s"bucket sets differ: $got vs $expected")
+    got.foreach { case (k @ (_, cap), (n, sumTok, maxLen)) =>
+      val (en, esum, emax, ewaste, eshare) = expected(k)
+      assert(n == en && sumTok == esum && maxLen == emax, s"s29 $k: $got")
+      assert(cap * n - sumTok == ewaste, s"s29 waste $k")
+      assert((cap * n - sumTok).toDouble / (cap * n) == eshare, s"s29 share $k")
+    }
+    // state: one row per (lang, cap) bucket, never doc-volume-scaled
+    assert(got.size <= 5 * 4, "state not langs×rungs-bounded")
+    // versioned history pruned to the last two snapshots
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    // replay the committed last batch (post-crash re-execution)
+    Demos.paddingBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(snapshot(last) == got, "replaying the committed last batch changed the snapshot")
+  }
+
   test("s27: streaming burst monitor — published bursts equal batch q169, " +
     "state is hour-count-bounded, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
