@@ -2032,4 +2032,28 @@ class InvariantSpec extends AnyFunSuite {
     val keys = g198.map(r => (-r.getLong(1), -r.getLong(2), r.getString(0)))
     assert(keys.sameElements(keys.sorted), "q198 order")
   }
+
+  test("q199–q200 infrastructure-audit invariants") {
+    // q199: the consistent ring's whole point — growing 8→9 shards moves
+    // FAR less than modular resharding; both shares are proper fractions
+    // and the counts partition correctly.
+    val m = run("q199_shard_move").collect().head
+    val (nd, mr, mm) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    assert(nd == graft.Tables.documents(spark, sf001).count(), "q199 n_docs")
+    assert(mr <= nd && mm <= nd && mr < mm, s"q199 movement: $m")
+    assert(m.getDouble(3) == mr.toDouble / nd && m.getDouble(4) == mm.toDouble / nd,
+      s"q199 shares: $m")
+    // q200: the fixture's props is always '{"k": <int>}' — so every event
+    // is hit, each has exactly one digit run, and redaction collapses each
+    // type's payload space to exactly ONE template.
+    val g200 = run("q200_redaction").collect()
+    assert(g200.nonEmpty)
+    g200.foreach { r =>
+      val (n, hit, runs, masked, tpl) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(hit == n && runs == n, s"q200 coverage: $r")
+      assert(masked >= n, s"q200 masked chars: $r") // ≥1 digit per event
+      assert(tpl == 1L, s"q200 template collapse: $r")
+    }
+  }
 }
