@@ -1612,6 +1612,58 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s30 — streaming redaction monitor: the ingest twin of batch q200.
+    * Each micro-batch masks digit runs in its props payloads and folds
+    * per-(event_type, template) counters — n_events/n_hit/n_runs/
+    * n_chars_masked, all sum-mergeable — into the versioned exact
+    * snapshot keyed by (event_type, red). State is bounded by the
+    * TEMPLATE cardinality (what redaction is for: the payload space
+    * collapses to its templates — 1/type on this fixture), never event
+    * volume; q200's per-type rollup (incl. n_templates = row count per
+    * type) derives exactly from the snapshot at every version. Commit
+    * protocol = s14's versioned overwrite ⇒ exactly-once under retries. */
+  def s30RedactionMonitor(spark: SparkSession, events: DataFrame,
+      dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        redactionBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One redaction step (factored out so the spec can replay a batch
+    * with the same batchId and assert byte-identical output). */
+  private[graft] def redactionBatch(spark: SparkSession, batch: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delta = batch
+      .select(col("event_type"), col("props"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("red"))
+      .groupBy("event_type", "red")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("props") =!= col("red"), 1L).otherwise(0L)).as("n_hit"),
+        sum(size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long"))
+          .as("n_runs"),
+        sum((length(col("props")) - length(col("red"))).cast("long") +
+          size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long"))
+          .as("n_chars_masked"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/counts")
+      case None    => delta.limit(0)
+    }
+    base.unionByName(delta)
+      .groupBy("event_type", "red")
+      .agg(sum("n_events").as("n_events"), sum("n_hit").as("n_hit"),
+        sum("n_runs").as("n_runs"), sum("n_chars_masked").as("n_chars_masked"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v=$version")

@@ -832,6 +832,51 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(snapshot(last) == got, "replaying the committed last batch changed the snapshot")
   }
 
+  test("s30: streaming redaction monitor — derived per-type rollup equals " +
+    "batch q200, state is template-cardinality-bounded, replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s30").toString + "/red"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector
+    val input = MemoryStream[Event]
+    val q = Demos.s30RedactionMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    // derive q200's per-type rollup from the (event_type, template) snapshot
+    def rollup(v: Long): Map[String, (Long, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$dir/v=$v/counts").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          t -> ((rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum,
+            rows.map(_.getLong(4)).sum, rows.map(_.getLong(5)).sum,
+            rows.length.toLong))
+        }
+    val got = rollup(last)
+    val expected = SparkEntry.queries("q200_redaction")(spark, SharedSpark.sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == expected, s"streamed redaction rollup $got != batch q200 $expected")
+    // state: one row per (type, template) — template cardinality, not volume
+    assert(spark.read.parquet(s"$dir/v=$last/counts").count() ==
+      expected.values.map(_._5).sum, "state not template-cardinality-bounded")
+    // versioned history pruned to the last two snapshots
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    // replay the committed last batch (post-crash re-execution)
+    Demos.redactionBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(rollup(last) == got, "replaying the committed last batch changed the snapshot")
+  }
+
   test("s27: streaming burst monitor — published bursts equal batch q169, " +
     "state is hour-count-bounded, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
