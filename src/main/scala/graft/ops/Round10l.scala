@@ -3,15 +3,18 @@ package graft.ops
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** Round-10 batch 12: two infrastructure-audit operators — the
+/** Round-10 batch 12: infrastructure-audit operators — the
   * consistent-hash re-sharding audit (q199: how much data MOVES when the
-  * shard count grows, ring vs modular) and the PII-style redaction audit
-  * (q200: transform + verify counts for a masking pass).
+  * shard count grows, ring vs modular), the PII-style redaction audit
+  * (q200: transform + verify counts for a masking pass), the native
+  * as-of join's TOLERANCE path as a declared query (q201: attribution
+  * windows), and a declarative data-quality constraint suite (q202).
   *
   * Determinism: every hash is the portable md5-hex→int64 family (the q69
   * convention — identical strings hashed in both engines), ring lookups
-  * are integer comparisons over constant-folded arrays, and all reported
-  * shares are raw IEEE quotients of exact int64 counts.
+  * are integer comparisons over constant-folded arrays, timestamps
+  * compare exactly (micros in both engines), and all reported shares are
+  * raw IEEE quotients of exact int64 counts.
   */
 object Round10l {
   import Tables._
@@ -142,6 +145,124 @@ object Round10l {
         |             regexp_replace(props, '[0-9]+', '#', 'g') AS red
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q201
+    // As-of join WITH TOLERANCE: each purchase attributed to the user's
+    // latest click STRICTLY BEFORE it, but only if that click is within
+    // the 1-hour attribution window — the marketing-attribution shape,
+    // and the declared-query gate for the native operator's tolerance
+    // path (plans/AsOfJoin toleranceMicros; strict/plain forms are
+    // q64/q68). Scale shape: the native plan declares distribution on
+    // user_id and (user_id, ts) ordering — one exchange+sort per side,
+    // then a linear per-partition merge; no window over the raw stream,
+    // no inequality join. Tolerance is evaluated against the latest
+    // earlier click (attribution semantics: an old click does NOT fall
+    // through to an even older one), which is exactly how the oracle's
+    // MAX-then-filter spells it.
+    "q201_asof_tolerance" -> QDef(
+      (s, d) => {
+        val ev = events(s, d)
+        graft.plans.AsOfJoin.asof(
+          left = ev.where(col("event_type") === "purchase"),
+          right = ev.where(col("event_type") === "click"),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("ts" -> "attrib_click_ts"),
+          toleranceMicros = 3600L * 1000 * 1000)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("attrib_click_ts"),
+            col("attrib_click_ts").isNotNull.cast("int").as("attributed"))
+          .orderBy("event_id")
+      },
+      """WITH last AS (
+        |  SELECT p.event_id, p.user_id, p.ts, MAX(c.ts) AS last_click_ts
+        |  FROM events p LEFT JOIN events c
+        |    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+        |  WHERE p.event_type = 'purchase'
+        |  GROUP BY p.event_id, p.user_id, p.ts)
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR
+        |            THEN last_click_ts END AS attrib_click_ts,
+        |       CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR
+        |            THEN 1 ELSE 0 END AS attributed
+        |FROM last ORDER BY event_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q202
+    // Declarative data-quality constraint suite — the dbt-style audit a
+    // warehouse runs per ingest, as ONE query: primary-key uniqueness,
+    // referential integrity, accepted values, non-negativity, and date
+    // range, each reported as (constraint, n_checked, n_violations).
+    // Scale shape: one conditional-aggregation pass per table (uniqueness
+    // via n − distinct in the same agg), the FK check is a broadcast
+    // anti-join count, and the suite assembles by unioning 1-row
+    // aggregates unpivoted through stack() — every build side is a
+    // grouping-free aggregate (bounded by construction for the NLJ gate).
+    "q202_dq_suite" -> QDef(
+      (s, d) => {
+        val o = orders(s, d)
+        val oAgg = o.agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+            .as("v_status"),
+          sum(when(col("o_orderdate") < lit("1990-01-01").cast("date") ||
+            col("o_orderdate") > lit("2005-12-31").cast("date"), 1L)
+            .otherwise(0L)).as("v_date"))
+        val fkViol = o.join(customer(s, d),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk"))
+        val l = lineitem(s, d)
+        val lAgg = l.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v_qty"),
+          sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("v_price"))
+        val oRows = oAgg.crossJoin(broadcast(fkViol)).selectExpr(
+          """stack(4,
+            |  'orders_pk_unique', n, v_pk,
+            |  'orders_fk_customer', n, v_fk,
+            |  'orders_status_accepted', n, v_status,
+            |  'orders_date_range', n, v_date)
+            |AS (`constraint`, n_checked, n_violations)""".stripMargin)
+        val lRows = lAgg.selectExpr(
+          """stack(2,
+            |  'lineitem_qty_positive', n, v_qty,
+            |  'lineitem_price_nonneg', n, v_price)
+            |AS (`constraint`, n_checked, n_violations)""".stripMargin)
+        oRows.unionByName(lRows)
+          .select(col("constraint"), col("n_checked"), col("n_violations"),
+            (col("n_violations") === 0).cast("int").as("passed"))
+          .orderBy("constraint")
+      },
+      """WITH o AS (
+        |  SELECT COUNT(*) AS n,
+        |         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_pk,
+        |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |         CAST(SUM(CASE WHEN o_orderdate < DATE '1990-01-01'
+        |                         OR o_orderdate > DATE '2005-12-31'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+        |  FROM orders),
+        |fk AS (SELECT COUNT(*) AS v_fk FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |l AS (SELECT COUNT(*) AS n,
+        |             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS v_qty,
+        |             CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS v_price
+        |      FROM lineitem),
+        |rows AS (
+        |  SELECT 'orders_pk_unique' AS "constraint", o.n AS n_checked,
+        |         o.v_pk AS n_violations FROM o
+        |  UNION ALL SELECT 'orders_fk_customer', o.n, fk.v_fk FROM o CROSS JOIN fk
+        |  UNION ALL SELECT 'orders_status_accepted', o.n, o.v_status FROM o
+        |  UNION ALL SELECT 'orders_date_range', o.n, o.v_date FROM o
+        |  UNION ALL SELECT 'lineitem_qty_positive', l.n, l.v_qty FROM l
+        |  UNION ALL SELECT 'lineitem_price_nonneg', l.n, l.v_price FROM l)
+        |SELECT "constraint", n_checked, n_violations,
+        |       CAST(n_violations = 0 AS INTEGER) AS passed
+        |FROM rows ORDER BY "constraint"""".stripMargin
     )
   )
 }

@@ -2056,4 +2056,40 @@ class InvariantSpec extends AnyFunSuite {
       assert(tpl == 1L, s"q200 template collapse: $r")
     }
   }
+
+  test("q201–q202 asof-tolerance/DQ-suite invariants") {
+    // q201: the tolerance path is EXACTLY q64's plain as-of answer with
+    // the >1-hour attributions nulled — never a different click.
+    val plain = run("q64_asof_native").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getTimestamp(3).getTime)))
+      .toMap
+    val g201 = run("q201_asof_tolerance").collect()
+    assert(g201.length == plain.size, "q201 row count != q64")
+    g201.foreach { r =>
+      val ts = r.getTimestamp(2).getTime
+      val attributed = r.getInt(4)
+      if (!r.isNullAt(3)) {
+        val a = r.getTimestamp(3).getTime
+        assert(attributed == 1 && plain(r.getLong(0)).contains(a), s"q201: $r")
+        assert(ts - a >= 0 && ts - a <= 3600L * 1000, s"q201 window: $r")
+      } else {
+        assert(attributed == 0, s"q201 flag: $r")
+        plain(r.getLong(0)).foreach { a =>
+          assert(ts - a > 3600L * 1000, s"q201 should have attributed: $r vs $a")
+        }
+      }
+    }
+    // q202: the fixture is clean — every constraint passes with zero
+    // violations, and n_checked matches the audited tables.
+    val g202 = run("q202_dq_suite").collect()
+    assert(g202.length == 6, s"q202 rows: ${g202.length}")
+    val nOrders = graft.Tables.orders(spark, sf001).count()
+    val nLineitem = graft.Tables.lineitem(spark, sf001).count()
+    g202.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getInt(3) == 1, s"q202 violation: $r")
+      val expectN = if (r.getString(0).startsWith("orders")) nOrders else nLineitem
+      assert(r.getLong(1) == expectN, s"q202 n_checked: $r")
+    }
+  }
 }
