@@ -1664,6 +1664,65 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s31 — streaming data-quality monitor: the ingest twin of batch
+    * q202's constraint suite, covering its ROW-LOCAL constraints (FK
+    * integrity against the static broadcast customer dim, accepted
+    * status values, date range) — exactly the per-row checks whose
+    * (n_checked, n_violations) counters are sum-mergeable, so the
+    * versioned snapshot is exact at every version and equals batch
+    * q202's rows for those constraints once the table is in.
+    * PK-uniqueness deliberately stays out: it is NOT mergeable from
+    * per-batch counters (a duplicate can straddle batches) — in a live
+    * pipeline it composes with the s8 keyed-dedup GroupState pattern
+    * instead. State = 3 counter rows; commit protocol = s14's versioned
+    * overwrite ⇒ exactly-once under retries. */
+  def s31DqMonitor(spark: SparkSession, orders: DataFrame,
+      customerDim: DataFrame, dir: String): StreamingQuery =
+    orders.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        dqBatch(spark, batch.toDF(), customerDim, dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One DQ step (factored out so the spec can replay a batch with the
+    * same batchId and assert byte-identical output). */
+  private[graft] def dqBatch(spark: SparkSession, batch: DataFrame,
+      customerDim: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val agg = batch.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("v_status"),
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("date") ||
+        col("o_orderdate") > lit("2005-12-31").cast("date"), 1L)
+        .otherwise(0L)).as("v_date"))
+    val fk = batch.join(broadcast(customerDim),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val delta = agg.crossJoin(fk).selectExpr(
+      """stack(3,
+        |  'orders_fk_customer', n, v_fk,
+        |  'orders_status_accepted', n, v_status,
+        |  'orders_date_range', n, v_date)
+        |AS (`constraint`, n_checked, n_violations)""".stripMargin)
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/counts")
+      case None    => delta.limit(0)
+    }
+    base.unionByName(delta)
+      .groupBy("constraint")
+      .agg(sum("n_checked").as("n_checked"),
+        sum("n_violations").as("n_violations"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v=$version")

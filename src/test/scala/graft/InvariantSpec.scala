@@ -2092,4 +2092,50 @@ class InvariantSpec extends AnyFunSuite {
       assert(r.getLong(1) == expectN, s"q202 n_checked: $r")
     }
   }
+
+  test("q203–q204 reconciliation/bootstrap invariants") {
+    // q203: the outcome classes partition each status's orders exactly,
+    // totals cover the orders table, and the headers-without-lines count
+    // matches an independent anti-join.
+    val g203 = run("q203_order_reconcile").collect()
+    val o = graft.Tables.orders(spark, sf001)
+    val li = graft.Tables.lineitem(spark, sf001)
+    assert(g203.map(_.getLong(1)).sum == o.count(), "q203 total orders")
+    g203.foreach { r =>
+      val (n, noL, ex, wc, off) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(noL + ex + wc + off == n, s"q203 partition: $r")
+    }
+    val noLinesIndep = o.join(li.select(col("l_orderkey")).distinct(),
+      col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+    assert(g203.map(_.getLong(2)).sum == noLinesIndep, "q203 no_lines")
+    // q204: 64 replicates; each effective n concentrates around the true
+    // n (Poisson(1) per row ⇒ sd = √n); each resample mean lies inside
+    // the data's value range; replicate 0 re-derives exactly through an
+    // independent spelling of the hash ladder.
+    val g204 = run("q204_bootstrap_ci").collect()
+    assert(g204.length == 64, s"q204 replicates: ${g204.length}")
+    val nO = o.count()
+    val bound = 6 * math.sqrt(nO.toDouble) + 10
+    g204.foreach { r =>
+      assert(math.abs(r.getLong(1) - nO) <= bound, s"q204 n_eff: $r vs $nO")
+    }
+    val range = o.agg(min("o_totalprice"), max("o_totalprice")).collect().head
+    g204.foreach { r =>
+      val m = r.getDouble(2)
+      assert(m >= range.getDouble(0) - 1 && m <= range.getDouble(1) + 1,
+        s"q204 mean range: $r")
+    }
+    val b0 = o.selectExpr("CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents",
+        """CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#0')),
+          |1, 15), 16, 10) AS BIGINT) % 100000 AS u""".stripMargin)
+      .selectExpr("cents",
+        """CASE WHEN u < 36788 THEN 0 WHEN u < 73576 THEN 1
+          |WHEN u < 91970 THEN 2 WHEN u < 98101 THEN 3 WHEN u < 99634 THEN 4
+          |WHEN u < 99941 THEN 5 WHEN u < 99992 THEN 6 ELSE 7 END AS w""".stripMargin)
+      .selectExpr("CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100 AS m")
+      .collect().head.getDouble(0)
+    val got0 = g204.find(_.getInt(0) == 0).get.getDouble(2)
+    assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
+  }
 }

@@ -877,6 +877,46 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(rollup(last) == got, "replaying the committed last batch changed the snapshot")
   }
 
+  test("s31: streaming DQ monitor — final counters equal batch q202's " +
+    "row-local constraints, state is 3 rows, replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s31").toString + "/dq"
+    val custDim = graft.Tables.customer(spark, SharedSpark.sf001)
+      .select("c_custkey").localCheckpoint()
+    val ords = graft.Tables.orders(spark, SharedSpark.sf001)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").orderBy("o_orderkey").collect()
+      .map(r => graft.ops.Order(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getAs[java.time.LocalDateTime](4), r.getString(5)))
+    val chunks = ords.grouped((ords.length + 2) / 3).toVector
+    val input = MemoryStream[graft.ops.Order]
+    val q = Demos.s31DqMonitor(spark, input.toDF(), custDim, dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def counters(v: Long): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$dir/v=$v/counts").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = counters(last)
+    val expected = SparkEntry.queries("q202_dq_suite")(spark, SharedSpark.sf001)
+      .collect()
+      .filter(r => Set("orders_fk_customer", "orders_status_accepted",
+        "orders_date_range")(r.getString(0)))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"streamed DQ counters $got != batch q202 $expected")
+    assert(got.size == 3, "state not 3 counter rows")
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    Demos.dqBatch(spark, chunks.last.toSeq.toDF(), custDim, dir, last)
+    assert(counters(last) == got, "replaying the committed last batch changed the counters")
+  }
+
   test("s27: streaming burst monitor — published bursts equal batch q169, " +
     "state is hour-count-bounded, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
