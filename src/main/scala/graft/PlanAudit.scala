@@ -72,7 +72,14 @@ object PlanAudit {
     // q48: the DELIBERATE all-pairs cosine oracle twin — inequality-only
     // self-join on the 1/5 vec_id carve; the scale paths are the
     // bucket-equi-joined q52/q62 (labeled in code, PlanShapeSpec-gated).
-    "q48_embedding_neardup")
+    "q48_embedding_neardup",
+    // q206: the ADC scan's build side is the per-query 128-long LUT-array
+    // aggregate over the vec_id < 10 query carve — query-set-sized by
+    // definition (one row per query; the .limit(maxQ) no-op that would
+    // make the bound structural is folded away by the optimizer, the
+    // q187 lesson). The probe side is the packed-codes scan — the whole
+    // point is that it streams map-side against the broadcast LUTs.
+    "q206_pq_adc")
 
   /** True when a nested-loop join's BUILD side cannot exceed broadcast
     * scale BY CONSTRUCTION: its defining node (walking through row-

@@ -224,6 +224,43 @@ object ScaleCurve {
         graft.ops.Ann.ivfTopK(index, centroids,
           q.select(col("qid"), col("qe")), k = K, nprobe = 8)
       }, Some(brute))
+
+      // q205/q206's PQ — codebook train (inside the clock: the build IS
+      // the cost) + the packed-code map-side ADC scan (q206's shape).
+      // Recall vs the COSINE brute answer also charges the L2-vs-cosine
+      // metric gap — the honest number for swapping PQ into this harness.
+      def adcAll() = {
+        val (codes, cent) = graft.ops.Round10n.pqCodebook(
+          emb.select(col("vec_id"), col("e").as("embedding")))
+        graft.ops.Round10n.adcDistances(codes, cent,
+          graft.ops.Round10n.pqSub(emb.where(col("vec_id") < 100)
+            .select(col("vec_id"), col("e").as("embedding")))
+            .withColumnRenamed("vec_id", "qid"),
+          maxQ = 100)
+      }
+      val wAdc = Window.partitionBy("qid").orderBy(col("adc_dist"), col("vid"))
+      timed("pq_adc", () =>
+        adcAll()
+          .withColumn("rnk", row_number().over(wAdc)).where(col("rnk") <= K)
+          .select(col("qid"), col("vid").as("vec_id")),
+        Some(brute))
+
+      // PQ as production runs it: ADC generates top-50 CANDIDATES from
+      // the codes, exact cosine re-ranks the 50 raw vectors per query
+      // (the IVF-PQ "refine" step — candidate IO stays 8 bytes/vector,
+      // exactness returns at the re-rank)
+      timed("pq_rerank50", () =>
+        adcAll()
+          .withColumn("rnk", row_number().over(wAdc)).where(col("rnk") <= 50)
+          .join(emb.select(col("vec_id").as("vid"), col("e").as("ve"),
+            col("n2").as("vn")), "vid")
+          .join(broadcast(q), "qid")
+          .withColumn("cos_sim", dotC(col("qe"), col("ve")) / sqrt(col("qn") * col("vn")))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))))
+          .where(col("rr") <= K)
+          .select(col("qid"), col("vid").as("vec_id")),
+        Some(brute))
     }
   }
 

@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-10 batch 14: product quantization — the third leg of the ANN
+  * family's scale path (q41 brute / q52 LSH / q62 IVF → q205 codebook
+  * training, q206 asymmetric-distance search). PQ is the standard
+  * 100 TB embedding-store layout: 64-dim float vectors compress to 8
+  * one-byte codes (one per 8-dim subspace), and search scans codes with
+  * a per-query lookup table instead of raw vectors — 32× less IO.
+  *
+  * EVERYTHING here is exact integer arithmetic, so the DuckDB oracle
+  * replays the WHOLE pipeline — codebook training included — rather than
+  * settling for a rows-only check: vectors enter the 1e6-quantized long
+  * grid (the q192 bridge), k-means runs 2 UNROLLED Lloyd iterations from
+  * fixed seeds (vec_id < 16 subvectors), distances are int64 squared-L2
+  * sums, argmin ties break on the centroid id through a single encoded
+  * key (dist·65536 + j — dist ≤ 1.1e13 < 2^47 keeps the key in int64),
+  * and centroid updates are FLOOR(sum/n) through an exact-double
+  * division (sums < 2^53). No floats anywhere a codebook decision is
+  * made ⇒ bit-identical codebooks, codes, and ADC distances in both
+  * engines.
+  */
+object Round10n {
+  import Tables._
+
+  private val distE =
+    "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+
+  /** (vec_id, s ∈ 0..7, v: 8 quantized longs) — the subspace view. */
+  private[graft] def pqSub(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+          .as("q"))
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("q"))
+      .select(col("vec_id"), col("s"), expr("slice(q, 8 * s + 1, 8)").as("v"))
+
+  /** Assign every (vec_id, s) row to its nearest centroid of `cent`
+    * (columns s, j, c): returns (vec_id, s, v, code, dist). */
+  private def assign(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), Seq("s"))
+      .withColumn("key", expr(distE) * lit(65536L) + col("j"))
+      .groupBy("vec_id", "s")
+      .agg(min("key").as("key"), min("v").as("v"))
+      .select(col("vec_id"), col("s"), col("v"),
+        (col("key") % 65536).as("code"), expr("key DIV 65536").as("dist"))
+
+  /** One Lloyd update: per-(s, code, dim) FLOOR(mean) on the quantized
+    * grid, empty clusters keep their previous centroid. */
+  private def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val newC = assigned
+      .select(col("s"), col("code").as("j"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("s", "j", "d")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("s"), col("j"), col("d"),
+        floor(col("sx").cast("double") / col("n")).cast("long").as("cd"))
+      .groupBy("s", "j")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        x => x("cd")).as("cnew"))
+    prev.join(newC, Seq("s", "j"), "left")
+      .select(col("s"), col("j"), coalesce(col("cnew"), col("c")).as("c"))
+  }
+
+  /** The trained codebook after 2 Lloyd iterations + the final code
+    * assignment: (codes(vec_id, s, code, dist), centroids(s, j, c)).
+    * Both localCheckpointed — the codebook feeds training output, ADC
+    * LUTs, and the ScaleCurve harness. */
+  private[graft] def pqCodebook(emb: DataFrame): (DataFrame, DataFrame) = {
+    val sub = pqSub(emb).localCheckpoint()
+    val c0 = sub.where(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").as("j"), col("v").as("c"))
+    val c1 = update(assign(sub, c0), c0).localCheckpoint()
+    val c2 = update(assign(sub, c1), c1).localCheckpoint()
+    (assign(sub, c2).select("vec_id", "s", "code", "dist").localCheckpoint(), c2)
+  }
+
+  /** Codes packed to one 8-long array per vector (the production layout:
+    * 8 bytes/vector at nbits=8) — ADC then needs NO per-subspace shuffle. */
+  private[graft] def packedCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x("code")).as("ca"))
+
+  /** Per-query ADC lookup table as ONE 128-long array indexed by
+    * s·16 + j — the whole-query LUT a scan reads per row. */
+  private[graft] def lutArrays(qsub: DataFrame, cent: DataFrame): DataFrame =
+    qsub.join(broadcast(cent), Seq("s"))
+      .select(col("qid"), (col("s") * 16 + col("j")).as("idx"),
+        expr(distE).as("ld"))
+      .groupBy("qid")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("ld")))),
+        x => x("ld")).as("la"))
+
+  /** ADC distances for every (query, vector) pair as a pure MAP-SIDE
+    * lookup sum: packed codes × broadcast LUT arrays (the `.limit(maxQ)`
+    * no-op makes the build structurally bounded for the NLJ gate), the
+    * 8 lookups UNROLLED into one plain expression — a HOF fold here is
+    * interpreted per row and dominated the 25M-row curve scan; the
+    * unrolled element_at sum stays inside whole-stage codegen.
+    * Returns (qid, vid, adc_dist). */
+  private[graft] def adcDistances(codes: DataFrame, cent: DataFrame,
+      qsub: DataFrame, maxQ: Int): DataFrame = {
+    val lookupSum = (0 until 8)
+      .map(s => s"element_at(la, CAST(${s * 16} + element_at(ca, ${s + 1}) + 1 AS INT))")
+      .mkString(" + ")
+    packedCodes(codes)
+      .crossJoin(broadcast(lutArrays(qsub, cent).limit(maxQ)))
+      .select(col("qid"), col("vec_id").as("vid"),
+        expr(lookupSum).as("adc_dist"))
+      .where(col("vid") =!= col("qid"))
+  }
+
+  /** The full training pipeline as DuckDB CTEs, shared by both oracles:
+    * binds `sub` (subspace rows), `c2` (trained centroids), and `codes`
+    * (final assignment with per-row quantization error). */
+  private val oracleCodebook =
+    """sub AS (
+      |  SELECT vec_id, CAST(ss.s AS INTEGER) AS s,
+      |         q[8 * ss.s + 1 : 8 * ss.s + 8] AS v
+      |  FROM (SELECT vec_id,
+      |               list_transform(CAST(embedding AS DOUBLE[]),
+      |                 x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS q
+      |        FROM embeddings) qv
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) ss),
+      |c0 AS (SELECT s, vec_id AS j, v AS c FROM sub WHERE vec_id < 16),
+      |a1 AS (
+      |  SELECT vec_id, s, MIN(v) AS v, MIN(
+      |    list_aggregate(list_transform(list_zip(v, c),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') * 65536 + j) AS key
+      |  FROM sub JOIN c0 USING (s) GROUP BY vec_id, s),
+      |u1 AS (
+      |  SELECT s, key % 65536 AS j, d,
+      |         CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+      |  FROM (SELECT s, key, unnest(v) AS x,
+      |               unnest(generate_series(1, 8)) AS d
+      |        FROM a1) ex
+      |  GROUP BY 1, 2, 3),
+      |c1 AS (
+      |  SELECT c0.s, c0.j,
+      |         coalesce(list(u1.cd ORDER BY u1.d), c0.c) AS c
+      |  FROM c0 LEFT JOIN u1 ON c0.s = u1.s AND c0.j = u1.j
+      |  GROUP BY c0.s, c0.j, c0.c),
+      |a2 AS (
+      |  SELECT vec_id, s, MIN(v) AS v, MIN(
+      |    list_aggregate(list_transform(list_zip(v, c),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') * 65536 + j) AS key
+      |  FROM sub JOIN c1 USING (s) GROUP BY vec_id, s),
+      |u2 AS (
+      |  SELECT s, key % 65536 AS j, d,
+      |         CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+      |  FROM (SELECT s, key, unnest(v) AS x,
+      |               unnest(generate_series(1, 8)) AS d
+      |        FROM a2) ex
+      |  GROUP BY 1, 2, 3),
+      |c2 AS (
+      |  SELECT c1.s, c1.j,
+      |         coalesce(list(u2.cd ORDER BY u2.d), c1.c) AS c
+      |  FROM c1 LEFT JOIN u2 ON c1.s = u2.s AND c1.j = u2.j
+      |  GROUP BY c1.s, c1.j, c1.c),
+      |codes AS (
+      |  SELECT vec_id, s, CAST(key % 65536 AS BIGINT) AS code,
+      |         CAST(key // 65536 AS BIGINT) AS dist
+      |  FROM (SELECT vec_id, s, MIN(
+      |          list_aggregate(list_transform(list_zip(v, c),
+      |            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') * 65536 + j) AS key
+      |        FROM sub JOIN c2 USING (s) GROUP BY vec_id, s) f)""".stripMargin
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // --------------------------------------------------------------- q205
+    // PQ codebook training audit: per (subspace, code) the assigned
+    // vector count and the summed squared quantization error — the
+    // training objective surface (code balance + SSE is what you watch
+    // when choosing nbits/subspaces). Scale shape: the subspace view is
+    // a map-side 8× explode; each Lloyd step is one broadcast join
+    // (128-row codebook) + a map-side-combinable (vec_id, s) argmin +
+    // a (s, j, d) rollup whose cardinality is 8·16·8 = 1024 regardless
+    // of corpus size; 2 iterations unrolled — no driver loop.
+    "q205_pq_train" -> QDef(
+      (s, d) => {
+        val (codes, _) = pqCodebook(embeddings(s, d))
+        codes.groupBy("s", "code")
+          .agg(count(lit(1)).as("n_vecs"), sum("dist").as("sse"))
+          .orderBy("s", "code")
+      },
+      s"""WITH $oracleCodebook
+         |SELECT s, code, COUNT(*) AS n_vecs,
+         |       CAST(SUM(dist) AS BIGINT) AS sse
+         |FROM codes GROUP BY 1, 2 ORDER BY s, code""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q206
+    // PQ asymmetric-distance (ADC) top-k: the 10 query vectors rank the
+    // corpus by Σ_s LUT[qid, s·16 + code(vid, s)] — search touches only
+    // the PACKED CODES (one 8-long array per vector; 8 bytes at
+    // production nbits), never raw vectors: the 100 TB ANN scan shape.
+    // Approximate by design but fully deterministic, so the oracle
+    // replays it exactly (recall vs brute force is measured in
+    // ScaleCurve's ann regime, not here — with the re-rank refinement).
+    // Scale shape: the LUT is ONE 128-long array per query (broadcast,
+    // structurally bounded build); ADC is a pure map-side 8-lookup fold
+    // per (query, vector) row — NO shuffle until the per-query top-5,
+    // which is a qid-PARTITIONED window (never global). The first form —
+    // an (s, code) equi-join + (qid, vid) rollup — shuffled 8 rows per
+    // pair and cost 48 s at 250k vecs in the curve; this form is the
+    // fix (measured in SCALE.md §11 ann).
+    "q206_pq_adc" -> QDef(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val (codes, cent) = pqCodebook(emb)
+        val qsub = pqSub(emb.where(col("vec_id") < 10))
+          .withColumnRenamed("vec_id", "qid")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("adc_dist"), col("vid"))
+        adcDistances(codes, cent, qsub, maxQ = 10)
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("vid"), col("adc_dist"), col("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      s"""WITH $oracleCodebook,
+         |qsub AS (SELECT vec_id AS qid, s, v FROM sub WHERE vec_id < 10),
+         |pc AS (SELECT vec_id, list(code ORDER BY s) AS ca
+         |       FROM codes GROUP BY vec_id),
+         |lutA AS (
+         |  SELECT qid, list(ld ORDER BY idx) AS la
+         |  FROM (SELECT qid, s * 16 + j AS idx,
+         |               list_aggregate(list_transform(list_zip(v, c),
+         |                 p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS ld
+         |        FROM qsub JOIN c2 USING (s)) x
+         |  GROUP BY qid),
+         |adc AS (
+         |  SELECT l.qid, pc.vec_id AS vid,
+         |         CAST(${(0 until 8).map(s =>
+                      s"la[CAST(${s * 16} + ca[${s + 1}] + 1 AS INTEGER)]")
+                      .mkString(" + ")} AS BIGINT) AS adc_dist
+         |  FROM pc CROSS JOIN lutA l WHERE pc.vec_id <> l.qid),
+         |r AS (SELECT qid, vid, adc_dist,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY adc_dist, vid) AS INTEGER) AS rnk
+         |      FROM adc)
+         |SELECT qid, vid, adc_dist, rnk FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    )
+  )
+}

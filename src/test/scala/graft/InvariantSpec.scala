@@ -2138,4 +2138,33 @@ class InvariantSpec extends AnyFunSuite {
     val got0 = g204.find(_.getInt(0) == 0).get.getDouble(2)
     assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
   }
+
+  test("q205–q206 product-quantization invariants") {
+    // q205: every subspace's code counts re-add to the corpus size, codes
+    // live in [0, 16), SSE is nonnegative, and at most 8×16 cells exist.
+    val g205 = run("q205_pq_train").collect()
+    assert(g205.length <= 128, s"q205 cells: ${g205.length}")
+    val nVecs = graft.Tables.embeddings(spark, sf001).count()
+    g205.groupBy(_.getInt(0)).foreach { case (s, rows) =>
+      assert(rows.map(_.getLong(2)).sum == nVecs, s"q205 partition s=$s")
+    }
+    g205.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 16 && r.getLong(3) >= 0,
+        s"q205: $r")
+    }
+    // q206: exactly 5 ranked neighbors per query, rank-dense, ADC
+    // distances nondecreasing in rank, never the query itself.
+    val g206 = run("q206_pq_adc").collect()
+    val byQ = g206.groupBy(_.getLong(0))
+    assert(byQ.size == math.min(10L, nVecs).toInt, s"q206 queries: ${byQ.size}")
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length),
+        s"q206 rank density qid=$qid")
+      assert(sorted.forall(_.getLong(1) != qid), s"q206 self-match qid=$qid")
+      val dists = sorted.map(_.getLong(2))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"q206 monotone qid=$qid")
+    }
+  }
 }
