@@ -229,14 +229,13 @@ object ScaleCurve {
       // the cost) + the packed-code map-side ADC scan (q206's shape).
       // Recall vs the COSINE brute answer also charges the L2-vs-cosine
       // metric gap — the honest number for swapping PQ into this harness.
+      def qsubAll = graft.ops.Round10n.pqSub(emb.where(col("vec_id") < 100)
+        .select(col("vec_id"), col("e").as("embedding")))
+        .withColumnRenamed("vec_id", "qid")
       def adcAll() = {
         val (codes, cent) = graft.ops.Round10n.pqCodebook(
           emb.select(col("vec_id"), col("e").as("embedding")))
-        graft.ops.Round10n.adcDistances(codes, cent,
-          graft.ops.Round10n.pqSub(emb.where(col("vec_id") < 100)
-            .select(col("vec_id"), col("e").as("embedding")))
-            .withColumnRenamed("vec_id", "qid"),
-          maxQ = 100)
+        graft.ops.Round10n.adcDistances(codes, cent, qsubAll, maxQ = 100)
       }
       val wAdc = Window.partitionBy("qid").orderBy(col("adc_dist"), col("vid"))
       timed("pq_adc", () =>
@@ -261,6 +260,28 @@ object ScaleCurve {
           .where(col("rr") <= K)
           .select(col("qid"), col("vid").as("vec_id")),
         Some(brute))
+
+      // The production posture: the codebook trains ONCE on a FIXED 5k
+      // sample (constant cost at any N), then one encode pass over the
+      // corpus — 16 broadcast distances/subvector instead of pq_adc's
+      // 3 full training passes. Same re-rank refinement as above.
+      timed("pq_strain_rr50", () => {
+        val cent = graft.ops.Round10n.pqCodebook(
+          emb.where(col("vec_id") < 5000)
+            .select(col("vec_id"), col("e").as("embedding")))._2
+        val codes = graft.ops.Round10n.pqEncode(
+          emb.select(col("vec_id"), col("e").as("embedding")), cent)
+        graft.ops.Round10n.adcDistances(codes, cent, qsubAll, maxQ = 100)
+          .withColumn("rnk", row_number().over(wAdc)).where(col("rnk") <= 50)
+          .join(emb.select(col("vec_id").as("vid"), col("e").as("ve"),
+            col("n2").as("vn")), "vid")
+          .join(broadcast(q), "qid")
+          .withColumn("cos_sim", dotC(col("qe"), col("ve")) / sqrt(col("qn") * col("vn")))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))))
+          .where(col("rr") <= K)
+          .select(col("qid"), col("vid").as("vec_id"))
+      }, Some(brute))
     }
   }
 

@@ -76,6 +76,15 @@ object Round10n {
     (assign(sub, c2).select("vec_id", "s", "code", "dist").localCheckpoint(), c2)
   }
 
+  /** Encode a corpus against an ALREADY-TRAINED codebook: ONE broadcast
+    * assign pass (16 centroid distances per subvector). This is the
+    * production posture — training runs once on a fixed-size sample
+    * (codebook quality needs a distribution, not the corpus), so encode
+    * is the only cost that scales with N. Measured in ScaleCurve's ann
+    * regime as pq_strain_rr50. */
+  private[graft] def pqEncode(emb: DataFrame, cent: DataFrame): DataFrame =
+    assign(pqSub(emb), cent).select("vec_id", "s", "code", "dist")
+
   /** Codes packed to one 8-long array per vector (the production layout:
     * 8 bytes/vector at nbits=8) — ADC then needs NO per-subspace shuffle. */
   private[graft] def packedCodes(codes: DataFrame): DataFrame =
