@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
 object Round10n {
   import Tables._
 
-  private val distE =
-    "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+  /** Σ_i (v[i]−c[i])² over the 8-dim subvectors, UNROLLED into plain
+    * element_at arithmetic — a HOF fold here is interpreted per
+    * (row × centroid) and dominated training (the q206 ADC lesson);
+    * the unrolled form stays inside whole-stage codegen. */
+  private val distE = (1 to 8)
+    .map(i => s"(element_at(v, $i) - element_at(c, $i)) * (element_at(v, $i) - element_at(c, $i))")
+    .mkString(" + ")
 
   /** (vec_id, s ∈ 0..7, v: 8 quantized longs) — the subspace view. */
   private[graft] def pqSub(emb: DataFrame): DataFrame =
@@ -68,12 +73,21 @@ object Round10n {
     * Both localCheckpointed — the codebook feeds training output, ADC
     * LUTs, and the ScaleCurve harness. */
   private[graft] def pqCodebook(emb: DataFrame): (DataFrame, DataFrame) = {
-    val sub = pqSub(emb).localCheckpoint()
+    // Only c1/c2 are checkpointed: each is referenced twice (the next
+    // assign + the next update's fallback join), so an un-checkpointed
+    // codebook would re-execute its whole training lineage per reference
+    // — 2^depth blowup. `sub` and the final codes are map-side re-derivable
+    // (parquet scan + explode) and single-consumer respectively: an eager
+    // checkpoint job there is pure barrier latency (measured round 10:
+    // dropping both + the codegen'd distE cut q205/q206 ~3.5 → ~2.9 s
+    // warm on the same contended window; the residual is the 2 training
+    // checkpoints + ~6 shuffle barriers, constant in corpus size).
+    val sub = pqSub(emb)
     val c0 = sub.where(col("vec_id") < 16)
       .select(col("s"), col("vec_id").as("j"), col("v").as("c"))
     val c1 = update(assign(sub, c0), c0).localCheckpoint()
     val c2 = update(assign(sub, c1), c1).localCheckpoint()
-    (assign(sub, c2).select("vec_id", "s", "code", "dist").localCheckpoint(), c2)
+    (assign(sub, c2).select("vec_id", "s", "code", "dist"), c2)
   }
 
   /** Encode a corpus against an ALREADY-TRAINED codebook: ONE broadcast
