@@ -62,7 +62,12 @@ object PlanAudit {
     "q63_late_events_scan", "q71_seq_pack", "q105_skyline",
     "q107_systematic_sample", "q135_ks_drift", "q138_equidepth_hist",
     "q150_hist_median_audit", "q151_decile_lift", "q173_pareto_coverage",
-    "q197_quota_apportion")
+    "q197_quota_apportion",
+    // q208: the cumulative-budget window runs over the difficulty-bucket
+    // MANIFEST — score_ppm ∈ [0, 1e6] by normalization, 1%-wide buckets
+    // ⇒ ≤ 101 rows at any corpus size (the q105/q150 fixed-domain
+    // argument), never the documents.
+    "q208_curriculum")
 
   /** Queries ALLOWED to plan a nested-loop/cartesian join whose build side
     * is NOT bounded-by-construction (see [[boundedBuild]]) — each bounded

@@ -2139,6 +2139,39 @@ class InvariantSpec extends AnyFunSuite {
     assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
   }
 
+  test("q207–q208 fold-leakage + curriculum invariants") {
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    // q207: folds partition both docs and clusters; the cluster-aware
+    // assignment leaks nothing by construction, and the naive-leak count
+    // is bounded by the naive fold's doc count.
+    val g207 = run("q207_fold_leakage").collect()
+    assert(g207.map(_.getLong(0)).toSet.subsetOf((0L to 4L).toSet))
+    assert(g207.map(_.getLong(1)).sum == nDocs, "q207 aware partition")
+    assert(g207.map(_.getLong(4)).sum == nDocs, "q207 naive partition")
+    g207.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(4), s"q207 leak bound: $r")
+    }
+    // the corpus genuinely exercises the audit: clusters exist with >1
+    // doc, and naive hashing leaks at least one of them
+    assert(g207.map(_.getLong(2)).sum < nDocs, "q207 singleton-only corpus")
+    assert(g207.map(_.getLong(5)).sum > 0, "q207 nothing to audit")
+    // q208: buckets in [0,100], doc counts re-add to the corpus, ppm in
+    // [0,1e6], per-bucket min/max consistent with the bucket bounds, and
+    // the cumulative budget is strictly increasing ending at Σ tot_tokens.
+    val g208 = run("q208_curriculum").collect().sortBy(_.getLong(0))
+    assert(g208.map(_.getLong(1)).sum == nDocs, "q208 partition")
+    g208.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(b >= 0 && b <= 100 && mn >= 0 && mx <= 1000000 && mn <= mx,
+        s"q208 domain: $r")
+      assert(mn / 10000 == b && mx / 10000 == b, s"q208 bucket edges: $r")
+    }
+    val cums = g208.map(_.getLong(5))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b },
+      "q208 cum monotone")
+    assert(cums.last == g208.map(_.getLong(2)).sum, "q208 cum total")
+  }
+
   test("q205–q206 product-quantization invariants") {
     // q205: every subspace's code counts re-add to the corpus size, codes
     // live in [0, 16), SSE is nonnegative, and at most 8×16 cells exist.
