@@ -2139,6 +2139,32 @@ class InvariantSpec extends AnyFunSuite {
     assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
   }
 
+  test("q209–q210 bigram-NLL + Markov-stationary invariants") {
+    // q209: one row per (≥2-token) doc, n_bigrams = n_tokens − 1 exactly,
+    // NLL positive (p < 1 for every smoothed bigram), avg = sum/n.
+    val g209 = run("q209_bigram_nll").collect()
+    val tokCounts = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g209.length == tokCounts.count(_._2 >= 2), "q209 doc coverage")
+    g209.foreach { r =>
+      assert(r.getLong(2) == tokCounts(r.getLong(0)) - 1L,
+        s"q209 bigram count: $r")
+      assert(r.getDouble(3) > 0 &&
+        r.getDouble(4) == r.getDouble(3) / r.getLong(2), s"q209 nll: $r")
+    }
+    // q210: states are event types, masses nonnegative, and the total
+    // ppm mass stays within the documented integer-floor loss of 1e6
+    // (≤ |S| ppm per quantized matrix row + ≤ |S| per DIV step).
+    val g210 = run("q210_markov_stationary").collect()
+    val types = graft.Tables.events(spark, sf001)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(g210.nonEmpty && g210.forall(r => types.contains(r.getString(0))))
+    val tot = g210.map(_.getLong(1)).sum
+    assert(g210.forall(_.getLong(1) >= 0) &&
+      tot <= 1000000L && tot >= 999000L, s"q210 mass: $tot")
+  }
+
   test("q207–q208 fold-leakage + curriculum invariants") {
     val nDocs = graft.Tables.documents(spark, sf001).count()
     // q207: folds partition both docs and clusters; the cluster-aware
