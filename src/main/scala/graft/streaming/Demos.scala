@@ -1723,6 +1723,75 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s32 — streaming transition-matrix maintenance: the ingest twin of
+    * batch q96/q210. State per version: the event-type transition COUNT
+    * matrix (≤ |types|² rows) plus each user's LAST event (one row per
+    * active user — the s4 keyed-state bound); counts are sum-mergeable
+    * and the last-event row is max-mergeable, so every version's matrix
+    * equals the batch matrix over everything ingested so far.
+    * Batch-boundary transitions are stitched from the stored per-user
+    * last event to the batch's per-user first. Assumes per-user
+    * event-time-ordered arrival (compose with upstream watermark
+    * reordering otherwise — the s2 shape). Commit protocol = s14's
+    * versioned overwrite ⇒ exactly-once under retries; the stationary
+    * distribution is DERIVED from any committed version by q210's
+    * exact-integer power iteration (spec-proven equal). */
+  def s32TransitionMonitor(spark: SparkSession, events: DataFrame,
+      dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        transitionBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One transition-matrix step (factored out so the spec can replay a
+    * batch with the same batchId and assert byte-identical output). */
+  private[graft] def transitionBatch(spark: SparkSession, batch: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val wAsc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val intra = batch
+      .withColumn("to_type", lead("event_type", 1).over(wAsc))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marked = batch
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+    val first = marked.where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_type"))
+    val lastE = marked.where(col("rnd") === 1)
+      .select("user_id", "ts", "event_id", "event_type")
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val (baseC, baseL) = prevVersions.sorted.lastOption match {
+      case Some(v) => (spark.read.parquet(s"$dir/v=$v/counts"),
+        spark.read.parquet(s"$dir/v=$v/last"))
+      case None => (intra.limit(0), lastE.limit(0))
+    }
+    val boundary = baseL
+      .select(col("user_id"), col("event_type").as("from_type"))
+      .join(first, Seq("user_id"))
+      .groupBy(col("from_type"), col("first_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    baseC.unionByName(intra).unionByName(boundary)
+      .groupBy("from_type", "to_type").agg(sum("n").as("n"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/counts")
+    // max-merge the per-user last event: stored ∪ batch, keep the latest
+    baseL.unionByName(lastE)
+      .withColumn("rk", row_number().over(wDesc))
+      .where(col("rk") === 1).drop("rk")
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/last")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v=$version")

@@ -917,6 +917,63 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(counters(last) == got, "replaying the committed last batch changed the counters")
   }
 
+  test("s32: streaming transition monitor — final matrix equals batch q96, " +
+    "derived stationary equals q210, state is bounded, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s32").toString + "/tm"
+    // global (ts, event_id) order ⇒ per-user event-time order across
+    // batches — the documented in-order-ingest contract of the stitch
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts", "event_id").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector
+    val input = MemoryStream[Event]
+    val q = Demos.s32TransitionMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    def matrix(v: Long): Map[(String, String), Long] =
+      spark.read.parquet(s"$dir/v=$v/counts").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = matrix(last)
+    val expected = SparkEntry.queries("q96_event_transitions")(spark, SharedSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"streamed matrix != batch q96")
+    // state bounds: per-user last is user-cardinality-, not volume-, sized
+    val nUsers = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("user_id").distinct().count()
+    assert(spark.read.parquet(s"$dir/v=$last/last").count() == nUsers)
+
+    // the stationary distribution DERIVED from the streamed matrix by
+    // q210's exact-integer recipe equals the declared q210 output
+    def stationary(m: Map[(String, String), Long]): Map[String, Long] = {
+      val rowTot = m.groupBy(_._1._1).map { case (f, xs) => f -> xs.values.sum }
+      val p = m.map { case ((f, t), n) => (f, t) -> (1000000L * n / rowTot(f)) }
+      var v: Map[String, Long] =
+        rowTot.keys.map(_ -> 1000000L / rowTot.size).toMap
+      for (_ <- 1 to 3)
+        v = p.toSeq
+          .flatMap { case ((f, t), pp) => v.get(f).map(vf => t -> vf * pp) }
+          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum / 1000000L }
+      v
+    }
+    val q210 = SparkEntry.queries("q210_markov_stationary")(spark, SharedSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stationary(got) == q210, "derived stationary != batch q210")
+
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    Demos.transitionBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(matrix(last) == got, "replaying the committed last batch changed the matrix")
+  }
+
   test("s27: streaming burst monitor — published bursts equal batch q169, " +
     "state is hour-count-bounded, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
