@@ -2139,6 +2139,34 @@ class InvariantSpec extends AnyFunSuite {
     assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
   }
 
+  test("q211–q212 BPE train/apply invariants") {
+    // q211: classic BPE properties — the winning pair count never
+    // increases across rounds (merges only remove or bound pair mass),
+    // the corpus segment count strictly decreases by at least the
+    // merged occurrences, and never drops below one segment per word.
+    val g211 = run("q211_bpe_train").collect().sortBy(_.getInt(0))
+    assert(g211.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val pairNs = g211.map(_.getLong(3))
+    assert(pairNs.zip(pairNs.tail).forall { case (a, b) => a >= b },
+      s"q211 max-pair monotone: ${pairNs.toSeq}")
+    val segs = g211.map(_.getLong(4))
+    assert(segs.zip(segs.tail).forall { case (a, b) => a > b },
+      s"q211 segment decrease: ${segs.toSeq}")
+    val nTokens = graft.Tables.documents(spark, sf001)
+      .selectExpr("size(split(text, ' ')) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(segs.last >= nTokens, "q211 below one segment per word")
+    // q212: stratum word counts re-add to the corpus token count, and
+    // fertility = segments/words ≥ 1 everywhere.
+    val g212 = run("q212_bpe_apply").collect()
+    assert(g212.map(_.getLong(2)).sum == nTokens, "q212 word partition")
+    g212.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2) &&
+        r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2),
+        s"q212 fertility: $r")
+    }
+  }
+
   test("q209–q210 bigram-NLL + Markov-stationary invariants") {
     // q209: one row per (≥2-token) doc, n_bigrams = n_tokens − 1 exactly,
     // NLL positive (p < 1 for every smoothed bigram), avg = sum/n.
