@@ -2139,6 +2139,36 @@ class InvariantSpec extends AnyFunSuite {
     assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
   }
 
+  test("q213–q214 DP release + skew audit invariants") {
+    // q213: release identity n_dp = n_true + k, |k| ≤ 8 (ladder clamp),
+    // true counts re-add to the corpus, and the noise concentrates the
+    // way a two-sided geometric must (most draws within ±2).
+    val g213 = run("q213_dp_release").collect()
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    assert(g213.map(_.getLong(2)).sum == nDocs, "q213 true partition")
+    g213.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) + r.getLong(3) &&
+        r.getLong(5) == math.abs(r.getLong(3)) && r.getLong(5) <= 8,
+        s"q213 release identity: $r")
+    }
+    assert(g213.count(_.getLong(5) <= 2) * 10 >= g213.length * 6,
+      "q213 noise not concentrated")
+    // q214: the predicted per-bucket output rows re-add to the EXACT
+    // join cardinality, buckets live in [0, 32), and key counts re-add
+    // to the overlapping-key count.
+    val g214 = run("q214_skew_audit").collect()
+    val ev = graft.Tables.events(spark, sf001)
+    val ord = graft.Tables.orders(spark, sf001)
+    val joinRows = ev.join(ord, ev("user_id") === ord("o_custkey")).count()
+    assert(g214.map(_.getLong(4)).sum == joinRows, "q214 output prediction")
+    val nKeys = ev.select("user_id").distinct()
+      .join(ord.select("o_custkey").distinct(),
+        org.apache.spark.sql.functions.col("user_id") ===
+          org.apache.spark.sql.functions.col("o_custkey")).count()
+    assert(g214.map(_.getLong(1)).sum == nKeys, "q214 key partition")
+    assert(g214.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 32))
+  }
+
   test("q211–q212 BPE train/apply invariants") {
     // q211: classic BPE properties — the winning pair count never
     // increases across rounds (merges only remove or bound pair mass),
