@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Round10g.defs ++ ops.Round10h.defs ++ ops.Round10i.defs ++
       ops.Round10j.defs ++ ops.Round10k.defs ++ ops.Round10l.defs ++
       ops.Round10m.defs ++ ops.Round10n.defs ++ ops.Round10o.defs ++
-      ops.Round10p.defs ++ ops.Round10q.defs ++ ops.Round10r.defs
+      ops.Round10p.defs ++ ops.Round10q.defs ++ ops.Round10r.defs ++
+      ops.Round10s.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q35_broadcast_rules IS the reference's reason to exist (the Flink

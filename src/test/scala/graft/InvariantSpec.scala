@@ -2139,6 +2139,33 @@ class InvariantSpec extends AnyFunSuite {
     assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
   }
 
+  test("q215–q216 seasonal profile/drift invariants") {
+    val nEvents = graft.Tables.events(spark, sf001).count()
+    // q215: ≤168 cells over the (dow, hr) grid, counts re-add to the
+    // corpus, and load_ratio is exactly n·168/total per cell.
+    val g215 = run("q215_seasonal_profile").collect()
+    assert(g215.length <= 168 &&
+      g215.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7 &&
+        r.getLong(1) >= 0 && r.getLong(1) < 24))
+    assert(g215.map(_.getLong(2)).sum == nEvents, "q215 partition")
+    g215.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(2) * 168.0 / nEvents,
+        s"q215 load ratio: $r")
+    }
+    // q216: the two halves partition the stream, shares are the exact
+    // per-half quotients, drift is their absolute difference.
+    val g216 = run("q216_seasonal_drift").collect()
+    val (t0, t1) = (g216.map(_.getLong(2)).sum, g216.map(_.getLong(3)).sum)
+    assert(t0 + t1 == nEvents, "q216 half partition")
+    assert(t0 > 0 && t1 > 0, "q216 degenerate split")
+    g216.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(2).toDouble / t0 &&
+        r.getDouble(5) == r.getLong(3).toDouble / t1 &&
+        r.getDouble(6) == math.abs(r.getDouble(4) - r.getDouble(5)),
+        s"q216 share identity: $r")
+    }
+  }
+
   test("q213–q214 DP release + skew audit invariants") {
     // q213: release identity n_dp = n_true + k, |k| ≤ 8 (ladder clamp),
     // true counts re-add to the corpus, and the noise concentrates the
