@@ -84,7 +84,15 @@ object PlanAudit {
     // make the bound structural is folded away by the optimizer, the
     // q187 lesson). The probe side is the packed-codes scan — the whole
     // point is that it streams map-side against the broadcast LUTs.
-    "q206_pq_adc")
+    "q206_pq_adc",
+    // q217: the two inequality (zone-overlap / day-in-range) joins build
+    // on the 8-predicate table = Range(8) × a 1-row grouping-free
+    // min/max aggregate. Each FACTOR is bounded-by-construction, but
+    // their product plans as a nested BroadcastNestedLoopJoin node,
+    // which [[boundedBuild]]'s single-node walk cannot see through —
+    // 8 × 1 rows at any data size (and a no-op .limit(8) would fold
+    // away against the known maxRows, the q206/q187 lesson).
+    "q217_prune_audit")
 
   /** True when a nested-loop join's BUILD side cannot exceed broadcast
     * scale BY CONSTRUCTION: its defining node (walking through row-

@@ -2139,6 +2139,42 @@ class InvariantSpec extends AnyFunSuite {
     assert(got0 == b0, s"q204 b=0: $got0 vs $b0")
   }
 
+  test("q217–q218 prune audit + bloom FPR invariants") {
+    // q217: both layouts score all 8 predicates, matched ≤ scanned, and
+    // the date-range layout dominates the key layout on EVERY predicate
+    // (fewer rows scanned, no worse efficiency) — the audit's point.
+    val g217 = run("q217_prune_audit").collect()
+    assert(g217.length == 16, s"q217 rows: ${g217.length}")
+    g217.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3) &&
+        r.getDouble(5) == r.getLong(4).toDouble / r.getLong(3),
+        s"q217 row: $r")
+    }
+    val byPred = g217.groupBy(_.getLong(1))
+    assert(byPred.size == 8)
+    byPred.foreach { case (p, rows) =>
+      val key = rows.find(_.getString(0) == "key").get
+      val date = rows.find(_.getString(0) == "date").get
+      assert(date.getLong(3) <= key.getLong(3) &&
+        date.getDouble(5) >= key.getDouble(5),
+        s"q217 date layout not dominant at pred $p")
+    }
+    // q218: FPR is monotone nonincreasing in filter size, set bits are
+    // bounded by both the filter and 3 probes per key, and the m=16×
+    // filter is far below the saturated small filter's FPR.
+    val g218 = run("q218_bloom_fpr").collect().sortBy(_.getLong(0))
+    assert(g218.map(_.getLong(0)).toSeq == Seq(1024L, 4096L, 16384L))
+    g218.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2) &&
+        r.getLong(3) <= math.min(r.getLong(0), 3 * r.getLong(1)) &&
+        r.getDouble(5) >= 0 && r.getDouble(5) <= 1, s"q218 row: $r")
+    }
+    val fprs = g218.map(_.getDouble(5))
+    assert(fprs.zip(fprs.tail).forall { case (a, b) => a >= b },
+      s"q218 fpr monotone: ${fprs.toSeq}")
+    assert(fprs.last < fprs.head, "q218 size has no effect")
+  }
+
   test("q215–q216 seasonal profile/drift invariants") {
     val nEvents = graft.Tables.events(spark, sf001).count()
     // q215: ≤168 cells over the (dow, hr) grid, counts re-add to the
