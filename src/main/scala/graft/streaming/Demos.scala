@@ -1792,6 +1792,52 @@ object Demos {
     pruneVersions(spark, dir, batchId)
   }
 
+  /** s33 — streaming seasonal-profile maintenance: the ingest twin of
+    * batch q215. State per version: the ≤168-row (dow, hr) cell table
+    * carrying the event count and the EXACT DECIMAL(18,4) value sum —
+    * both sum-mergeable, so every version's derived profile (avg =
+    * decimal-sum→double ÷ n, load ratio = n·168/total) equals batch
+    * q215 over everything ingested. Day-of-week is the q215 arithmetic
+    * form ((epoch_days + 4) % 7), never an engine calendar function.
+    * Commit protocol = s14's versioned overwrite ⇒ exactly-once. */
+  def s33SeasonalMonitor(spark: SparkSession, events: DataFrame,
+      dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        seasonalBatch(spark, batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One seasonal step (factored out so the spec can replay a batch with
+    * the same batchId and assert byte-identical output). */
+  private[graft] def seasonalBatch(spark: SparkSession, batch: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delta = batch.select(
+        expr("(datediff(CAST(ts AS DATE), DATE '1970-01-01') + 4) % 7")
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"),
+        col("value"))
+      .groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(graft.Det.D)).as("sum_v"))
+    val prevVersions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+    val base = prevVersions.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/cells")
+      case None    => delta.limit(0)
+    }
+    base.unionByName(delta)
+      .groupBy("dow", "hr")
+      .agg(sum("n").as("n"), sum("sum_v").cast(graft.Det.D).as("sum_v"))
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId/cells")
+    pruneVersions(spark, dir, batchId)
+  }
+
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v=$version")

@@ -974,6 +974,47 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(matrix(last) == got, "replaying the committed last batch changed the matrix")
   }
 
+  test("s33: streaming seasonal monitor — derived profile equals batch q215, " +
+    "state is grid-bounded, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_s33").toString + "/sea"
+    val evs = graft.Tables.events(spark, SharedSpark.sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val chunks = evs.grouped((evs.length + 2) / 3).toVector
+    val input = MemoryStream[Event]
+    val q = Demos.s33SeasonalMonitor(spark, input.toDF(), dir)
+    try chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val last = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(last == chunks.length - 1)
+
+    // derive q215's full row (n, avg, load_ratio) from the cell state
+    def profile(v: Long): Map[(Long, Long), (Long, Double, Double)] = {
+      val cells = spark.read.parquet(s"$dir/v=$v/cells").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDecimal(3))))
+      val tot = cells.map(_._2._1).sum
+      cells.map { case (k, (n, s)) =>
+        k -> ((n, s.doubleValue() / n, n * 168.0 / tot))
+      }.toMap
+    }
+    val got = profile(last)
+    val expected = SparkEntry.queries("q215_seasonal_profile")(spark, SharedSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected, "streamed seasonal profile != batch q215")
+    assert(got.size <= 168, "state not grid-bounded")
+    val surviving = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    assert(surviving == Seq(last - 1, last))
+    Demos.seasonalBatch(spark, chunks.last.toSeq.toDF(), dir, last)
+    assert(profile(last) == got, "replaying the committed last batch changed the profile")
+  }
+
   test("s27: streaming burst monitor — published bursts equal batch q169, " +
     "state is hour-count-bounded, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
