@@ -164,8 +164,13 @@ object Round10n {
       |        FROM a1) ex
       |  GROUP BY 1, 2, 3),
       |c1 AS (
+      |  -- empty-cluster guard: on a LEFT JOIN miss, list() over the single
+      |  -- unmatched row yields [NULL] (non-NULL!), so a bare coalesce would
+      |  -- return [NULL] instead of the previous centroid — the Spark side's
+      |  -- coalesce(cnew, c) falls back correctly, so guard explicitly.
       |  SELECT c0.s, c0.j,
-      |         coalesce(list(u1.cd ORDER BY u1.d), c0.c) AS c
+      |         CASE WHEN bool_and(u1.cd IS NULL) THEN c0.c
+      |              ELSE list(u1.cd ORDER BY u1.d) END AS c
       |  FROM c0 LEFT JOIN u1 ON c0.s = u1.s AND c0.j = u1.j
       |  GROUP BY c0.s, c0.j, c0.c),
       |a2 AS (
@@ -182,7 +187,8 @@ object Round10n {
       |  GROUP BY 1, 2, 3),
       |c2 AS (
       |  SELECT c1.s, c1.j,
-      |         coalesce(list(u2.cd ORDER BY u2.d), c1.c) AS c
+      |         CASE WHEN bool_and(u2.cd IS NULL) THEN c1.c
+      |              ELSE list(u2.cd ORDER BY u2.d) END AS c
       |  FROM c1 LEFT JOIN u2 ON c1.s = u2.s AND c1.j = u2.j
       |  GROUP BY c1.s, c1.j, c1.c),
       |codes AS (

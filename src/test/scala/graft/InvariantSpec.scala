@@ -1782,8 +1782,10 @@ class InvariantSpec extends AnyFunSuite {
     got180.foreach { r =>
       assert(r.getInt(0) >= 1 && r.getInt(0) <= 24, s"q180: $r")
     }
-    // q181: per-type estimates and the merged union within 5% of exact
-    // (lgK=12 ⇒ rsd ≈ 1.6%; same envelope the parity gate enforces)
+    // q181: per-type estimates and the merged union within 6.5% (~4 sigma
+    // at lgK=12's rsd ≈ 1.6%; 5% was ~3 sigma across 7 estimates — a rare
+    // spurious miss on regenerated data was possible with no code change;
+    // same envelope the parity gate enforces)
     val exact = ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("d")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap +
@@ -1793,7 +1795,7 @@ class InvariantSpec extends AnyFunSuite {
     got181.foreach { r =>
       val (k, e) = (r.getString(0), r.getLong(1))
       val x = exact(k)
-      assert(x > 0 && math.abs(e - x).toDouble / x <= 0.05, s"q181 $k: est=$e exact=$x")
+      assert(x > 0 && math.abs(e - x).toDouble / x <= 0.065, s"q181 $k: est=$e exact=$x")
     }
     // q182: bucket masses cover the orders table; buckets within the
     // SQL-spec range [0, 21]

@@ -75,7 +75,9 @@ def check_q181(con, out_dir):
     """q181 declares NO oracle (DataSketches HLL binaries are
     engine-specific), but the estimates are boundable: lgK=12 gives
     rsd ≈ 1.6%, so every per-type estimate AND the merged union must sit
-    within 5% of the exact distinct count. Returns True on pass."""
+    within 6.5% (~4 sigma; 5% was ~3 sigma across 7 estimates per run on
+    driver-regenerated data — a rare spurious miss was possible with no
+    code change) of the exact distinct count. Returns True on pass."""
     try:
         est = {r[0]: r[1] for r in con.execute(
             f"SELECT event_type, est_users "
@@ -94,11 +96,13 @@ def check_q181(con, out_dir):
         return False
     for k, e in est.items():
         x = exact[k]
-        if x == 0 or abs(e - x) / x > 0.05:
-            print(f"FAIL q181_hll_union (bounded): {k} est={e} exact={x}")
+        if x == 0 or abs(e - x) / x > 0.065:
+            print(f"FAIL q181_hll_union (bounded): {k} est={e} exact={x} "
+                  f"(a marginal miss on freshly regenerated data may be "
+                  f"sketch variance, not a regression — rsd 1.6% at lgK=12)")
             return False
     print(f"PASS q181_hll_union (bounded: {len(est) - 1} sketches + merged "
-          f"union all within 5% of exact)")
+          f"union all within 6.5% of exact)")
     return True
 
 
