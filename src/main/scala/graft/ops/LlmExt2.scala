@@ -101,6 +101,40 @@ object LlmExt2 {
     * groupBy-sum form this replaced — and no 16× re-evaluation — the
     * single-expression form this replaced). Shared by q46, q75 and
     * minhashLshPairs. */
+  /** 16-bit SimHash fingerprints (doc_id, lang, simhash) over whatever doc
+    * set the caller passes — q56's scale form, factored for reuse by q221's
+    * spanning-edge CC: pure-projection md5-hex token hash (portable), ALL
+    * 16 sign sums packed into one statically-unrolled aggregation (each j
+    * is a literal, so the per-j hash arithmetic constant-folds at plan
+    * time). Checkpointed: every consumer self-joins the fingerprints. */
+  private[graft] def simhash16(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tid",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % P)
+    val signSums = (0 until 16).map { j =>
+      sum(col("cnt") *
+        (lit(2) * (((col("tid") * (2 * j + 3) + (7 * j + 1)) % P) % 2) - 1)).as(s"s$j")
+    }
+    tf.groupBy("doc_id", "lang")
+      .agg(signSums.head, signSums.tail: _*)
+      .select(col("doc_id"), col("lang"),
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+      .localCheckpoint()
+  }
+
+  /** The four 4-bit pigeonhole pieces of a 16-bit fingerprint: any pair
+    * within hamming <= 3 must agree on at least one piece. */
+  private[graft] def pieces4(sims: DataFrame): DataFrame =
+    sims.select(
+      col("doc_id"), col("lang"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        p => floor(col("simhash") / pow(lit(2.0), p.cast("double") * 4)).cast("long") % 16))
+    ).withColumnsRenamed(Map("pos" -> "piece_idx", "col" -> "piece"))
+
   private[graft] def explodeBandSigs(tokIds: DataFrame): DataFrame =
     tokIds
       .withColumn("__mh", minhashArr(col("ids")))
@@ -401,31 +435,9 @@ object LlmExt2 {
     // works, and both engines compute the identical md5-derived tid.
     "q56_simhash_blocked" -> QDef(
       (s, d) => {
-        val tf = documents(s, d)
-          .where(col("doc_id") % 2 === 0) // sampled blocking, like q40/q46
-          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy("doc_id", "lang", "tok")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("tid",
-            conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % P)
-        // one aggregation, 16 static conditional sums (j is a literal, so
-        // the per-j hash arithmetic constant-folds at plan time)
-        val signSums = (0 until 16).map { j =>
-          sum(col("cnt") *
-            (lit(2) * (((col("tid") * (2 * j + 3) + (7 * j + 1)) % P) % 2) - 1)).as(s"s$j")
-        }
-        val sims = tf.groupBy("doc_id", "lang")
-          .agg(signSums.head, signSums.tail: _*)
-          .select(col("doc_id"), col("lang"),
-            (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-              .reduce(_ + _).as("simhash"))
-          .localCheckpoint()
-        // four 4-bit pieces per fingerprint
-        val pieces = sims.select(
-          col("doc_id"), col("lang"), col("simhash"),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            p => floor(col("simhash") / pow(lit(2.0), p.cast("double") * 4)).cast("long") % 16))
-        ).withColumnsRenamed(Map("pos" -> "piece_idx", "col" -> "piece"))
+        val sims = simhash16(documents(s, d)
+          .where(col("doc_id") % 2 === 0)) // sampled blocking, like q40/q46
+        val pieces = pieces4(sims)
         // 32-way spread of the probe side: the piece table is byte-small
         // (AQE broadcasts the build side and coalesces upstream shuffles
         // to ~1 partition), so without it the collision-heavy candidate
