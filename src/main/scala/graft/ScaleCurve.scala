@@ -131,11 +131,12 @@ object ScaleCurve {
   private def prefixFilter(d: DataFrame): DataFrame =
     graft.ops.Mining.ppjoinPairs(d).select("doc_a", "doc_b")
 
-  /** q137's shape with the DECLARED test-scale 8-char block prefix —
-    * measured as-is to show where the fixed constant stops scaling. */
-  private def snm(d: DataFrame): DataFrame = {
+  /** q137's shape at block prefix width `w` — `snm_w8` measures the
+    * DECLARED test-scale constant as-is to show where it stops scaling;
+    * `snm_derived` runs the production width derivation first. */
+  private def snmAt(d: DataFrame, width: Int): DataFrame = {
     val t = d.select(col("doc_id"), col("lang"), col("text"),
-      substring(col("text"), 1, 8).as("blk"),
+      substring(col("text"), 1, width).as("blk"),
       array_distinct(split(col("text"), " ")).as("toks"))
     val win = Window.partitionBy("lang", "blk").orderBy("text", "doc_id")
     val w = t.select(col("lang"), col("doc_id"), col("toks"),
@@ -151,6 +152,44 @@ object ScaleCurve {
       .withColumn("j", col("nc") / (size(col("ta")) + size(col("tb")) - col("nc")))
       .where(col("j") >= 0.6)
       .select("doc_a", "doc_b")
+  }
+
+  /** q137's PRODUCTION width derivation (the constant `8` is the declared
+    * query's oracle-tied test-scale pin — Round9b.scala documents it):
+    * widen the block prefix in steps of 4 chars until the p99 block size
+    * is bounded. Each candidate width costs one count-rollup + a 1-row
+    * percentile — O(scan) per probe, a handful of probes — and the
+    * resulting block population is what keeps the per-block sort (SNM's
+    * only super-linear term) a constant-size task at any corpus size. */
+  private def derivedWidth(d: DataFrame, bound: Long = 64L): Int =
+    Iterator.iterate(8)(_ + 4).take(15).find { w =>
+      d.groupBy(col("lang"), substring(col("text"), 1, w))
+        .count()
+        .agg(expr("percentile_approx(count, 0.99, 10000)"))
+        .head().getLong(0) <= bound
+    }.getOrElse(64)
+
+  private def snmDerived(d: DataFrame): DataFrame = {
+    val w = derivedWidth(d)
+    println(s"    [snm_derived] width=$w")
+    snmAt(d, w)
+  }
+
+  /** Recall audit for the derived width: pair overlap of the derived-width
+    * run against the declared w=8 run at each size (`regime snmrecall`).
+    * SNM recall is window-placement-dependent, so widening blocks MOVES
+    * sort neighborhoods; the audit measures what that costs. */
+  private def snmRecall(spark: SparkSession, sizes: Seq[Long], regime: String): Unit = {
+    println(f"${"n_docs"}%8s ${"width"}%6s ${"pairs_w8"}%10s ${"pairs_wd"}%10s ${"overlap"}%10s ${"recall_vs_w8"}%13s")
+    for (n <- sizes) {
+      val d = docs(spark, n, regime).localCheckpoint()
+      val w8 = snmAt(d, 8).localCheckpoint()
+      val w = derivedWidth(d)
+      val wd = snmAt(d, w).localCheckpoint()
+      val (nW8, nWd) = (w8.count(), wd.count())
+      val overlap = w8.intersect(wd).count()
+      println(f"$n%8d $w%6d $nW8%10d $nWd%10d $overlap%10d ${overlap.toDouble / math.max(nW8, 1L)}%13.3f")
+    }
   }
 
   /** Deterministic synthetic vectors: id → 64 hash-arithmetic dims in
@@ -212,6 +251,33 @@ object ScaleCurve {
         val bq = be.where(col("vec_id") < 100)
           .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"), col("n2").as("qn"))
         be.join(broadcast(bq), Seq("bucket")).where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K)
+      }, Some(brute))
+
+      // q220's multi-table OR'd LSH: L independent 8-bit sign tables over
+      // the SAME hyperplane family (table t = hyperplanes t·8..t·8+7, so
+      // table 0 IS lsh_bucket8's table); candidates = union of bucket-mates
+      // across tables, exact cosine re-rank. Candidate volume is
+      // Q·L·N/2^bits — L× the single table, recall 1−(1−p)^L.
+      for (l <- Seq(4, 8)) timed(s"lsh_multi${l}x8", () => {
+        val bits = 8
+        val be = emb.select(col("vec_id"), col("e"), col("n2"),
+            posexplode(array((0 until l).map(t =>
+              (0 until bits).map(j =>
+                when(dotC(col("e"), hyper(t * bits + j)) > 0, 1L << j).otherwise(0L))
+                .reduce(_ + _)): _*)))
+          .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
+          .localCheckpoint()
+        val bq = be.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+        be.select("vec_id", "t", "bucket")
+          .join(broadcast(bq), Seq("t", "bucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+          .repartition(32)
+          .join(emb, "vec_id")
+          .join(broadcast(q), "qid")
           .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
           .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K)
       }, Some(brute))
@@ -282,6 +348,110 @@ object ScaleCurve {
           .where(col("rr") <= K)
           .select(col("qid"), col("vid").as("vec_id"))
       }, Some(brute))
+
+      // q219's composition at production parameters: sample-trained coarse
+      // quantizer (64 lists), ONE corpus routing pass (groupBy-argmin via
+      // min(struct) — map-side combinable, no per-vector window shuffle),
+      // PQ on the RESIDUALS at 16 subspaces × `kc` centroids (kc=256 ⇒
+      // 128-bit codes, 16 bytes/vector) trained on the same fixed 5k
+      // sample, one encode pass, per-(query, probed-list) LUTs, ADC over
+      // the probed lists' codes only (nprobe/nlist of the corpus), then
+      // the same exact top-50 re-rank as pq_rerank50. All doubles — the
+      // declared q219 carries the exact-integer oracle contract; this
+      // measures the recall/cost the composition buys at scale.
+      def distD(dim: Int, a: String, b: String): String = (1 to dim)
+        .map(i => s"(element_at($a, $i) - element_at($b, $i)) * (element_at($a, $i) - element_at($b, $i))")
+        .mkString(" + ")
+      def ivfPq(kc: Int, nprobe: Int, rerank: Boolean): DataFrame = {
+        val nlist = 64
+        val sample = emb.where(col("vec_id") < 5000)
+        def cAssign(xs: DataFrame, cs: DataFrame): DataFrame =
+          xs.join(broadcast(cs), lit(true))
+            .groupBy("vec_id")
+            .agg(min(struct(expr(distD(64, "e", "ce")).as("d2"), col("list_id"))).as("m"),
+              first("e").as("e"))
+            .select(col("vec_id"), col("e"), col("m.list_id").as("list_id"))
+        def cUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+          val m = (1 to 64).map(i => avg(expr(s"element_at(e, $i)")).as(s"m$i"))
+          val newC = assigned.groupBy(col("list_id"))
+            .agg(m.head, m.tail: _*)
+            .select(col("list_id"), array((1 to 64).map(i => col(s"m$i")): _*).as("cnew"))
+          prev.join(newC, Seq("list_id"), "left")
+            .select(col("list_id"), coalesce(col("cnew"), col("ce")).as("ce"))
+        }
+        val seeds = sample.where(col("vec_id") < nlist)
+          .select(col("vec_id").as("list_id"), col("e").as("ce"))
+        val c1 = cUpdate(cAssign(sample, seeds), seeds).localCheckpoint()
+        val resid = cAssign(emb, c1)
+          .join(broadcast(c1), Seq("list_id"))
+          .select(col("vec_id"), col("list_id"),
+            zip_with(col("e"), col("ce"), (a, b) => a - b).as("r"))
+        val sub = resid.select(col("vec_id"), col("list_id"),
+            posexplode(expr("transform(sequence(0, 15), s -> slice(r, 4 * s + 1, 4))")))
+          .withColumnsRenamed(Map("pos" -> "s", "col" -> "v"))
+          .localCheckpoint()
+        def pAssign(xs: DataFrame, cs: DataFrame): DataFrame =
+          xs.join(broadcast(cs), Seq("s"))
+            .groupBy("vec_id", "list_id", "s")
+            .agg(min(struct(expr(distD(4, "v", "c")).as("d2"), col("j"))).as("m"),
+              first("v").as("v"))
+            .select(col("vec_id"), col("list_id"), col("s"), col("v"),
+              col("m.j").as("code"))
+        def pUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+          val m = (1 to 4).map(i => avg(expr(s"element_at(v, $i)")).as(s"m$i"))
+          val newC = assigned.groupBy(col("s"), col("code").as("j"))
+            .agg(m.head, m.tail: _*)
+            .select(col("s"), col("j"), array((1 to 4).map(i => col(s"m$i")): _*).as("cnew"))
+          prev.join(newC, Seq("s", "j"), "left")
+            .select(col("s"), col("j"), coalesce(col("cnew"), col("c")).as("c"))
+        }
+        val psample = sub.where(col("vec_id") < 5000)
+        val p0 = psample.where(col("vec_id") < kc)
+          .select(col("s"), col("vec_id").cast("int").as("j"), col("v").as("c"))
+        val p1 = pUpdate(pAssign(psample, p0), p0).localCheckpoint()
+        val packed = pAssign(sub, p1)
+          .groupBy("vec_id", "list_id")
+          .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+            x => x("code")).as("ca"))
+        val probed = q.join(broadcast(c1), lit(true))
+          .withColumn("cdist", expr(distD(64, "qe", "ce")))
+          .withColumn("pr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cdist"), col("list_id"))))
+          .where(col("pr") <= nprobe)
+          .select(col("qid"), col("list_id"),
+            zip_with(col("qe"), col("ce"), (a, b) => a - b).as("qr"))
+        val lut = probed.select(col("qid"), col("list_id"),
+            posexplode(expr("transform(sequence(0, 15), s -> slice(qr, 4 * s + 1, 4))")))
+          .withColumnsRenamed(Map("pos" -> "s", "col" -> "v"))
+          .join(broadcast(p1), Seq("s"))
+          .select(col("qid"), col("list_id"),
+            (col("s") * kc + col("j")).as("idx"), expr(distD(4, "v", "c")).as("ld"))
+          .groupBy("qid", "list_id")
+          .agg(transform(array_sort(collect_list(struct(col("idx"), col("ld")))),
+            x => x("ld")).as("la"))
+        val lookupSum = (0 until 16)
+          .map(s => s"element_at(la, CAST(${s * kc} + element_at(ca, ${s + 1}) + 1 AS INT))")
+          .mkString(" + ")
+        val wAdc = Window.partitionBy("qid").orderBy(col("adc_dist"), col("vid"))
+        val adc = packed.join(broadcast(lut), Seq("list_id"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("vid"), expr(lookupSum).as("adc_dist"))
+        if (!rerank)
+          adc.withColumn("rnk", row_number().over(wAdc)).where(col("rnk") <= K)
+            .select(col("qid"), col("vid").as("vec_id"))
+        else
+          adc.withColumn("rnk", row_number().over(wAdc)).where(col("rnk") <= 50)
+            .join(emb.select(col("vec_id").as("vid"), col("e").as("ve"),
+              col("n2").as("vn")), "vid")
+            .join(broadcast(q), "qid")
+            .withColumn("cos_sim", dotC(col("qe"), col("ve")) / sqrt(col("qn") * col("vn")))
+            .withColumn("rr", row_number().over(
+              Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vid"))))
+            .where(col("rr") <= K)
+            .select(col("qid"), col("vid").as("vec_id"))
+      }
+      timed("ivfpq128_probe8", () => ivfPq(kc = 256, nprobe = 8, rerank = false), Some(brute))
+      timed("ivfpq128_rr50", () => ivfPq(kc = 256, nprobe = 8, rerank = true), Some(brute))
     }
   }
 
@@ -306,6 +476,12 @@ object ScaleCurve {
       spark.stop()
       return
     }
+    if (regime == "snmrecall") {
+      docs(spark, 1000, "adv").selectExpr("sum(length(text))").collect()
+      snmRecall(spark, sizes, "adv")
+      spark.stop()
+      return
+    }
     // warm the session so size-1 rows aren't charged JVM spin-up
     docs(spark, 1000, regime).selectExpr("sum(length(text))").collect()
 
@@ -315,7 +491,8 @@ object ScaleCurve {
       "simhash_blocked" -> simhashBlocked _,
       "incremental" -> incremental _,
       "prefix_filter" -> prefixFilter _,
-      "snm_w8" -> snm _)
+      "snm_w8" -> ((d: DataFrame) => snmAt(d, 8)),
+      "snm_derived" -> snmDerived _)
     // optional 3rd arg: csv of pipeline names to run (default all)
     val pipelines =
       if (args.length > 2) { val want = args(2).split(",").map(_.trim).toSet

@@ -54,6 +54,22 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("ce"))
 
+  /** Assign (vec_id, e, n2) vectors to the nearest centroid of
+    * (list_id, ce, ...): the index-build assignment pass, public so the
+    * streaming ingest twin (s34) assigns micro-batches against a FROZEN
+    * centroid table with bit-identical argmin + tie-break (min distance,
+    * then min list_id) — vectors ingested incrementally land in exactly
+    * the lists a batch build would pick. One broadcast of the nlist-row
+    * centroid table; the vector side is never shuffled. */
+  def assignVectors(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list_id"))
+    emb.join(broadcast(cent.select(col("list_id"), col("ce"))), lit(true))
+      .withColumn("dist", col("n2") + norm2(col("ce")) - lit(2.0) * dot(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("n2"), col("list_id"))
+  }
+
   /** Build the IVF index: (vec_id, e, n2, list_id) plus the centroid table
     * (list_id, ce, cn2). `vectors` must have (vec_id, embedding). */
   def ivfIndex(vectors: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
@@ -69,14 +85,7 @@ object Ann {
     val seeds = emb.orderBy("vec_id").limit(nlist)
       .select(row_number().over(Window.orderBy("vec_id")).cast("long").as("list_id"),
         col("e").as("ce"))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list_id"))
-      emb.join(broadcast(cent), lit(true))
-        .withColumn("dist", col("n2") + norm2(col("ce")) - lit(2.0) * dot(col("e"), col("ce")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("n2"), col("list_id"))
-    }
+    def assign(cent: DataFrame): DataFrame = assignVectors(emb, cent)
     // one Lloyd refinement over the seed assignment (k-means step); lists
     // that lose every vector keep their seed centroid. Centroid-scale
     // tables: keep even these joins broadcast (left outer + BuildRight).

@@ -111,6 +111,9 @@ case class DocTok(doc_id: Long, ts: Timestamp, lang: String, n_toks: Long)
 /** s28 ingest row: a candidate document for n-gram decontamination. */
 case class DocLang(doc_id: Long, lang: String, text: String)
 
+/** s34 ingest row: a vector arriving on the embedding stream. */
+case class VecIngest(vec_id: Long, embedding: Seq[Float])
+
 /** s26 ingest row: a document with its crawler/source attribution. */
 case class DocSrc(doc_id: Long, source: String, text: String)
 
@@ -352,11 +355,21 @@ object Demos {
     * is replicated to every task — the MapStateDescriptor analog). Rule
     * updates therefore apply to the NEXT micro-batch, exactly Flink's
     * eventually-consistent broadcast-state semantics.
+    *
+    * The driver-side materialization is BOUNDED: at most `maxCollect`
+    * alerts per batch reach the callback (lowest event_id first — the
+    * orderBy+limit plans as TakeOrderedAndProject, per-partition top-k
+    * merged on the driver, never a global sort). `overflow` reports how
+    * many alerts the cap dropped; it costs a second scan only when the
+    * cap is actually hit, so the common small-alert-volume path stays one
+    * job. Alert floods therefore cannot OOM the driver — production
+    * points the overflow at a parquet sink (the s14 versioned protocol).
     */
   def s1BroadcastRules(
       events: DataFrame,
       currentRules: () => Seq[Rule],
-      onBatch: (Seq[Alert], Long) => Unit
+      onBatch: (Seq[Alert], Long, Long) => Unit,
+      maxCollect: Int = 65536
   ): StreamingQuery = {
     events.writeStream
       .outputMode("append")
@@ -368,10 +381,9 @@ object Demos {
           .join(broadcast(rules), Seq("event_type"))
           .where(col("value") >= col("threshold"))
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("severity"))
-          .as[Alert]
-          .collect()
-          .toSeq
-        onBatch(alerts, batchId)
+        val kept = alerts.orderBy("event_id").limit(maxCollect).as[Alert].collect().toSeq
+        val overflow = if (kept.size < maxCollect) 0L else alerts.count() - kept.size
+        onBatch(kept, overflow, batchId)
       }
       .start()
   }
@@ -623,11 +635,17 @@ object Demos {
     * the benchmark's BLOOM FILTER (q79) and the exact verify join runs in
     * the batch audit — the same prefilter/verify split, with the bloom as
     * the MapStateDescriptor analog.
+    *
+    * Driver-side materialization is BOUNDED exactly as in s1: at most
+    * `maxCollect` verdicts per batch (lowest doc_id first, planned as
+    * TakeOrderedAndProject), with the count of capped-away verdicts in
+    * `overflow` (second scan only when the cap is hit).
     */
   def s10DecontaminateOnIngest(
       docs: DataFrame,
       currentBenchGrams: () => DataFrame,
-      onBatch: (Seq[DropVerdict], Long) => Unit
+      onBatch: (Seq[DropVerdict], Long, Long) => Unit,
+      maxCollect: Int = 65536
   ): StreamingQuery = {
     docs.writeStream
       .outputMode("append")
@@ -643,10 +661,9 @@ object Demos {
           .where(col("n_shared") >= 2)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bench"))
-          .as[DropVerdict]
-          .collect()
-          .toSeq
-        onBatch(drops, batchId)
+        val kept = drops.orderBy("doc_id").limit(maxCollect).as[DropVerdict].collect().toSeq
+        val overflow = if (kept.size < maxCollect) 0L else drops.count() - kept.size
+        onBatch(kept, overflow, batchId)
       }
       .start()
   }
@@ -1837,6 +1854,54 @@ object Demos {
       .write.mode("overwrite").parquet(s"$dir/v=$batchId/cells")
     pruneVersions(spark, dir, batchId)
   }
+
+  /** s34 — streaming vector ingest: the ANN family's ingest twin (the q75
+    * history-probe pattern applied to embeddings). The coarse quantizer is
+    * TRAINED OFFLINE and FROZEN — the production IVF posture: codebooks
+    * come from a sample, and retraining online would silently move list
+    * boundaries under already-committed assignments. Each micro-batch
+    * assigns its vectors to the persisted centroids (`Ann.assignVectors`:
+    * one broadcast of the nlist-row table + a per-vector argmin — the
+    * batch build's exact math and tie-breaks) and appends the assigned
+    * rows as the index partition `b=<batchId>`.
+    *
+    * Exactly-once falls out of determinism + idempotence, like s14: a
+    * replayed batch N overwrites ONLY its own `b=N` directory with
+    * byte-identical rows (assignment is deterministic given the frozen
+    * centroids), never touching other partitions — so the commit is the
+    * directory overwrite and no version chain is needed. Per-batch work is
+    * O(batch), never O(index): ingest writes deltas, not snapshots.
+    *
+    * State: the frozen centroid table (nlist rows — O(1) in corpus size);
+    * the index itself is DATA in the partitioned table, not stream state.
+    * Once the whole corpus has streamed, `ingestedIndex(dir)` equals the
+    * assignment pass of `Ann.ivfIndex` on the same corpus with the same
+    * centroids, so ingest-then-query == batch q62 (StreamingDemosSpec
+    * locks equality, replay idempotence, and the bounded-state claim). */
+  def s34VectorIngest(spark: SparkSession, vectors: DataFrame,
+      centroids: DataFrame, dir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        vectorIngestBatch(batch.toDF(), centroids, dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One ingest step (factored out so the spec can replay a batch with the
+    * same batchId and assert byte-identical output). */
+  private[graft] def vectorIngestBatch(batch: DataFrame,
+      centroids: DataFrame, dir: String, batchId: Long): Unit = {
+    val emb = batch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2", graft.plans.DotProduct.norm2(col("e")))
+    graft.ops.Ann.assignVectors(emb, centroids)
+      .write.mode("overwrite").parquet(s"$dir/b=$batchId")
+  }
+
+  /** The queryable view of an s34 index directory: the union of every
+    * committed batch partition, schema-identical to `Ann.ivfIndex`'s
+    * assignment output (feed it straight to `Ann.ivfTopKLargeQ`). */
+  private[graft] def ingestedIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("b")
 
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =

@@ -40,7 +40,7 @@ object StreamingSmoke {
       eventStream,
       () => graft.Tables.rules(spark).collect().toSeq
         .map(r => Rule(r.getString(0), r.getDouble(1), r.getString(2))),
-      (alerts, _) => alertCount.addAndGet(alerts.size)
+      (alerts, _, _) => alertCount.addAndGet(alerts.size)
     )
     q1.processAllAvailable(); q1.stop()
     val batchAlerts = graft.SparkEntry.queries("q35_broadcast_rules")(spark, sfDir).count()

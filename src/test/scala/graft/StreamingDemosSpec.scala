@@ -35,7 +35,9 @@ class StreamingDemosSpec extends AnyFunSuite {
     val q = Demos.s1BroadcastRules(
       input.toDF(),
       () => rules,
-      (alerts, id) => seen.synchronized { seen += ((id, alerts)) }
+      (alerts, overflow, id) => seen.synchronized {
+        assert(overflow == 0L); seen += ((id, alerts))
+      }
     )
     try {
       input.addData(ev(1, 0, 7, "purchase", 200.0), ev(2, 1, 7, "purchase", 100.0))
@@ -51,6 +53,27 @@ class StreamingDemosSpec extends AnyFunSuite {
       val all = seen.synchronized(seen.flatMap(_._2).toVector)
       assert(all.map(_.event_id).sorted == Vector(1L, 3L)) // event 2 was judged by OLD rules
       assert(all.find(_.event_id == 3).get.severity == "MED")
+    } finally q.stop()
+  }
+
+  test("s1: alert collect is capped — lowest event_ids kept, overflow counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val seen = mutable.Buffer[(Seq[Alert], Long)]()
+    val q = Demos.s1BroadcastRules(
+      input.toDF(),
+      () => Seq(Rule("purchase", 150.0, "HIGH")),
+      (alerts, overflow, _) => seen.synchronized { seen += ((alerts, overflow)) },
+      maxCollect = 2
+    )
+    try {
+      // 4 qualifying alerts in one batch against a cap of 2
+      input.addData(ev(4, 0, 1, "purchase", 200.0), ev(2, 1, 2, "purchase", 300.0),
+        ev(3, 2, 3, "purchase", 250.0), ev(1, 3, 4, "purchase", 400.0))
+      q.processAllAvailable()
+      val (alerts, overflow) = seen.synchronized(seen.head)
+      assert(alerts.map(_.event_id) == Seq(1L, 2L)) // deterministic: lowest ids survive
+      assert(overflow == 2L)
     } finally q.stop()
   }
 
@@ -291,7 +314,9 @@ class StreamingDemosSpec extends AnyFunSuite {
     val seen = mutable.Buffer[DropVerdict]()
     val q = Demos.s10DecontaminateOnIngest(
       input.toDF(), () => benchGrams,
-      (drops, _) => seen.synchronized { seen ++= drops })
+      (drops, overflow, _) => seen.synchronized {
+        assert(overflow == 0L); seen ++= drops
+      })
     val got =
       try {
         input.addData(b1.toSeq)
@@ -311,6 +336,51 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(want.nonEmpty, "the carve must produce contaminated docs")
     assert(got == want,
       s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+  }
+
+  test("s34: vector ingest — incremental IVF assignment == batch q62; replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf001 = SharedSpark.sf001
+    val emb = Tables.embeddings(spark, sf001)
+    // the frozen coarse quantizer: trained once, offline (q62's trainer)
+    val cent = ops.Ann.ivfIndex(
+      emb.select(col("vec_id"), col("embedding")), nlist = 16)._2.localCheckpoint()
+    val vecs = emb.select("vec_id", "embedding").collect().map { r =>
+      VecIngest(r.getLong(0), r.getSeq[Float](1))
+    }
+    val (b1, b2) = vecs.partition(_.vec_id % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("s34").toString
+
+    val input = MemoryStream[VecIngest]
+    val q = Demos.s34VectorIngest(spark, input.toDF(), cent, dir)
+    try {
+      input.addData(b1.toSeq)
+      runToCompletion(q)
+      input.addData(b2.toSeq)
+      runToCompletion(q)
+      // bounded state: the ingest query carries NO stateful operators —
+      // all cross-batch knowledge lives in the frozen centroids + the
+      // partitioned index table
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+
+    // replay batch 0 with the same batchId: overwrites ONLY b=0, rows identical
+    val before = spark.read.parquet(s"$dir/b=0").collect().map(_.toString).sorted.toSeq
+    Demos.vectorIngestBatch(b1.toSeq.toDF(), cent, dir, 0L)
+    val after = spark.read.parquet(s"$dir/b=0").collect().map(_.toString).sorted.toSeq
+    assert(before == after)
+
+    // ingest-then-query equals the batch q62 declared query on the same data
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val got = ops.Ann.ivfTopKLargeQ(
+        Demos.ingestedIndex(spark, dir), cent, queries, k = 5, nprobe = 16)
+      .select(col("qid"), col("vec_id").as("vid"), col("cos_sim"), col("rnk"))
+      .orderBy("qid", "rnk").collect().toSeq
+    val want = SparkEntry.queries("q62_ivf_ann")(spark, sf001).collect().toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("s11: budget admission — FCFS per-lang quota matches a sequential fold, across batches") {
