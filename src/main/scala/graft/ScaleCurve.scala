@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -180,7 +180,7 @@ object ScaleCurve {
     * SNM recall is window-placement-dependent, so widening blocks MOVES
     * sort neighborhoods; the audit measures what that costs. */
   private def snmRecall(spark: SparkSession, sizes: Seq[Long], regime: String): Unit = {
-    println(f"${"n_docs"}%8s ${"width"}%6s ${"pairs_w8"}%10s ${"pairs_wd"}%10s ${"overlap"}%10s ${"recall_vs_w8"}%13s")
+    println(f"${"n_docs"}%8s ${"width"}%6s ${"pairs_w8"}%10s ${"pairs_wd"}%10s ${"overlap"}%10s ${"recall_vs_w8"}%13s ${"planted_w8"}%10s ${"planted_wd"}%10s")
     for (n <- sizes) {
       val d = docs(spark, n, regime).localCheckpoint()
       val w8 = snmAt(d, 8).localCheckpoint()
@@ -188,7 +188,18 @@ object ScaleCurve {
       val wd = snmAt(d, w).localCheckpoint()
       val (nW8, nWd) = (w8.count(), wd.count())
       val overlap = w8.intersect(wd).count()
-      println(f"$n%8d $w%6d $nW8%10d $nWd%10d $overlap%10d ${overlap.toDouble / math.max(nW8, 1L)}%13.3f")
+      // recall on the PLANTED verbatim duplicates (doc 10k+9 copies 10k) —
+      // the dedup-relevant metric: identical texts share any prefix and
+      // sort adjacent, so block splits should never lose them
+      val planted = spark.range(0, (n + 9) / 10)
+        .select((col("id") * 10).as("a"), (col("id") * 10 + 9).as("b"))
+        .where(col("b") < n)
+      def plantedRecall(p: DataFrame): Double = {
+        val norm = p.select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+        norm.join(planted, Seq("a", "b")).count().toDouble / planted.count()
+      }
+      println(f"$n%8d $w%6d $nW8%10d $nWd%10d $overlap%10d ${overlap.toDouble / math.max(nW8, 1L)}%13.3f ${plantedRecall(w8)}%10.3f ${plantedRecall(wd)}%10.3f")
     }
   }
 
@@ -349,77 +360,104 @@ object ScaleCurve {
           .select(col("qid"), col("vid").as("vec_id"))
       }, Some(brute))
 
-      // q219's composition at production parameters: sample-trained coarse
-      // quantizer (64 lists), ONE corpus routing pass (groupBy-argmin via
-      // min(struct) — map-side combinable, no per-vector window shuffle),
-      // PQ on the RESIDUALS at 16 subspaces × `kc` centroids (kc=256 ⇒
-      // 128-bit codes, 16 bytes/vector) trained on the same fixed 5k
-      // sample, one encode pass, per-(query, probed-list) LUTs, ADC over
-      // the probed lists' codes only (nprobe/nlist of the corpus), then
-      // the same exact top-50 re-rank as pq_rerank50. All doubles — the
-      // declared q219 carries the exact-integer oracle contract; this
-      // measures the recall/cost the composition buys at scale.
+      // q219's composition at production parameters, on q219's exact
+      // integer grid (FLOOR(x·1e6) longs): sample-trained coarse quantizer
+      // (64 lists), ONE corpus routing pass, PQ on the RESIDUALS at 16
+      // subspaces x `kc` centroids (kc=256 => 128-bit codes, 16 B/vector)
+      // trained on the same fixed 5k sample, one encode pass,
+      // per-(query, probed-list) LUTs, ADC over the probed lists' codes
+      // only (nprobe/nlist of the corpus), optional exact top-50 re-rank.
+      //
+      // Every argmin uses a PRIMITIVE long key (dist*k + j): min(struct)
+      // / min(array) / min_by / first(array) all fall back to
+      // SortAggregate (probed in-session), which SORTS the xk candidate
+      // expansion WITH the vector payload -- measured 28-77 s at 5k
+      // vectors; the primitive key keeps HashAggregate + map-side
+      // combine and the vector array rejoins by id afterward.
+      // Overflow bounds (int64-safe, the q219 discipline): coarse dist
+      // <= 64*(2e6)^2 = 2.56e14, *64+j <= 1.7e16; subspace dist <=
+      // 4*(4e6)^2 = 6.4e13, *256+j <= 1.7e16; ADC sum <= 16*6.4e13 ~ 1e15.
       def distD(dim: Int, a: String, b: String): String = (1 to dim)
         .map(i => s"(element_at($a, $i) - element_at($b, $i)) * (element_at($a, $i) - element_at($b, $i))")
         .mkString(" + ")
       def ivfPq(kc: Int, nprobe: Int, rerank: Boolean): DataFrame = {
         val nlist = 64
-        val sample = emb.where(col("vec_id") < 5000)
+        val qv = emb.select(col("vec_id"),
+            expr("transform(e, x -> CAST(FLOOR(x * 1e6) AS BIGINT))").as("v"))
+          .repartition(32).localCheckpoint()
+        val sample = qv.where(col("vec_id") < 5000)
+        // 64-dim distance through the native DotProduct (small generated
+        // code — the unrolled 64-term string tripled per-plan codegen
+        // time): n2+n2−2·dot on the long grid stays ≤ 2.56e14 < 2^53, so
+        // the double arithmetic is EXACT and the long cast is lossless.
+        def cDist(a: Column, b: Column): Column = {
+          val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
+          n2C(ad) + n2C(bd) - lit(2.0) * dotC(ad, bd)
+        }
         def cAssign(xs: DataFrame, cs: DataFrame): DataFrame =
           xs.join(broadcast(cs), lit(true))
             .groupBy("vec_id")
-            .agg(min(struct(expr(distD(64, "e", "ce")).as("d2"), col("list_id"))).as("m"),
-              first("e").as("e"))
-            .select(col("vec_id"), col("e"), col("m.list_id").as("list_id"))
+            .agg(min(cDist(col("v"), col("c")).cast("long") * lit(nlist.toLong) + col("j")).as("key"))
+            .select(col("vec_id"), pmod(col("key"), lit(nlist.toLong)).as("list_id"))
+            .join(xs, Seq("vec_id"))
         def cUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
-          val m = (1 to 64).map(i => avg(expr(s"element_at(e, $i)")).as(s"m$i"))
-          val newC = assigned.groupBy(col("list_id"))
-            .agg(m.head, m.tail: _*)
-            .select(col("list_id"), array((1 to 64).map(i => col(s"m$i")): _*).as("cnew"))
-          prev.join(newC, Seq("list_id"), "left")
-            .select(col("list_id"), coalesce(col("cnew"), col("ce")).as("ce"))
+          val sums = (1 to 64).map(i => sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
+          val newC = assigned.groupBy(col("list_id").as("j"))
+            .agg(count(lit(1)).as("n"), sums: _*)
+            .select(col("j"), array((1 to 64).map(i =>
+              floor(col(s"sx$i").cast("double") / col("n")).cast("long")): _*).as("cnew"))
+          prev.join(newC, Seq("j"), "left")
+            .select(col("j"), coalesce(col("cnew"), col("c")).as("c"))
         }
         val seeds = sample.where(col("vec_id") < nlist)
-          .select(col("vec_id").as("list_id"), col("e").as("ce"))
+          .select(col("vec_id").as("j"), col("v").as("c"))
         val c1 = cUpdate(cAssign(sample, seeds), seeds).localCheckpoint()
-        val resid = cAssign(emb, c1)
-          .join(broadcast(c1), Seq("list_id"))
+        val resid = cAssign(qv, c1)
+          .join(broadcast(c1.withColumnRenamed("j", "list_id")), Seq("list_id"))
           .select(col("vec_id"), col("list_id"),
-            zip_with(col("e"), col("ce"), (a, b) => a - b).as("r"))
+            zip_with(col("v"), col("c"), (a, b) => a - b).as("r"))
+        // explicit 32-way spread: the routing pass ends in a byte-small
+        // shuffle AQE would coalesce to ~1 partition, serializing the xkc
+        // broadcast-join expansion below onto one task (the q78/q97 lesson)
         val sub = resid.select(col("vec_id"), col("list_id"),
             posexplode(expr("transform(sequence(0, 15), s -> slice(r, 4 * s + 1, 4))")))
           .withColumnsRenamed(Map("pos" -> "s", "col" -> "v"))
+          .repartition(32)
           .localCheckpoint()
         def pAssign(xs: DataFrame, cs: DataFrame): DataFrame =
           xs.join(broadcast(cs), Seq("s"))
             .groupBy("vec_id", "list_id", "s")
-            .agg(min(struct(expr(distD(4, "v", "c")).as("d2"), col("j"))).as("m"),
-              first("v").as("v"))
-            .select(col("vec_id"), col("list_id"), col("s"), col("v"),
-              col("m.j").as("code"))
-        def pUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
-          val m = (1 to 4).map(i => avg(expr(s"element_at(v, $i)")).as(s"m$i"))
-          val newC = assigned.groupBy(col("s"), col("code").as("j"))
-            .agg(m.head, m.tail: _*)
-            .select(col("s"), col("j"), array((1 to 4).map(i => col(s"m$i")): _*).as("cnew"))
+            .agg(min(expr(distD(4, "v", "c")) * lit(kc.toLong) + col("j")).as("key"))
+            .select(col("vec_id"), col("list_id"), col("s"),
+              pmod(col("key"), lit(kc.toLong)).cast("int").as("code"))
+        def pUpdate(assigned: DataFrame, xs: DataFrame, prev: DataFrame): DataFrame = {
+          val sums = (1 to 4).map(i => sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
+          val newC = assigned.join(xs, Seq("vec_id", "list_id", "s"))
+            .groupBy(col("s"), col("code").as("j"))
+            .agg(count(lit(1)).as("n"), sums: _*)
+            .select(col("s"), col("j"), array((1 to 4).map(i =>
+              floor(col(s"sx$i").cast("double") / col("n")).cast("long")): _*).as("cnew"))
           prev.join(newC, Seq("s", "j"), "left")
             .select(col("s"), col("j"), coalesce(col("cnew"), col("c")).as("c"))
         }
         val psample = sub.where(col("vec_id") < 5000)
         val p0 = psample.where(col("vec_id") < kc)
           .select(col("s"), col("vec_id").cast("int").as("j"), col("v").as("c"))
-        val p1 = pUpdate(pAssign(psample, p0), p0).localCheckpoint()
+        val p1 = pUpdate(pAssign(psample, p0), psample, p0).localCheckpoint()
         val packed = pAssign(sub, p1)
           .groupBy("vec_id", "list_id")
           .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
             x => x("code")).as("ca"))
-        val probed = q.join(broadcast(c1), lit(true))
-          .withColumn("cdist", expr(distD(64, "qe", "ce")))
+          .repartition(32) // same lever for the ADC lookup scan below
+        val qq = qv.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val probed = qq.join(broadcast(c1), lit(true))
+          .withColumn("cdist", cDist(col("qv"), col("c")))
           .withColumn("pr", row_number().over(
-            Window.partitionBy("qid").orderBy(col("cdist"), col("list_id"))))
+            Window.partitionBy("qid").orderBy(col("cdist"), col("j"))))
           .where(col("pr") <= nprobe)
-          .select(col("qid"), col("list_id"),
-            zip_with(col("qe"), col("ce"), (a, b) => a - b).as("qr"))
+          .select(col("qid"), col("j").as("list_id"),
+            zip_with(col("qv"), col("c"), (a, b) => a - b).as("qr"))
         val lut = probed.select(col("qid"), col("list_id"),
             posexplode(expr("transform(sequence(0, 15), s -> slice(qr, 4 * s + 1, 4))")))
           .withColumnsRenamed(Map("pos" -> "s", "col" -> "v"))

@@ -62,11 +62,26 @@ object Ann {
     * the lists a batch build would pick. One broadcast of the nlist-row
     * centroid table; the vector side is never shuffled. */
   def assignVectors(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list_id"))
-    emb.join(broadcast(cent.select(col("list_id"), col("ce"))), lit(true))
-      .withColumn("dist", col("n2") + norm2(col("ce")) - lit(2.0) * dot(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    val cs = cent.select(col("list_id"), col("ce"))
+    def dist = col("n2") + norm2(col("ce")) - lit(2.0) * dot(col("e"), col("ce"))
+    // Argmin in two PRIMITIVE-aggregate passes instead of a per-vector
+    // window: the window (and equally a min(struct) — both plan as
+    // sort-based operators) shuffles the ×nlist broadcast expansion WITH
+    // the 512-byte vector payload, N·nlist·|e| bytes per assignment pass
+    // (measured 123 s at 250k×64 on the ScaleCurve ann regime; at 100 TB
+    // it is the index build's death). Pass 1 reduces the map-side
+    // expansion to one double per vector through HashAggregate; pass 2
+    // recomputes the SAME deterministic expression (identical codegen
+    // tree ⇒ bit-identical doubles), keeps the exact minimum, and breaks
+    // exact-distance ties on min list_id — the same (dist, list_id)
+    // argmin the window computed, row for row.
+    val best = emb.join(broadcast(cs), lit(true))
+      .groupBy("vec_id").agg(min(dist).as("bd"))
+    emb.join(best, Seq("vec_id"))
+      .join(broadcast(cs), lit(true))
+      .where(dist === col("bd"))
+      .groupBy("vec_id").agg(min("list_id").as("list_id"))
+      .join(emb, Seq("vec_id"))
       .select(col("vec_id"), col("e"), col("n2"), col("list_id"))
   }
 
