@@ -219,7 +219,8 @@ object ScaleCurve {
     * the bucketed plans trade time for — a curve without it would hide
     * degenerating answers). Shapes are q41/q52/q62's production forms:
     * broadcast query side, bucket/list equi-joins, no all-pairs. */
-  private def annCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+  private def annCurve(spark: SparkSession, sizes: Seq[Long],
+      want: Set[String] = Set.empty): Unit = {
     import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
     val K = 5
     println(f"${"pipeline"}%-16s ${"n_vecs"}%8s ${"sec"}%8s ${"rows"}%10s ${"recall@5"}%9s")
@@ -236,6 +237,8 @@ object ScaleCurve {
       // localCheckpoint build) are charged to their pipeline
       def timed(nm: String, mk: () => DataFrame,
           brute: Option[Set[(Long, Long)]]): Set[(Long, Long)] = {
+        // pipeline filter (3rd CLI arg) — brute always runs (ground truth)
+        if (want.nonEmpty && !want(nm) && brute.nonEmpty) return Set.empty
         val t0 = System.nanoTime()
         val rows = mk().select(col("qid"), col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -277,6 +280,38 @@ object ScaleCurve {
             posexplode(array((0 until l).map(t =>
               (0 until bits).map(j =>
                 when(dotC(col("e"), hyper(t * bits + j)) > 0, 1L << j).otherwise(0L))
+                .reduce(_ + _)): _*)))
+          .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
+          .localCheckpoint()
+        val bq = be.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+        be.select("vec_id", "t", "bucket")
+          .join(broadcast(bq), Seq("t", "bucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+          .repartition(32)
+          .join(emb, "vec_id")
+          .join(broadcast(q), "qid")
+          .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K)
+      }, Some(brute))
+
+      // Decorrelation control for the multi-table rows: same L×8-bit
+      // budget, but each table draws from its OWN integer family (distinct
+      // public hash-prime multiplier per table) instead of consecutive
+      // slices of one family — tests whether the measured sub-independent
+      // lift (SCALE.md §12) is family correlation or a property of the
+      // isotropic data itself.
+      for (l <- Seq(4)) timed(s"lsh_multi${l}x8d", () => {
+        val bits = 8
+        val prime = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+        def hyperD(t: Int, j: Int): org.apache.spark.sql.Column =
+          transform(sequence(lit(0), lit(63)),
+            k => ((lit(j.toLong) * 64 + k) * lit(prime(t)) % 97 - 48).cast("double"))
+        val be = emb.select(col("vec_id"), col("e"), col("n2"),
+            posexplode(array((0 until l).map(t =>
+              (0 until bits).map(j =>
+                when(dotC(col("e"), hyperD(t, j)) > 0, 1L << j).otherwise(0L))
                 .reduce(_ + _)): _*)))
           .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
           .localCheckpoint()
@@ -510,7 +545,8 @@ object ScaleCurve {
     if (regime == "ann") {
       // warm the session so the first size isn't charged JVM spin-up
       vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
-      annCurve(spark, sizes)
+      annCurve(spark, sizes,
+        if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty)
       spark.stop()
       return
     }

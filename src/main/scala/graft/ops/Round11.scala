@@ -53,17 +53,35 @@ object Round11 {
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))").as("v"))
 
+  /** The 64-dim squared distance through the native DotProduct instead
+    * of a 64-term unrolled string: n2+n2−2·dot on the 1e6 grid stays
+    * ≤ 64·(2e6)² = 2.56e14 < 2^53, so the double arithmetic is EXACT and
+    * the long cast lossless — bit-identical keys, a fraction of the
+    * per-plan codegen time (SCALE.md §12). */
+  private def cDist(a: Column, b: Column): Column = {
+    val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
+    (norm2(ad) + norm2(bd) - lit(2.0) * dotCol(ad, bd)).cast("long")
+  }
+
   /** Nearest coarse centroid per vector: (vec_id, v, list_id). One
     * broadcast of the ≤nlist-row centroid table + a map-side-combinable
     * argmin — the .limit() makes the build bound structural for the NLJ
     * gate (centroids come from filters/checkpoints whose maxRows the
-    * optimizer can't see, so the limit is NOT folded away). */
+    * optimizer can't see, so the limit is NOT folded away).
+    *
+    * The aggregate carries ONLY the primitive key: a min("v") alongside
+    * would demote the whole aggregation to SortAggregate (min over any
+    * non-primitive type does — probed round 11, SCALE.md §12), sorting
+    * the ×nlist expansion WITH the vector payload; the payload rejoins
+    * by id instead. */
   private def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame =
     v.crossJoin(broadcast(cent.limit(nlist)))
-      .withColumn("key", expr(distE(64)) * lit(nlist.toLong) + col("j"))
+      .withColumn("key", cDist(col("v"), col("c")) * lit(nlist.toLong) + col("j"))
       .groupBy("vec_id")
-      .agg(min("key").as("key"), min("v").as("v"))
-      .select(col("vec_id"), col("v"), (col("key") % nlist).as("list_id"))
+      .agg(min("key").as("key"))
+      .select(col("vec_id"), (col("key") % nlist).as("list_id"))
+      .join(v, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("list_id"))
 
   /** One Lloyd update of the coarse codebook: per-(list, dim) FLOOR(mean)
     * on the quantized grid; empty lists keep their previous centroid. The
@@ -81,18 +99,21 @@ object Round11 {
 
   /** Assign every (vec_id, list_id, s) residual subvector to its nearest
     * per-subspace centroid: equi-join on s against the broadcast ≤(16·k)-row
-    * codebook, argmin through the encoded key. */
+    * codebook, argmin through the encoded PRIMITIVE key (same SortAggregate
+    * avoidance as cAssign — the subvector rejoins from `sub` where the
+    * update step needs it). Returns (vec_id, list_id, s, code). */
   private def pAssign(sub: DataFrame, cent: DataFrame, k: Int): DataFrame =
     sub.join(broadcast(cent), Seq("s"))
       .withColumn("key", expr(distE(4)) * lit(k.toLong) + col("j"))
       .groupBy("vec_id", "list_id", "s")
-      .agg(min("key").as("key"), min("v").as("v"))
-      .select(col("vec_id"), col("list_id"), col("s"), col("v"),
+      .agg(min("key").as("key"))
+      .select(col("vec_id"), col("list_id"), col("s"),
         (col("key") % k).as("code"))
 
-  private def pUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+  private def pUpdate(assigned: DataFrame, sub: DataFrame, prev: DataFrame): DataFrame = {
     val sums = (1 to 4).map(i => sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
-    val newC = assigned.groupBy(col("s"), col("code").as("j"))
+    val newC = assigned.join(sub, Seq("vec_id", "list_id", "s"))
+      .groupBy(col("s"), col("code").as("j"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("s"), col("j"), array((1 to 4).map(i =>
         floor(col(s"sx$i").cast("double") / col("n")).cast("long")): _*).as("cnew"))
@@ -138,7 +159,7 @@ object Round11 {
         expr("slice(r, 4 * s + 1, 4)").as("v"))
     val p0 = sub.where(col("vec_id") < 16)
       .select(col("s"), col("vec_id").as("j"), col("v").as("c"))
-    val p1 = pUpdate(pAssign(sub, p0, 16), p0).localCheckpoint()
+    val p1 = pUpdate(pAssign(sub, p0, 16), sub, p0).localCheckpoint()
     val packed = pAssign(sub, p1, 16)
       .groupBy("vec_id", "list_id")
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
@@ -148,7 +169,7 @@ object Round11 {
     // — the asymmetric-distance trick that makes residual codes usable)
     val q = qv.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
     val probed = q.crossJoin(broadcast(c1.select(col("j").as("list_id"), col("c")).limit(8)))
-      .withColumn("cdist", expr(distE(64, "qv", "c")))
+      .withColumn("cdist", cDist(col("qv"), col("c")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("qid").orderBy(col("cdist"), col("list_id"))))
       .where(col("pr") <= nprobe)
@@ -243,6 +264,38 @@ object Round11 {
       |pc AS (SELECT vec_id, list_id, list(code ORDER BY s) AS ca
       |       FROM codes GROUP BY vec_id, list_id)""".stripMargin
 
+  /** The q219 oracle's QUERY side, shared with q222: probe ranking, ADC
+    * LUTs, the unrolled 16-lookup scan, and the per-query rank `r`. */
+  private val oracleAdcRank =
+    s"""q AS (SELECT vec_id AS qid, v AS qv FROM qv WHERE vec_id < 10),
+       |pr AS (
+       |  SELECT qid, list_id, qr FROM (
+       |    SELECT q.qid, c1.j AS list_id,
+       |           list_transform(list_zip(q.qv, c1.c), p -> p[1] - p[2]) AS qr,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             list_aggregate(list_transform(list_zip(q.qv, c1.c),
+       |               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), c1.j) AS prn
+       |    FROM q CROSS JOIN c1) z
+       |  WHERE prn <= 2),
+       |lutA AS (
+       |  SELECT qid, list_id, list(ld ORDER BY idx) AS la
+       |  FROM (SELECT pr.qid, pr.list_id, p1.s * 16 + p1.j AS idx,
+       |               list_aggregate(list_transform(
+       |                 list_zip(pr.qr[4 * p1.s + 1 : 4 * p1.s + 4], p1.c),
+       |                 p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS ld
+       |        FROM pr CROSS JOIN p1) x
+       |  GROUP BY qid, list_id),
+       |adc AS (
+       |  SELECT l.qid, pc.vec_id AS vid, pc.list_id,
+       |         CAST(${(0 until 16).map(s =>
+                    s"la[CAST(${s * 16} + ca[${s + 1}] + 1 AS INTEGER)]")
+                    .mkString(" + ")} AS BIGINT) AS adc_dist
+       |  FROM pc JOIN lutA l ON pc.list_id = l.list_id AND pc.vec_id <> l.qid),
+       |r AS (SELECT qid, vid, list_id, adc_dist,
+       |             CAST(row_number() OVER (PARTITION BY qid
+       |               ORDER BY adc_dist, vid) AS INTEGER) AS rnk
+       |      FROM adc)""".stripMargin
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // --------------------------------------------------------------- q219
@@ -255,34 +308,7 @@ object Round11 {
     "q219_ivfpq" -> QDef(
       (s, d) => ivfPqTopK(embeddings(s, d), nprobe = 2, k = 5).orderBy("qid", "rnk"),
       s"""WITH $oracleIvfPq,
-         |q AS (SELECT vec_id AS qid, v AS qv FROM qv WHERE vec_id < 10),
-         |pr AS (
-         |  SELECT qid, list_id, qr FROM (
-         |    SELECT q.qid, c1.j AS list_id,
-         |           list_transform(list_zip(q.qv, c1.c), p -> p[1] - p[2]) AS qr,
-         |           row_number() OVER (PARTITION BY q.qid ORDER BY
-         |             list_aggregate(list_transform(list_zip(q.qv, c1.c),
-         |               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), c1.j) AS prn
-         |    FROM q CROSS JOIN c1) z
-         |  WHERE prn <= 2),
-         |lutA AS (
-         |  SELECT qid, list_id, list(ld ORDER BY idx) AS la
-         |  FROM (SELECT pr.qid, pr.list_id, p1.s * 16 + p1.j AS idx,
-         |               list_aggregate(list_transform(
-         |                 list_zip(pr.qr[4 * p1.s + 1 : 4 * p1.s + 4], p1.c),
-         |                 p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS ld
-         |        FROM pr CROSS JOIN p1) x
-         |  GROUP BY qid, list_id),
-         |adc AS (
-         |  SELECT l.qid, pc.vec_id AS vid, pc.list_id,
-         |         CAST(${(0 until 16).map(s =>
-                      s"la[CAST(${s * 16} + ca[${s + 1}] + 1 AS INTEGER)]")
-                      .mkString(" + ")} AS BIGINT) AS adc_dist
-         |  FROM pc JOIN lutA l ON pc.list_id = l.list_id AND pc.vec_id <> l.qid),
-         |r AS (SELECT qid, vid, list_id, adc_dist,
-         |             CAST(row_number() OVER (PARTITION BY qid
-         |               ORDER BY adc_dist, vid) AS INTEGER) AS rnk
-         |      FROM adc)
+         |$oracleAdcRank
          |SELECT qid, vid, CAST(list_id AS BIGINT) AS list_id, adc_dist, rnk
          |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
     ),
@@ -364,6 +390,59 @@ object Round11 {
            |         ORDER BY cos_sim DESC, vid) AS INT) AS rnk
            |FROM ranked QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
       }
+    ),
+
+    // --------------------------------------------------------------- q222
+    // ANN recall audit, oracle-checked: per query, how many of the exact
+    // L2-grid top-5 the q219 IVF-PQ pipeline's ADC top-5 recovered — the
+    // q83 recall-audit discipline applied to the vector path, so the
+    // recall claim itself is a hash-compared number, not a harness
+    // printout. Exact side = brute squared-L2 on the SAME 1e6-quantized
+    // grid (integer-exact, replayable); approx side = q219's full
+    // pipeline. recall_at_5 = n_hit/5.0 is one IEEE division of exact
+    // integers — bit-identical in both engines (never round()ed).
+    // Scale shape: the exact side is the ONE deliberate brute pass (the
+    // oracle needs ground truth), Q·N dots with the broadcast 10-query
+    // side — the audit runs on a carve in production exactly like q83.
+    "q222_ann_recall" -> QDef(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val qv = quantized(emb)
+        val q = qv.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv")).limit(10)
+        val exact = qv.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("d2", cDist(col("v"), col("qv")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id").as("vid"))
+        val approx = ivfPqTopK(emb, nprobe = 2, k = 5).select("qid", "vid")
+        val hits = exact.join(approx, Seq("qid", "vid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        q.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_at_5", col("n_hit") / lit(5.0))
+          .orderBy("qid")
+      },
+      s"""WITH $oracleIvfPq,
+         |$oracleAdcRank,
+         |apx AS (SELECT qid, vid FROM r WHERE rnk <= 5),
+         |ex AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT q.qid, a.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             list_aggregate(list_transform(list_zip(q.qv, a.v),
+         |               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), a.vec_id) AS rnk
+         |    FROM q CROSS JOIN qv a WHERE a.vec_id <> q.qid) z
+         |  WHERE rnk <= 5),
+         |hits AS (
+         |  SELECT ex.qid, COUNT(*) AS n_hit
+         |  FROM ex JOIN apx ON ex.qid = apx.qid AND ex.vid = apx.vid
+         |  GROUP BY 1)
+         |SELECT q.qid AS qid, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(hits.n_hit, 0) AS BIGINT) / 5.0 AS recall_at_5
+         |FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""".stripMargin
     )
   )
 }
