@@ -23,6 +23,53 @@ import org.apache.spark.sql.functions._
 object Round11b {
   import Tables._
 
+  /** The hamming≤3 simhash spanning-edge stage, shared by q221 (CC input)
+    * and q224 (contrastive positives): q56's 16-bit fingerprints, 4-piece
+    * pigeonhole candidates, 32-way probe spread (the q56/q97 lesson: the
+    * piece table is byte-small, so AQE would coalesce the collision-heavy
+    * expansion onto ~1 task without it). */
+  private[ops] def spanningPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sims = LlmExt2.simhash16(documents(s, d))
+    val pieces = LlmExt2.pieces4(sims)
+    pieces.repartition(32).as("x")
+      .join(pieces.as("y"),
+        col("x.lang") === col("y.lang") &&
+          col("x.piece_idx") === col("y.piece_idx") &&
+          col("x.piece") === col("y.piece") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** The q221 oracle's candidate-pair chain (portable md5-hex simhash +
+    * pigeonhole join), shared with q224's oracle. */
+  private[ops] val oracleSpanningPairs =
+    """tf AS (SELECT doc_id, lang, tok, COUNT(*) AS cnt FROM
+      |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY 1, 2, 3),
+      |tid AS (SELECT doc_id, lang, cnt,
+      |          CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 104729 AS tid
+      |        FROM tf),
+      |sims AS (SELECT doc_id, lang,
+      |           CAST(SUM(CASE WHEN score > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |         FROM (SELECT doc_id, lang, j,
+      |                 SUM(cnt * (2 * (((tid * (2*j+3) + (7*j+1)) % 104729) % 2) - 1)) AS score
+      |               FROM tid CROSS JOIN range(0, 16) b(j)
+      |               GROUP BY 1, 2, 3) sc
+      |         GROUP BY 1, 2),
+      |pieces AS (SELECT doc_id, lang, simhash, p AS piece_idx,
+      |             (simhash // CAST(pow(2, p * 4) AS BIGINT)) % 16 AS piece
+      |           FROM sims CROSS JOIN range(0, 4) pr(p)),
+      |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |          FROM pieces x JOIN pieces y
+      |            ON x.lang = y.lang AND x.piece_idx = y.piece_idx
+      |           AND x.piece = y.piece AND x.doc_id < y.doc_id
+      |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)""".stripMargin
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // --------------------------------------------------------------- q221
@@ -34,48 +81,11 @@ object Round11b {
     // node. Nothing is all-pairs: the spanning set's volume is the
     // pigeonhole collision count (measured near-linear, SCALE.md §11 adv).
     "q221_cc_spanning" -> QDef(
-      (s, d) => {
-        val sims = LlmExt2.simhash16(documents(s, d))
-        val pieces = LlmExt2.pieces4(sims)
-        // 32-way spread of the probe side (the q56/q97 lesson: the piece
-        // table is byte-small, so AQE would coalesce the collision-heavy
-        // expansion onto ~1 task without it)
-        val pairs = pieces.repartition(32).as("x")
-          .join(pieces.as("y"),
-            col("x.lang") === col("y.lang") &&
-              col("x.piece_idx") === col("y.piece_idx") &&
-              col("x.piece") === col("y.piece") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-          .where(col("hamming") <= 3)
-          .select("doc_a", "doc_b")
-          .distinct()
-        Dedup.dupClusters(pairs)
+      (s, d) =>
+        Dedup.dupClusters(spanningPairs(s, d))
           .select(col("node").as("doc_id"), col("label").as("canonical_id"))
-          .orderBy("doc_id")
-      },
-      s"""WITH RECURSIVE tf AS (SELECT doc_id, lang, tok, COUNT(*) AS cnt FROM
-         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
-         |  GROUP BY 1, 2, 3),
-         |tid AS (SELECT doc_id, lang, cnt,
-         |          CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 104729 AS tid
-         |        FROM tf),
-         |sims AS (SELECT doc_id, lang,
-         |           CAST(SUM(CASE WHEN score > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-         |         FROM (SELECT doc_id, lang, j,
-         |                 SUM(cnt * (2 * (((tid * (2*j+3) + (7*j+1)) % 104729) % 2) - 1)) AS score
-         |               FROM tid CROSS JOIN range(0, 16) b(j)
-         |               GROUP BY 1, 2, 3) sc
-         |         GROUP BY 1, 2),
-         |pieces AS (SELECT doc_id, lang, simhash, p AS piece_idx,
-         |             (simhash // CAST(pow(2, p * 4) AS BIGINT)) % 16 AS piece
-         |           FROM sims CROSS JOIN range(0, 4) pr(p)),
-         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |          FROM pieces x JOIN pieces y
-         |            ON x.lang = y.lang AND x.piece_idx = y.piece_idx
-         |           AND x.piece = y.piece AND x.doc_id < y.doc_id
-         |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+          .orderBy("doc_id"),
+      s"""WITH RECURSIVE $oracleSpanningPairs,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |cc(node, lbl) AS (
