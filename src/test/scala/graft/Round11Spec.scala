@@ -93,4 +93,38 @@ class Round11Spec extends AnyFunSuite {
       assert(labels(a) == labels(b), s"edge ($a,$b) split across labels ${labels(a)}/${labels(b)}")
     }
   }
+
+  test("q223 caveat is real: an insert+delete shift at lev<=2 evades 3-segment pigeonhole blocking") {
+    // The Scaladoc on q223 documents that 3-segment blocking is complete
+    // only for substitution-dominated lev<=2 (the declared data's shape,
+    // proven per-run by the brute oracle) and that a coordinated
+    // insert+delete can shift every segment on general strings. Lock that
+    // as a measured property, not just a comment: b is a (delete first
+    // char, append one char) edit of a — lev(a, b) == 2 — yet every
+    // 6-char segment differs, so the (seg_idx, seg) equi-join yields no
+    // candidate. The production form for shift-heavy data is the
+    // deletion-neighborhood expansion.
+    import spark.implicits._
+    val a = "ABCDEFGHIJKLMNOPQR" // 18 chars, 3 segments of 6
+    val b = a.substring(1) + "Z"
+    val df = Seq((0L, a), (1L, b)).toDF("ck", "nm")
+    assert(df.select(levenshtein(col("nm"), lit(a))).collect()
+      .map(_.getInt(0)).max == 2)
+    val segs = df.select(col("ck"),
+        posexplode(array(substring(col("nm"), 1, 6),
+          substring(col("nm"), 7, 6), substring(col("nm"), 13, 6))))
+      .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
+    val cand = segs.as("x").join(segs.as("y"),
+        col("x.seg_idx") === col("y.seg_idx") &&
+          col("x.seg") === col("y.seg") && col("x.ck") < col("y.ck"))
+    assert(cand.count() == 0, "shifted pair should evade segment blocking")
+    // and the deletion-neighborhood (delete any one char from each side,
+    // join on the variant) DOES catch a lev<=1-per-side shift like this
+    val dels = df.select(col("ck"), explode(expr(
+        "transform(sequence(1, length(nm)), i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1)))"))
+      .as("variant")).distinct()
+    val caught = dels.as("x").join(dels.as("y"),
+      col("x.variant") === col("y.variant") && col("x.ck") < col("y.ck"))
+    assert(caught.count() > 0, "deletion neighborhood should catch the shifted pair")
+  }
 }
