@@ -1,6 +1,8 @@
 package graft.ops
 
 import graft.{QDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-11 batch 3: two missing operator families.
@@ -178,6 +180,79 @@ object Round11c {
         |       JOIN k3 b ON e.y = b.x)
         |SELECT x AS user_id, COUNT(*) AS core_deg
         |FROM e3 GROUP BY x ORDER BY user_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q226
+    // Multi-PROBE LSH — the memory-free recall fix complementing q220's
+    // multi-TABLE form: each query probes its own bucket PLUS the bucket
+    // at Hamming distance 1 on its lowest-|margin| hyperplane (the sign
+    // decision nearest the boundary is the likeliest to have split true
+    // neighbors). Same q52 3-bit table and integer hyperplane family;
+    // candidate volume 2·Q·N/2^bits with ZERO extra index memory —
+    // multi-table pays L× storage for its recall, multi-probe pays probe
+    // count only. Margins are the same bit-identical double folds both
+    // engines compute (the float-fold determinism rule); argmin ties
+    // break on the lowest hyperplane index.
+    "q226_lsh_multiprobe" -> QDef(
+      (s, d) => {
+        def hyper(j: Int): Column =
+          transform(sequence(lit(0), lit(63)),
+            k => ((lit(j.toLong) * 64 + k) * lit(2654435761L) % 97 - 48).cast("double"))
+        def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+        val dots = (0 until 3).map(j => dotCol(col("e"), hyper(j)))
+        val emb = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("bucket",
+            (0 until 3).map(j => when(dots(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _))
+          .withColumn("n2", graft.plans.DotProduct.norm2(col("e")))
+        val m = (0 until 3).map(j => abs(dotCol(col("e"), hyper(j))))
+        val jmin = when(m(0) <= m(1) && m(0) <= m(2), 0)
+          .when(m(1) <= m(2), 1).otherwise(2)
+        val pw = when(jmin === 0, 1L).when(jmin === 1, 2L).otherwise(4L)
+        val qp = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn"),
+            posexplode(array(col("bucket"), col("bucket").bitwiseXOR(pw))))
+          .withColumnsRenamed(Map("pos" -> "probe", "col" -> "bucket"))
+        emb.join(broadcast(qp), Seq("bucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            dotCol(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id").as("vid"), col("probe"),
+            col("cos_sim"), col("rnk").cast("int").as("rnk"))
+          .orderBy("qid", "rnk")
+      }, {
+        def dotSql(j: Int): String =
+          s"""list_aggregate(list_transform(list_zip(e,
+             |     list_transform(range(0, 64), k -> CAST(($j*64+k)*2654435761 % 97 - 48 AS DOUBLE))),
+             |     z -> z[1]*z[2]), 'sum')""".stripMargin
+        s"""WITH emb AS (
+           |  SELECT vec_id, e,
+           |    list_aggregate(list_transform(e, z -> z*z), 'sum') AS n2,
+           |    ${(0 until 3).map(j => s"(CASE WHEN ${dotSql(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bucket,
+           |    ${(0 until 3).map(j => s"abs(${dotSql(j)}) AS m$j").mkString(",\n    ")}
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b),
+           |q AS (
+           |  SELECT vec_id AS qid, e AS qe, n2 AS qn, bucket,
+           |         CASE WHEN m0 <= m1 AND m0 <= m2 THEN 1
+           |              WHEN m1 <= m2 THEN 2 ELSE 4 END AS pw
+           |  FROM emb WHERE vec_id < 10),
+           |qp AS (
+           |  SELECT qid, qe, qn, CAST(pp.probe AS INTEGER) AS probe,
+           |         CASE pp.probe WHEN 0 THEN bucket ELSE xor(bucket, pw) END AS bucket
+           |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS probe) pp),
+           |ranked AS (
+           |  SELECT qp.qid, emb.vec_id AS vid, qp.probe,
+           |    list_aggregate(list_transform(list_zip(qp.qe, emb.e), z -> z[1]*z[2]), 'sum')
+           |      / sqrt(qp.qn * emb.n2) AS cos_sim
+           |  FROM emb JOIN qp ON emb.bucket = qp.bucket AND emb.vec_id <> qp.qid)
+           |SELECT qid, vid, probe, cos_sim,
+           |       CAST(row_number() OVER (PARTITION BY qid
+           |         ORDER BY cos_sim DESC, vid) AS INT) AS rnk
+           |FROM ranked QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
+      }
     )
   )
 }
