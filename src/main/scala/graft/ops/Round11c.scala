@@ -253,6 +253,47 @@ object Round11c {
            |         ORDER BY cos_sim DESC, vid) AS INT) AS rnk
            |FROM ranked QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
       }
+    ),
+
+    // --------------------------------------------------------------- q227
+    // FILTERED vector search — the enterprise ANN workload (top-k among
+    // vectors satisfying a metadata predicate): q62's IVF with the filter
+    // applied to the INDEX side before the per-list ranking. This is
+    // pre-filtering: the predicate prunes list members before any
+    // distance math, so per-query work is nprobe/nlist · selectivity of
+    // the corpus — post-filtering (rank first, filter the top-k) would
+    // under-fill k whenever the filter is selective. The vec_id % 3
+    // predicate stands in for a metadata column; at 100 TB the filter is
+    // a pushed-down parquet predicate on the index table and the IVF
+    // shapes are unchanged. nprobe == nlist keeps the declared query
+    // provably exact ⇒ the oracle is brute force under the same
+    // predicate (the q62 trick).
+    "q227_filtered_ann" -> QDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (index, centroids) =
+          graft.ops.Ann.ivfIndex(emb.select(col("vec_id"), col("embedding")), nlist = 16)
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        graft.ops.Ann.ivfTopKLargeQ(
+            index.where(col("vec_id") % 3 === 0), centroids, queries,
+            k = 5, nprobe = 16)
+          .select(col("qid"), col("vec_id").as("vid"), col("cos_sim"), col("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |a AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ve
+        |      FROM embeddings WHERE vec_id % 3 = 0),
+        |p AS (SELECT qid, vid,
+        |        list_aggregate(list_transform(list_zip(qe, ve), x -> x[1]*x[2]), 'sum')
+        |          / sqrt(list_aggregate(list_transform(qe, x -> x*x), 'sum')
+        |                 * list_aggregate(list_transform(ve, x -> x*x), 'sum')) AS cos_sim
+        |      FROM q, a WHERE vid <> qid),
+        |r AS (SELECT qid, vid, cos_sim,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS INT) AS rnk
+        |      FROM p)
+        |SELECT qid, vid, cos_sim, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
     )
   )
 }
