@@ -552,7 +552,10 @@ object ScaleCurve {
     }
     if (regime == "snmrecall") {
       docs(spark, 1000, "adv").selectExpr("sum(length(text))").collect()
-      snmRecall(spark, sizes, "adv")
+      // optional 3rd arg picks the corpus regime (default adv — where
+      // the fixed width degenerates; heaps shows the derivation is a
+      // no-op on natural statistics)
+      snmRecall(spark, sizes, if (args.length > 2) args(2) else "adv")
       spark.stop()
       return
     }
