@@ -197,7 +197,10 @@ object ScaleCurve {
       def plantedRecall(p: DataFrame): Double = {
         val norm = p.select(least(col("doc_a"), col("doc_b")).as("a"),
           greatest(col("doc_a"), col("doc_b")).as("b"))
-        norm.join(planted, Seq("a", "b")).count().toDouble / planted.count()
+        // sizes below the planted-pair stride have 0 planted pairs — report
+        // recall 0 rather than NaN (ADVICE round 11)
+        norm.join(planted, Seq("a", "b")).count().toDouble /
+          math.max(planted.count(), 1L)
       }
       println(f"$n%8d $w%6d $nW8%10d $nWd%10d $overlap%10d ${overlap.toDouble / math.max(nW8, 1L)}%13.3f ${plantedRecall(w8)}%10.3f ${plantedRecall(wd)}%10.3f")
     }

@@ -75,6 +75,15 @@ object Ann {
     // tree ⇒ bit-identical doubles), keeps the exact minimum, and breaks
     // exact-distance ties on min list_id — the same (dist, list_id)
     // argmin the window computed, row for row.
+    // A vector with a null embedding element has NULL distance to every
+    // centroid: bd = NULL, the `dist === bd` filter drops it, and the
+    // inner join would silently shrink the index (ADVICE round 11). The
+    // guard lives at INGEST instead — [[guardedNorm2]] raises on the first
+    // malformed vector when the (vec_id, e, n2) projection materializes
+    // (ivfIndex checkpoints it; the s34 streaming ingest writes it) — so
+    // this hot argmin path stays exactly the broadcast HashAggregate shape
+    // AnnIvfSpec locks (a left join + null-check here demoted the final
+    // assignment join to SortMergeJoin).
     val best = emb.join(broadcast(cs), lit(true))
       .groupBy("vec_id").agg(min(dist).as("bd"))
     emb.join(best, Seq("vec_id"))
@@ -85,6 +94,19 @@ object Ann {
       .select(col("vec_id"), col("e"), col("n2"), col("list_id"))
   }
 
+  /** norm² with a loud-failure guard (ADVICE round 11): a null embedding
+    * element nulls the distance fold against EVERY centroid, and the
+    * argmin's `dist === bd` filter then silently drops the vector from
+    * the index — malformed input must fail loudly instead of shrinking
+    * the index. Raises on the first malformed vector when the ingest
+    * projection materializes; healthy rows pay one null check. */
+  private[graft] def guardedNorm2(e: Column, id: Column): Column =
+    when(norm2(e).isNotNull, norm2(e))
+      .otherwise(raise_error(concat(
+        lit("Ann ingest: vec_id "), id,
+        lit(" has a NULL embedding element — the vector would silently vanish from the index")))
+        .cast("double"))
+
   /** Build the IVF index: (vec_id, e, n2, list_id) plus the centroid table
     * (list_id, ce, cn2). `vectors` must have (vec_id, embedding). */
   def ivfIndex(vectors: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
@@ -94,7 +116,7 @@ object Ann {
     // production analog of persisting the vector table during index build.
     val emb = vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("n2", norm2(col("e")))
+      .withColumn("n2", guardedNorm2(col("e"), col("vec_id")))
       .localCheckpoint()
     // deterministic seeds: the nlist smallest vec_ids
     val seeds = emb.orderBy("vec_id").limit(nlist)

@@ -28,28 +28,51 @@ object Round11c {
   val defs: Vector[(String, QDef)] = Vector(
 
     // --------------------------------------------------------------- q223
-    // Scale shape: a 3× segment explode + (seg_idx, seg) equi-join +
-    // distinct + verify — never an all-pairs comparison; candidate volume
-    // is the segment-collision count. Honest caveat, documented: the
-    // 3-segment pigeonhole is COMPLETE for substitution-only lev ≤ 2
-    // (equal-length names here); an insert+delete shift can evade it on
-    // general strings, where the deletion-neighborhood variant is the
-    // production form — on this data the shared 'Customer#' prefix keeps
-    // segment 1 equal for every pair, so the brute oracle proves no miss.
-    // The carve (< 200) is SF-independent, like q83's.
+    // Edit-distance join via PassJoin blocking (Li et al., the
+    // partition-signature scheme), upgraded in round 12. The round-11 form
+    // joined position-ALIGNED equal-width segments — and the round-12
+    // probe showed that is incomplete for lev ≤ 2 even on EQUAL-LENGTH
+    // strings: an insert+delete pair realizes distance 2 as a SHIFT
+    // ('...019' vs '...190' differs at every aligned position), and the
+    // aligned form only looked correct because its constant-prefix
+    // segments degenerated the candidate join to all-pairs (ADVICE round
+    // 11; 161 shift pairs were provably missed once the segments actually
+    // discriminated). PassJoin is complete for true edit distance: if
+    // lev(x, y) ≤ d and y is cut into d+1 segments, some segment of y is
+    // untouched by every edit and appears in x at a start offset within
+    // ±d — so the INDEX side keeps the 3 aligned 3-char segments of the
+    // varying suffix and the PROBE side explodes each name's substrings
+    // at the 5 start offsets within ±2, joined on (seg_idx, content).
+    // Segments cover only the varying 9-char numeric suffix: edits in the
+    // shared literal prefix can only shift it, and shifts are what the
+    // probe window absorbs. Scale shape: 3× index explode + 15× probe
+    // explode + one equi-join + distinct + codegen'd levenshtein verify —
+    // candidate volume is the segment-collision count (56% of all-pairs
+    // at the 2000-carve on this low-entropy suffix data; the brute oracle
+    // is the independent completeness proof). Length-CHANGING edits are
+    // the deletion-neighborhood variant, declared as q230.
     "q223_editdist_join" -> QDef(
       (s, d) => {
-        val c = customer(s, d).where(col("c_custkey") < 200)
+        val c = customer(s, d).where(col("c_custkey") < 2000)
           .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
-        val segs = c.select(col("ck"), col("nm"),
-            posexplode(array(substring(col("nm"), 1, 6),
-              substring(col("nm"), 7, 6), substring(col("nm"), 13, 6))))
+        val idx = c.select(col("ck"), col("nm"),
+            posexplode(array(substring(col("nm"), 10, 3),
+              substring(col("nm"), 13, 3), substring(col("nm"), 16, 3))))
           .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
-        val cand = segs.as("x").join(segs.as("y"),
+        val prb = c.select(col("ck"), col("nm"),
+            explode(expr("""flatten(transform(sequence(0, 2), i ->
+              transform(sequence(-2, 2), o ->
+                struct(i AS seg_idx, substring(nm, 10 + 3*i + o, 3) AS seg))))"""))
+              .as("p"))
+          .select(col("ck"), col("nm"),
+            col("p.seg_idx").as("seg_idx"), col("p.seg").as("seg"))
+        val cand = prb.as("x").join(idx.as("y"),
             col("x.seg_idx") === col("y.seg_idx") &&
-              col("x.seg") === col("y.seg") && col("x.ck") < col("y.ck"))
-          .select(col("x.ck").as("ck_a"), col("x.nm").as("nm_a"),
-            col("y.ck").as("ck_b"), col("y.nm").as("nm_b"))
+              col("x.seg") === col("y.seg") && col("x.ck") =!= col("y.ck"))
+          .select(least(col("x.ck"), col("y.ck")).as("ck_a"),
+            greatest(col("x.ck"), col("y.ck")).as("ck_b"),
+            when(col("x.ck") < col("y.ck"), col("x.nm")).otherwise(col("y.nm")).as("nm_a"),
+            when(col("x.ck") < col("y.ck"), col("y.nm")).otherwise(col("x.nm")).as("nm_b"))
           .distinct()
         cand.withColumn("lev", levenshtein(col("nm_a"), col("nm_b")))
           .where(col("lev") <= 2)
@@ -57,7 +80,7 @@ object Round11c {
           .orderBy("ck_a", "ck_b")
       },
       """WITH c AS (SELECT c_custkey AS ck, c_name AS nm FROM customer
-        |           WHERE c_custkey < 200)
+        |           WHERE c_custkey < 2000)
         |SELECT a.ck AS ck_a, b.ck AS ck_b,
         |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev
         |FROM c a JOIN c b ON a.ck < b.ck
@@ -126,17 +149,31 @@ object Round11c {
     // same 3 steps; convergence at round 3 is data-dependent and NOT
     // asserted — the declared result is "the round-3 survivor set", which
     // is exact under replay either way. Scale shape: the edge build is
-    // one (hb, type) equi-join off a distinct projection (bucket sizes
-    // bound candidate volume — same family as q95's windowed self-join);
-    // each round is one degree aggregate + two node-keyed semi joins on
-    // an edge table that only SHRINKS; the 3-round ladder costs 3 × (agg
-    // + join) barriers regardless of volume.
+    // one (hb, type) equi-join off a distinct projection, with cell
+    // membership CAPPED at 16 users per (hour, event_type) cell (round-12
+    // fix, VERDICT round 11: uncapped, the self-join emits Θ(cell²) pairs
+    // per cell and cell population grows ~linearly with corpus density —
+    // the one quadratic term this query had; q95's cells are bounded
+    // per-user, these span all users active in an hour). The cap is
+    // deterministic and VALUE-VISIBLE — rank by the portable md5 of
+    // (user, cell), user_id tie-break — so both engines carve the same
+    // members and the oracle replays it; capped, the edge table is
+    // ≤ C(16,2)·cells — linear in cell count (ScaleCurve kcore regime
+    // measures the bend, SCALE.md §12). Each peel round is one degree
+    // aggregate + two node-keyed joins on an edge table that only
+    // SHRINKS; the 3-round ladder costs 3 × (agg + join) barriers
+    // regardless of volume.
     "q225_kcore" -> QDef(
       (s, d) => {
         val k = 3
-        val ev = events(s, d).select(col("user_id"),
+        val evAll = events(s, d).select(col("user_id"),
             expr("unix_micros(ts) DIV 3600000000").as("hb"), col("event_type"))
           .distinct()
+        val ev = evAll.withColumn("rk", row_number().over(
+            Window.partitionBy("hb", "event_type").orderBy(
+              md5(concat_ws("#", col("user_id"), col("hb"), col("event_type"))),
+              col("user_id"))))
+          .where(col("rk") <= 16).drop("rk")
         val pairs = ev.as("a").join(ev.as("b"),
             col("a.hb") === col("b.hb") &&
               col("a.event_type") === col("b.event_type") &&
@@ -162,8 +199,14 @@ object Round11c {
           .select(col("x").as("user_id"), col("core_deg"))
           .orderBy("user_id")
       },
-      """WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hb,
-        |                            event_type FROM events),
+      """WITH ev0 AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hb,
+        |                             event_type FROM events),
+        |ev AS (SELECT user_id, hb, event_type FROM (
+        |         SELECT user_id, hb, event_type,
+        |                row_number() OVER (PARTITION BY hb, event_type
+        |                  ORDER BY md5(user_id || '#' || hb || '#' || event_type),
+        |                           user_id) AS rk
+        |         FROM ev0) z WHERE rk <= 16),
         |pairs AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
         |          FROM ev a JOIN ev b ON a.hb = b.hb
         |           AND a.event_type = b.event_type AND a.user_id < b.user_id),

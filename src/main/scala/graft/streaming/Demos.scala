@@ -652,8 +652,17 @@ object Demos {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // SNAPSHOT the broadcast side once per batch (ADVICE round 11): the
+        // overflow count below is a SECOND execution of a plan referencing
+        // this DataFrame — if the caller's benchmark table mutated between
+        // the collect job and the count job, overflow would be inconsistent
+        // with the collected verdicts (even negative). localCheckpoint pins
+        // both jobs to the same benchmark version; the table is
+        // benchmark-scale (the broadcast side), so the materialization is
+        // small by construction.
         val bench = currentBenchGrams()
           .select(col("doc_id").as("bench_id"), col("g"))
+          .localCheckpoint()
         val drops = graft.ops.Curation2.trigrams(batch.toDF())
           .join(broadcast(bench), "g")
           .groupBy("doc_id", "bench_id")
@@ -1892,7 +1901,9 @@ object Demos {
       centroids: DataFrame, dir: String, batchId: Long): Unit = {
     val emb = batch
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("n2", graft.plans.DotProduct.norm2(col("e")))
+      // guardedNorm2: a malformed vector fails the batch loudly instead of
+      // silently vanishing from the index (ADVICE round 11)
+      .withColumn("n2", graft.ops.Ann.guardedNorm2(col("e"), col("vec_id")))
     graft.ops.Ann.assignVectors(emb, centroids)
       .write.mode("overwrite").parquet(s"$dir/b=$batchId")
   }

@@ -96,6 +96,22 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("a null embedding element fails the index build loudly (ADVICE r11)") {
+    // a null element nulls the distance fold against every centroid; the
+    // argmin's dist === bd filter would then silently DROP the vector from
+    // the index — the ingest guard must raise instead (ivfIndex's eager
+    // checkpoint materializes the guarded projection)
+    val bad = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1.0D, 2.0D)), (1L, array(2.0D, 1.0D)),
+        |  (2L, array(CAST(NULL AS DOUBLE), 3.0D))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val e = intercept[Exception] { Ann.ivfIndex(bad, 2) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("vanish")), s"unexpected failure: $e")
+  }
+
   test("plan shape: vectors are never self-joined; centroid joins broadcast") {
     val plan = Ann.ivfTopK(index, centroids, queries, K, nprobe = 4)
       .queryExecution.executedPlan.toString

@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite {
     val manyErrors = (1 to 500).map(i => f"q$i%03d_some_very_long_query_name")
     val line = Bench.stdoutLine(
       total = 123456.7891, errorNames = manyErrors, reps = 2,
-      sf = "/root/testdata/sf0.1", nQueries = 1000, calib = (123.4567, 123.4567))
+      sf = "/root/testdata/sf0.1", nQueries = 1000, calib = (123.4567, 123.4567),
+      extra = 3)
     assert(line.getBytes(StandardCharsets.UTF_8).length < 1500,
       s"bench stdout line is ${line.length} bytes: $line")
     assert(!line.contains("\n"))
@@ -31,6 +32,30 @@ class ContractSpec extends AnyFunSuite {
     val healthy = Bench.stdoutLine(30.74, Nil, 2, "/root/testdata/sf0.1",
       SparkEntry.queries.size, calib = (0.1234, 0.1234))
     assert(healthy.getBytes(StandardCharsets.UTF_8).length < 200, healthy)
+  }
+
+  test("Bench contention repair: history round-trips and the outlier rule is calibrated") {
+    // parseHistory reads back exactly what fullJson wrote — the repair
+    // envelope survives the file round-trip, including an errors map whose
+    // quoted messages must not bleed into the queries segment
+    val full = Bench.fullJson(
+      total = 12.3456,
+      results = Seq("q01_scan_project" -> 0.1234, "q78_pipeline_counts" -> 5.5678),
+      errors = scala.collection.mutable.LinkedHashMap(
+        "q99_cooccur_lift" -> "boom: 1.5 things"),
+      reps = 2, sf = "/root/testdata/sf0.1", calib = (0.1, 0.2), extra = 1)
+    val hist = Bench.parseHistory(full)
+    assert(hist == Map("q01_scan_project" -> 0.1234, "q78_pipeline_counts" -> 5.5678))
+    assert(Bench.parseHistory("not json at all").isEmpty)
+    // outlier rule: flags the round-11 contamination (q59 26.4 s vs 0.3 s
+    // history, q60 20.0 vs 0.5) but NOT the documented no-code-change
+    // cross-round envelope (q56: 3.8 s against a 1.7 s floor)
+    assert(Bench.isOutlier(26.4, 0.3))
+    assert(Bench.isOutlier(20.0, 0.5))
+    assert(!Bench.isOutlier(3.8, 1.7))
+    assert(!Bench.isOutlier(2.7, 1.7))
+    // sub-second absolute noise never flags
+    assert(!Bench.isOutlier(1.2, 0.1))
   }
 
   test("README.md and CLAUDE.md query counts match SparkEntry.queries.size") {
