@@ -202,7 +202,7 @@ object Round11 {
   /** The q219 oracle's training replay, shared CTE prefix: binds `c1`
     * (coarse centroids), `res` (per-vector list + integer residual),
     * `p1` (residual PQ centroids), and `pc` (packed codes). */
-  private val oracleIvfPq =
+  private[ops] val oracleIvfPq =
     """qv AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |           x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS v
@@ -266,7 +266,7 @@ object Round11 {
 
   /** The q219 oracle's QUERY side, shared with q222: probe ranking, ADC
     * LUTs, the unrolled 16-lookup scan, and the per-query rank `r`. */
-  private val oracleAdcRank =
+  private[ops] val oracleAdcRank =
     s"""q AS (SELECT vec_id AS qid, v AS qv FROM qv WHERE vec_id < 10),
        |pr AS (
        |  SELECT qid, list_id, qr FROM (
