@@ -206,6 +206,48 @@ object ScaleCurve {
     }
   }
 
+  /** kcore regime (round 12, VERDICT #4): measure q225's edge-build growth
+    * with and without the 16-users-per-cell cap on a synthetic event
+    * stream whose cell density grows linearly with volume (the premise of
+    * the round-11 weak-item: users scale with events, the (hour, type)
+    * cell grid is fixed, so uncapped pair volume is Θ(cell²)·cells —
+    * quadratic in corpus size — while the capped build is ≤ C(16,2)·cells,
+    * flat). Uncapped only runs to 300k events (3.3e9 pairs at 1M is the
+    * point, not a number worth computing). */
+  private def kcoreCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    println(f"${"variant"}%-10s ${"n_events"}%9s ${"n_cells"}%8s ${"edges"}%12s ${"sec"}%8s")
+    for (n <- sizes) {
+      val ev = spark.read.format("graft-gen")
+        .option("rows", n.toString).option("partitions", "32").load()
+        .select((col("id") % lit(math.max(n / 50, 1L))).as("user_id"),
+          pmod(xxhash64(col("id") * 7919L), lit(24L)).as("hb"),
+          concat(lit("t"), pmod(xxhash64(col("id") * 104729L), lit(4L))).as("event_type"))
+        .distinct()
+        .localCheckpoint()
+      def edges(e: DataFrame): DataFrame = e.as("a").join(e.as("b"),
+          col("a.hb") === col("b.hb") &&
+            col("a.event_type") === col("b.event_type") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .distinct()
+      // q225's exact cap: portable md5 rank within the cell, ≤16 survive
+      val capped = ev.withColumn("rk", row_number().over(
+          Window.partitionBy("hb", "event_type").orderBy(
+            md5(concat_ws("#", col("user_id"), col("hb"), col("event_type"))),
+            col("user_id"))))
+        .where(col("rk") <= 16).drop("rk")
+      val nCells = ev.select("hb", "event_type").distinct().count()
+      val variants = Seq("capped16" -> capped) ++
+        (if (n <= 300000) Seq("uncapped" -> ev) else Nil)
+      for ((nm, d) <- variants) {
+        val t0 = System.nanoTime()
+        val cnt = edges(d).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$nm%-10s $n%9d $nCells%8d $cnt%12d $dt%8.2f")
+      }
+    }
+  }
+
   /** Deterministic synthetic vectors: id → 64 hash-arithmetic dims in
     * [-1, 1], any size regenerates bit-identically. */
   private def vecs(spark: SparkSession, n: Long): DataFrame =
@@ -418,7 +460,8 @@ object ScaleCurve {
       def distD(dim: Int, a: String, b: String): String = (1 to dim)
         .map(i => s"(element_at($a, $i) - element_at($b, $i)) * (element_at($a, $i) - element_at($b, $i))")
         .mkString(" + ")
-      def ivfPq(kc: Int, nprobe: Int, rerank: Boolean): DataFrame = {
+      def ivfPq(kc: Int, nprobe: Int, rerank: Boolean,
+          wideEncode: Boolean = false): DataFrame = {
         val nlist = 64
         val qv = emb.select(col("vec_id"),
             expr("transform(e, x -> CAST(FLOOR(x * 1e6) AS BIGINT))").as("v"))
@@ -456,12 +499,14 @@ object ScaleCurve {
             zip_with(col("v"), col("c"), (a, b) => a - b).as("r"))
         // explicit 32-way spread: the routing pass ends in a byte-small
         // shuffle AQE would coalesce to ~1 partition, serializing the xkc
-        // broadcast-join expansion below onto one task (the q78/q97 lesson)
-        val sub = resid.select(col("vec_id"), col("list_id"),
+        // broadcast-join expansion below onto one task (the q78/q97 lesson).
+        // The checkpoint sits on RESID (round 12): both the training
+        // explode and the batched encode consume it, and an un-checkpointed
+        // resid would replay the corpus routing pass per consumer.
+        val residC = resid.repartition(32).localCheckpoint()
+        val sub = residC.select(col("vec_id"), col("list_id"),
             posexplode(expr("transform(sequence(0, 15), s -> slice(r, 4 * s + 1, 4))")))
           .withColumnsRenamed(Map("pos" -> "s", "col" -> "v"))
-          .repartition(32)
-          .localCheckpoint()
         def pAssign(xs: DataFrame, cs: DataFrame): DataFrame =
           xs.join(broadcast(cs), Seq("s"))
             .groupBy("vec_id", "list_id", "s")
@@ -482,10 +527,45 @@ object ScaleCurve {
         val p0 = psample.where(col("vec_id") < kc)
           .select(col("s"), col("vec_id").cast("int").as("j"), col("v").as("c"))
         val p1 = pUpdate(pAssign(psample, p0), psample, p0).localCheckpoint()
-        val packed = pAssign(sub, p1)
-          .groupBy("vec_id", "list_id")
-          .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-            x => x("code")).as("ca"))
+        // ENCODE batching — MEASURED NEGATIVE RESULT (round 12, VERDICT
+        // #7): the hypothesis was that the per-(vec, s) join against the
+        // 256-candidate codebook (N·16·kc ≈ 1B rows at 250k vectors) pays
+        // per-row machinery 16× that a "wide" form could amortize — one
+        // 64-wide codebook row per candidate j and ALL 16 subspace argmin
+        // keys computed per (vec, j) row (N·kc rows, 16× fewer, identical
+        // arithmetic and codes). Measured at 250k×64 under the same
+        // machine weather, the wide form is ~5× SLOWER, not faster:
+        // rr50 wide 216.9 s (BroadcastNestedLoopJoin) / 181.2 s
+        // (constant-key BroadcastHashJoin — join strategy is NOT the
+        // cause) vs 37–38 s for the round-11 narrow form. The 16-wide
+        // HashAggregate update (16 min functions × 8 element_at + mults
+        // each) generates a function past JIT-able size, so the hot loop
+        // runs deoptimized — the narrow single-primitive-min update is
+        // tiny and JITs. Kept behind wideEncode=true as the measured
+        // control; the narrow form stays the production path (per-subspace
+        // BLAS batching remains the off-Spark answer, SCALE.md §12).
+        val p1w = p1.groupBy("j").agg(
+            transform(array_sort(collect_list(struct(col("s"), col("c")))),
+              x => x("c")).as("cs"))
+          .select(col("j"), flatten(col("cs")).as("c64"))
+        def subKey(sIdx: Int): Column = min(
+          (0 until 4).map { i =>
+            val d = expr(s"element_at(r, ${4 * sIdx + i + 1}) - element_at(c64, ${4 * sIdx + i + 1})")
+            d * d
+          }.reduce(_ + _) * lit(kc.toLong) + col("j")).as(s"k$sIdx")
+        val packed = (if (wideEncode)
+          residC.withColumn("one", lit(1))
+            .join(broadcast(p1w.withColumn("one", lit(1))), "one")
+            .groupBy("vec_id", "list_id")
+            .agg(subKey(0), (1 until 16).map(subKey): _*)
+            .select(col("vec_id"), col("list_id"),
+              array((0 until 16).map(sIdx =>
+                pmod(col(s"k$sIdx"), lit(kc.toLong)).cast("int")): _*).as("ca"))
+        else // the round-11 per-(vec, s) form — the measured winner
+          pAssign(sub.repartition(32).localCheckpoint(), p1)
+            .groupBy("vec_id", "list_id")
+            .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+              x => x("code")).as("ca")))
           .repartition(32) // same lever for the ADC lookup scan below
         val qq = qv.where(col("vec_id") < 100)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -528,15 +608,22 @@ object ScaleCurve {
       }
       timed("ivfpq128_probe8", () => ivfPq(kc = 256, nprobe = 8, rerank = false), Some(brute))
       timed("ivfpq128_rr50", () => ivfPq(kc = 256, nprobe = 8, rerank = true), Some(brute))
+      // the wide-encode control — measured ~5× SLOWER (negative result
+      // above); opt-in by explicit name only so the default sweep never
+      // pays ~200 s for a known-worse variant
+      if (want("ivfpq128_rr50w"))
+        timed("ivfpq128_rr50w", () =>
+          ivfPq(kc = 256, nprobe = 8, rerank = true, wideEncode = true), Some(brute))
     }
   }
 
   def main(args: Array[String]): Unit = {
     val regime = args.headOption.getOrElse("real")
     val sizes = (if (args.length > 1) args(1) else regime match {
-      case "adv" => "5000,10000,20000"
-      case "ann" => "5000,50000,250000"
-      case _     => "5000,50000,250000"
+      case "adv"   => "5000,10000,20000"
+      case "ann"   => "5000,50000,250000"
+      case "kcore" => "30000,100000,300000,1000000"
+      case _       => "5000,50000,250000"
     }).split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -550,6 +637,13 @@ object ScaleCurve {
       vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
       annCurve(spark, sizes,
         if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty)
+      spark.stop()
+      return
+    }
+    if (regime == "kcore") {
+      spark.read.format("graft-gen").option("rows", "1000").load()
+        .agg(sum("id")).collect() // warm
+      kcoreCurve(spark, sizes)
       spark.stop()
       return
     }
