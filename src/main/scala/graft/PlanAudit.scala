@@ -67,7 +67,14 @@ object PlanAudit {
     // MANIFEST — score_ppm ∈ [0, 1e6] by normalization, 1%-wide buckets
     // ⇒ ≤ 101 rows at any corpus size (the q105/q150 fixed-domain
     // argument), never the documents.
-    "q208_curriculum")
+    "q208_curriculum",
+    // q227: same Ann.ivfIndex seed-ranking windows as q62 (the q62
+    // justification verbatim: each frame is the nlist-row centroid/seed
+    // table, broadcast-scale by construction — the 6 nodes are that one
+    // subtree duplicated across centroid consumers). q227 landed after
+    // round 11's audit run, so the entry is new in round 12, not a new
+    // window shape.
+    "q227_filtered_ann")
 
   /** Queries ALLOWED to plan a nested-loop/cartesian join whose build side
     * is NOT bounded-by-construction (see [[boundedBuild]]) — each bounded
@@ -154,6 +161,8 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional extra args: audit only these queries (dev iteration)
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -164,7 +173,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     var bad = Vector.empty[String]
     println(f"${"query"}%-26s ${"exch"}%5s ${"bcast"}%5s ${"smj"}%4s ${"bhj"}%4s ${"nlj"}%4s ${"scans"}%5s ${"gwin"}%4s")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // drain the DataFrame's OWN plan so AQE finalizes THIS plan (a
