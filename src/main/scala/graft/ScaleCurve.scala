@@ -373,6 +373,34 @@ object ScaleCurve {
           .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K)
       }, Some(brute))
 
+      // q232's binary sign quantization: 1 bit/dim (two BIGINT words,
+      // 8 bytes/vector — 16× smaller than the 16-byte PQ codes), Hamming
+      // top-50 shortlist via popcount(xor) in codegen, exact cosine
+      // re-rank of Q·50 rejoined raw vectors. No training, no codebooks —
+      // the index build is ONE projection. The shortlist window is
+      // qid-partitioned and rank-limited (WindowGroupLimit pushes the
+      // top-50 map-side).
+      timed("hamming64_rr50", () => {
+        def word(lo: Int) = expr((1 to 32).map(i =>
+          s"(CASE WHEN element_at(e, ${lo + i}) > 0 THEN ${1L << (i - 1)}L ELSE 0L END)")
+          .mkString(" + "))
+        val ce = emb.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+          .localCheckpoint()
+        val cq = ce.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+        ce.join(broadcast(cq), col("vec_id") =!= col("qid"))
+          .withColumn("ham", expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)"))
+          .withColumn("srnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))))
+          .where(col("srnk") <= 50)
+          .select("qid", "vec_id")
+          .repartition(32) // the q97 probe-side lever: spread the re-rank CPU
+          .join(emb, "vec_id")
+          .join(broadcast(q), "qid")
+          .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K)
+      }, Some(brute))
+
       // q62's IVF — index build (inside the clock: the build IS the cost)
       // + 100-query probe at nprobe=8/64
       timed("ivf64_probe8", () => {

@@ -74,7 +74,7 @@ object Round11 {
     * non-primitive type does — probed round 11, SCALE.md §12), sorting
     * the ×nlist expansion WITH the vector payload; the payload rejoins
     * by id instead. */
-  private def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame =
+  private[ops] def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame =
     v.crossJoin(broadcast(cent.limit(nlist)))
       .withColumn("key", cDist(col("v"), col("c")) * lit(nlist.toLong) + col("j"))
       .groupBy("vec_id")
@@ -87,7 +87,7 @@ object Round11 {
     * on the quantized grid; empty lists keep their previous centroid. The
     * 64 dimension sums are unrolled into ONE aggregation (one shuffle to
     * the ≤nlist-row codebook — the q205 rework). */
-  private def cUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+  private[ops] def cUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
     val sums = (1 to 64).map(i => sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
     val newC = assigned.groupBy(col("list_id").as("j"))
       .agg(count(lit(1)).as("n"), sums: _*)

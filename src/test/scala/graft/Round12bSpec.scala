@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 batch 2 (ops/Round12b.scala). Each query is re-derived HERE
+  * with plain JVM Long/Double math over the collected sf0.01 embeddings —
+  * an oracle independent of BOTH engines (Spark and DuckDB), on top of the
+  * DuckDB parity the driver runs. Locked:
+  *  1. q231 removes EXACTLY the planted twin set (vec_id % 17 = 5, id +
+  *     10000), each with its original as keeper and cos ≥ 0.999 — and
+  *     never a noise pair (τ = 0.8 vs the measured 0.513 noise ceiling);
+  *  2. q232 equals the JVM reimplementation end-to-end (sign words,
+  *     Hamming top-50 shortlist, exact-grid re-rank top-5);
+  *  3. q233's hits equal the JVM overlap of full-64 vs head-16 exact
+  *     top-5s, and the truncation loss is real on this corpus (some
+  *     query's hits < 5).
+  */
+class Round12bSpec extends AnyFunSuite {
+  import SharedSpark.{sf01, spark}
+
+  // ---- shared JVM ground truth -------------------------------------
+  private lazy val vecs: Map[Long, Array[Long]] =
+    Tables.embeddings(spark, sf01).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .toMap
+
+  private def d2(a: Array[Long], b: Array[Long], dims: Int = 64): Long =
+    (0 until dims).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+
+  private def top5(qid: Long, dist: Long => Long): Seq[Long] =
+    vecs.keys.filter(_ != qid).toSeq
+      .map(v => (dist(v), v)).sorted.take(5).map(_._2)
+
+  test("q231: removed set == planted twins, keeper == original, no noise pair fires") {
+    val rows = SparkEntry.queries("q231_semdedup")(spark, sf01).collect()
+    val planted = vecs.keys.filter(_ % 17 == 5).map(id => (id + 10000L) -> id).toMap
+    assert(rows.length == planted.size,
+      s"expected exactly ${planted.size} removals, got ${rows.length}")
+    rows.foreach { r =>
+      val (removed, keeper) = (r.getAs[Long]("removed"), r.getAs[Long]("keeper"))
+      assert(planted.get(removed).contains(keeper),
+        s"non-planted removal ($removed, keeper $keeper)")
+      assert(r.getAs[Double]("cos_sim") >= 0.999)
+    }
+  }
+
+  test("q232: matches the JVM sign-word/Hamming/re-rank reimplementation") {
+    // sign off the RAW float (the query tests embedding > 0; the 1e6 grid
+    // floor can flip sign for 0 < x < 1e-6, so recompute from floats)
+    val raw: Map[Long, Array[Float]] =
+      Tables.embeddings(spark, sf01).select("vec_id", "embedding").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def word(v: Array[Float], lo: Int): Long =
+      (0 until 32).map(i => if (v(lo + i) > 0) 1L << i else 0L).sum
+    val codes = raw.map { case (id, v) => id -> (word(v, 0), word(v, 32)) }
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong +
+        java.lang.Long.bitCount(a._2 ^ b._2).toLong
+    val expected = (0L until 10L).flatMap { qid =>
+      val qc = codes(qid)
+      val short = codes.view.filterKeys(_ != qid).toSeq
+        .map { case (v, c) => (ham(c, qc), v) }.sorted.take(50)
+      val qv = vecs(qid)
+      short.map { case (h, v) => (d2(vecs(v), qv), v, h) }.sorted.take(5)
+        .zipWithIndex.map { case ((dd, v, h), i) => (qid, v, h, dd, i + 1) }
+    }.toSet
+    val got = SparkEntry.queries("q232_hamming_ann")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"), r.getAs[Long]("ham"),
+        r.getAs[Long]("d2"), r.getAs[Int]("rnk"))).toSet
+    assert(got == expected,
+      s"q232 mismatch: extra=${(got -- expected).take(3)}, missing=${(expected -- got).take(3)}")
+  }
+
+  test("q233: hits equal the JVM full-vs-head-16 top-5 overlap; loss is real") {
+    val got = SparkEntry.queries("q233_matryoshka_recall")(spark, sf01).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("hits")).toMap
+    assert(got.keySet == (0L until 10L).toSet)
+    val expected = (0L until 10L).map { qid =>
+      val qv = vecs(qid)
+      val full = top5(qid, v => d2(vecs(v), qv)).toSet
+      val head = top5(qid, v => d2(vecs(v), qv, dims = 16)).toSet
+      qid -> (full & head).size.toLong
+    }.toMap
+    assert(got == expected, s"q233 mismatch: got $got expected $expected")
+    assert(expected.values.exists(_ < 5L),
+      "truncation loss vanished — the audit would be vacuous on this corpus")
+  }
+}
