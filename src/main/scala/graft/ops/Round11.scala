@@ -74,7 +74,7 @@ object Round11 {
     * non-primitive type does — probed round 11, SCALE.md §12), sorting
     * the ×nlist expansion WITH the vector payload; the payload rejoins
     * by id instead. */
-  private[ops] def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame =
+  private[graft] def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame =
     v.crossJoin(broadcast(cent.limit(nlist)))
       .withColumn("key", cDist(col("v"), col("c")) * lit(nlist.toLong) + col("j"))
       .groupBy("vec_id")

@@ -29,61 +29,92 @@ object Round11c {
 
     // --------------------------------------------------------------- q223
     // Edit-distance join via PassJoin blocking (Li et al., the
-    // partition-signature scheme), upgraded in round 12. The round-11 form
-    // joined position-ALIGNED equal-width segments — and the round-12
-    // probe showed that is incomplete for lev ≤ 2 even on EQUAL-LENGTH
-    // strings: an insert+delete pair realizes distance 2 as a SHIFT
-    // ('...019' vs '...190' differs at every aligned position), and the
-    // aligned form only looked correct because its constant-prefix
-    // segments degenerated the candidate join to all-pairs (ADVICE round
-    // 11; 161 shift pairs were provably missed once the segments actually
-    // discriminated). PassJoin is complete for true edit distance: if
-    // lev(x, y) ≤ d and y is cut into d+1 segments, some segment of y is
-    // untouched by every edit and appears in x at a start offset within
-    // ±d — so the INDEX side keeps the 3 aligned 3-char segments of the
-    // varying suffix and the PROBE side explodes each name's substrings
-    // at the 5 start offsets within ±2, joined on (seg_idx, content).
-    // Segments cover only the varying 9-char numeric suffix: edits in the
-    // shared literal prefix can only shift it, and shifts are what the
-    // probe window absorbs. Scale shape: 3× index explode + 15× probe
-    // explode + one equi-join + distinct + codegen'd levenshtein verify —
-    // candidate volume is the segment-collision count (56% of all-pairs
-    // at the 2000-carve on this low-entropy suffix data; the brute oracle
-    // is the independent completeness proof). Length-CHANGING edits are
-    // the deletion-neighborhood variant, declared as q230.
+    // partition-signature scheme). PassJoin is complete for edit
+    // distance: if lev(x, y) ≤ d and y is cut into d+1 segments, some
+    // segment of y is untouched by every edit and appears in x at a start
+    // offset within ±d — the INDEX side keeps the 3 aligned 6-char
+    // segments, the PROBE side explodes each string's 6-char substrings
+    // at start offsets within ±2 (window-clamped), joined on
+    // (seg_idx, content).
+    //
+    // Round-12 basis rework: the round-11 customer-NAME basis made 2 of 3
+    // segments corpus-CONSTANT ('Customer#000…'), so the candidate join
+    // degenerated toward all-pairs × the probe fanout — 59.7 s at bench
+    // scale with the blocking pruning nothing (the ADVICE-flagged
+    // degeneracy, measured). The corpus is now 18-hex-char portable-md5
+    // strings derived from c_custkey (the q224 md5-parity discipline) with
+    // PLANTED twins both engines replay value-visibly (the q230 plant):
+    // ck%10=7 → one substitution ('z' ∉ hex, lev 1); ck%10=3 → a
+    // delete-at-p + append SHIFT twin ('q' ∉ hex, lev 2) — the edit
+    // pattern position-aligned blocking provably misses (Round11Spec locks
+    // the miss; the probe's ±offsets absorb it). On this high-entropy
+    // basis the blocking actually prunes: candidates ≈ planted collisions
+    // (hex 6-grams collide with probability 16^-6), never all-pairs.
+    // Scale shape: 3× index explode + ≤11× clamped probe explode + one
+    // (seg_idx, seg) equi-join producing IDS ONLY + distinct + name
+    // rejoin by id (the q46 signature discipline) + codegen'd levenshtein
+    // verify. The brute O(carve²) oracle is the independent completeness
+    // proof. Length-CHANGING edits are the deletion-neighborhood variant,
+    // declared as q230.
     "q223_editdist_join" -> QDef(
       (s, d) => {
-        val c = customer(s, d).where(col("c_custkey") < 2000)
-          .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
-        val idx = c.select(col("ck"), col("nm"),
-            posexplode(array(substring(col("nm"), 10, 3),
-              substring(col("nm"), 13, 3), substring(col("nm"), 16, 3))))
+        val base = customer(s, d).where(col("c_custkey") < 2000)
+          .select(col("c_custkey").as("ck"),
+            substring(md5(col("c_custkey").cast("string")), 1, 18).as("nm"))
+        val subst = base.where(col("ck") % 10 === 7)
+          .select((col("ck") + 100000L).as("ck"),
+            expr("concat(substring(nm, 1, CAST(ck % 13 + 2 AS INT)), 'z', " +
+              "substring(nm, CAST(ck % 13 + 4 AS INT)))").as("nm"))
+        val shift = base.where(col("ck") % 10 === 3)
+          .select((col("ck") + 100000L).as("ck"),
+            expr("concat(substring(nm, 1, CAST(ck % 11 + 2 AS INT)), " +
+              "substring(nm, CAST(ck % 11 + 4 AS INT)), 'q')").as("nm"))
+        // checkpointed: consumed by idx, prb, and both name rejoins
+        val all = base.unionAll(subst).unionAll(shift).localCheckpoint()
+        val idx = all.select(col("ck"),
+            posexplode(array(substring(col("nm"), 1, 6),
+              substring(col("nm"), 7, 6), substring(col("nm"), 13, 6))))
           .withColumnsRenamed(Map("pos" -> "seg_idx", "col" -> "seg"))
-        val prb = c.select(col("ck"), col("nm"),
-            explode(expr("""flatten(transform(sequence(0, 2), i ->
+        val prb = all.select(col("ck"), col("nm"),
+            explode(expr("""filter(flatten(transform(sequence(0, 2), i ->
               transform(sequence(-2, 2), o ->
-                struct(i AS seg_idx, substring(nm, 10 + 3*i + o, 3) AS seg))))"""))
-              .as("p"))
-          .select(col("ck"), col("nm"),
-            col("p.seg_idx").as("seg_idx"), col("p.seg").as("seg"))
+                struct(i AS seg_idx, 1 + 6*i + o AS st)))),
+              p -> p.st >= 1 AND p.st <= 13)""")).as("p"))
+          .select(col("ck"), col("p.seg_idx").as("seg_idx"),
+            expr("substring(nm, p.st, 6)").as("seg"))
         val cand = prb.as("x").join(idx.as("y"),
             col("x.seg_idx") === col("y.seg_idx") &&
               col("x.seg") === col("y.seg") && col("x.ck") =!= col("y.ck"))
           .select(least(col("x.ck"), col("y.ck")).as("ck_a"),
-            greatest(col("x.ck"), col("y.ck")).as("ck_b"),
-            when(col("x.ck") < col("y.ck"), col("x.nm")).otherwise(col("y.nm")).as("nm_a"),
-            when(col("x.ck") < col("y.ck"), col("y.nm")).otherwise(col("x.nm")).as("nm_b"))
+            greatest(col("x.ck"), col("y.ck")).as("ck_b"))
           .distinct()
-        cand.withColumn("lev", levenshtein(col("nm_a"), col("nm_b")))
+        cand
+          .join(all.select(col("ck").as("ck_a"), col("nm").as("nm_a")), "ck_a")
+          .join(all.select(col("ck").as("ck_b"), col("nm").as("nm_b")), "ck_b")
+          .withColumn("lev", levenshtein(col("nm_a"), col("nm_b")))
           .where(col("lev") <= 2)
           .select(col("ck_a"), col("ck_b"), col("lev").cast("long").as("lev"))
           .orderBy("ck_a", "ck_b")
       },
-      """WITH c AS (SELECT c_custkey AS ck, c_name AS nm FROM customer
-        |           WHERE c_custkey < 2000)
+      """WITH base AS (
+        |  SELECT c_custkey AS ck,
+        |         substring(md5(CAST(c_custkey AS VARCHAR)), 1, 18) AS nm
+        |  FROM customer WHERE c_custkey < 2000),
+        |subst AS (
+        |  SELECT ck + 100000 AS ck,
+        |         substring(nm, 1, CAST(ck % 13 + 2 AS INT)) || 'z' ||
+        |           substring(nm, CAST(ck % 13 + 4 AS INT)) AS nm
+        |  FROM base WHERE ck % 10 = 7),
+        |shift AS (
+        |  SELECT ck + 100000 AS ck,
+        |         substring(nm, 1, CAST(ck % 11 + 2 AS INT)) ||
+        |           substring(nm, CAST(ck % 11 + 4 AS INT)) || 'q' AS nm
+        |  FROM base WHERE ck % 10 = 3),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM subst
+        |         UNION ALL SELECT * FROM shift)
         |SELECT a.ck AS ck_a, b.ck AS ck_b,
         |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev
-        |FROM c a JOIN c b ON a.ck < b.ck
+        |FROM allr a JOIN allr b ON a.ck < b.ck
         |WHERE levenshtein(a.nm, b.nm) <= 2
         |ORDER BY ck_a, ck_b""".stripMargin
     ),

@@ -227,11 +227,12 @@ object Round12b {
     // --------------------------------------------------------------- q233
     // Matryoshka truncation recall audit: exact top-5 under the full
     // 64-dim grid distance vs exact top-5 under the FIRST-16-dim prefix,
-    // per-query overlap. Scale shape: one corpus scan feeding two
-    // qid-partitioned top-k windows against the broadcast ≤10-row query
-    // carve; at 100 TB the full side would come from the serving index
-    // (q219/q228/q232) — here both sides are exact so the audit measures
-    // ONLY the truncation loss, nothing else.
+    // per-query overlap. Scale shape: two linear corpus passes (one per
+    // ranking — re-scanning beats materializing the Q×N distance table),
+    // each a qid-partitioned top-k window against the broadcast ≤10-row
+    // query carve; at 100 TB the full side would come from the serving
+    // index (q219/q228/q232) — here both sides are exact so the audit
+    // measures ONLY the truncation loss, nothing else.
     "q233_matryoshka_recall" -> QDef(
       (s, d) => {
         val qv = Round11.quantized(embeddings(s, d))

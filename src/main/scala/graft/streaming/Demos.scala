@@ -1914,6 +1914,104 @@ object Demos {
   private[graft] def ingestedIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("b")
 
+  /** s35 — semantic dedup on ingest: q231's streaming twin (SemDeDup,
+    * Abbas et al. 2023), the s34 posture applied to dedup. The coarse
+    * centroids are TRAINED OFFLINE and FROZEN (retraining online would
+    * move cluster boundaries under already-committed keep/drop verdicts).
+    * Each micro-batch: quantize to the 1e6 integer grid, assign with the
+    * batch query's EXACT argmin (`Round11.cAssign` — same key encoding,
+    * same tie-breaks), then drop a vector iff
+    *   (a) some already-KEPT committed vector in its cluster clears τ, or
+    *   (b) some lower-id batch-mate in its cluster clears τ (q231's
+    *       any-lower-id rule applied batch-locally).
+    * Admission order is (batchId, vec_id). On chain-free data — no
+    * above-τ pair among surviving keepers, which τ=0.8 vs the corpus's
+    * 0.513 noise ceiling guarantees — the union of drops equals the batch
+    * q231 removal set regardless of batching (StreamingDemosSpec locks it
+    * against an engine-independent JVM replay). With chains the online
+    * rule is the paper's greedy (kept-only comparisons) and the batch
+    * rule can drop strictly more — the documented semantic difference.
+    *
+    * Exactly-once falls out of determinism + idempotence (the s14/s34
+    * argument): the verdict for batch N is a pure function of (frozen
+    * centroids, committed partitions b < N, batch rows), so a replayed
+    * batch N overwrites ONLY its own `kept/b=N` + `drops/b=N` directories
+    * with byte-identical rows. Per-batch cost is O(batch × cluster
+    * population), never O(index): the committed side is read only for
+    * the ≤nlist clusters present in the batch (broadcast semi-join
+    * pushdown), and at 100 TB the kept table is list_id-partitioned so
+    * the read prunes to those clusters' files. No stream state at all —
+    * all cross-batch knowledge is the frozen centroids + the committed
+    * table (stateOperators empty, spec-locked). */
+  def s35SemanticDedupIngest(spark: SparkSession, vectors: DataFrame,
+      centroids: DataFrame, nlist: Int, dir: String,
+      tau: Double = 0.8): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        semanticDedupBatch(batch.toDF(), centroids, nlist, dir, batchId, tau))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One dedup-admission step (factored out so the spec can replay a
+    * batch with the same batchId and assert byte-identical output). */
+  private[graft] def semanticDedupBatch(batch: DataFrame, centroids: DataFrame,
+      nlist: Int, dir: String, batchId: Long, tau: Double): Unit = {
+    val spark = batch.sparkSession
+    import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
+    val qv = graft.ops.Round11.quantized(batch.select(col("vec_id"), col("embedding")))
+    // checkpointed: consumed by the committed join, BOTH sides of the
+    // batch-local pair join, and the kept write (the dupClusters rule)
+    val asg = graft.ops.Round11.cAssign(qv, centroids, nlist)
+      .select(col("vec_id"), col("list_id"), col("v").cast("array<double>").as("vd"))
+      .withColumn("n2", n2C(col("vd")))
+      .localCheckpoint()
+    val keptDir = s"$dir/kept"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // committed prefix = partitions b < batchId ONLY (the s14 version
+    // rule): on restart the engine replays batch N while b=N already
+    // exists on disk — reading it would compare the batch against itself
+    val prev =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(keptDir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(keptDir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b="))
+        .map(_.stripPrefix("b=").toLong).filter(_ < batchId)
+    val committed =
+      if (prev.isEmpty) asg.limit(0)
+      else spark.read.parquet(prev.sorted.map(p => s"$keptDir/b=$p"): _*)
+    // cluster pushdown: only the ≤nlist clusters present in this batch
+    val clusters = asg.select("list_id").distinct()
+    val commIn = committed.join(broadcast(clusters), Seq("list_id"))
+      .select(col("vec_id").as("id_y"), col("list_id"),
+        col("vd").as("vy"), col("n2").as("ny"))
+    val batchLower = asg
+      .select(col("vec_id").as("id_y"), col("list_id"),
+        col("vd").as("vy"), col("n2").as("ny"))
+    val x = asg.select(col("vec_id").as("id_x"), col("list_id"),
+      col("vd").as("vx"), col("n2").as("nx"))
+    def dropsVs(y: DataFrame, lowerIdOnly: Boolean): DataFrame = {
+      val base = x.join(y, Seq("list_id"))
+      val scoped = if (lowerIdOnly) base.where(col("id_y") < col("id_x"))
+        else base.where(col("id_y") =!= col("id_x"))
+      scoped
+        .where(dotC(col("vx"), col("vy")) / sqrt(col("nx") * col("ny")) > tau)
+        .select(col("id_x").as("vec_id"))
+    }
+    val drops = dropsVs(commIn, lowerIdOnly = false)
+      .unionAll(dropsVs(batchLower, lowerIdOnly = true))
+      .distinct()
+    asg.join(drops, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$keptDir/b=$batchId")
+    asg.join(drops, Seq("vec_id"), "left_semi")
+      .select("vec_id", "list_id")
+      .write.mode("overwrite").parquet(s"$dir/drops/b=$batchId")
+  }
+
+  /** The verdict views of an s35 directory. */
+  private[graft] def semanticKept(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/kept").drop("b")
+  private[graft] def semanticDrops(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/drops").drop("b")
+
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v=$version")

@@ -75,6 +75,56 @@ class Round12bSpec extends AnyFunSuite {
       s"q232 mismatch: extra=${(got -- expected).take(3)}, missing=${(expected -- got).take(3)}")
   }
 
+  test("q223 (md5 basis): output == JVM brute lev<=2; every planted pair recovered; blocking non-vacuous") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cks = Tables.customer(spark, sf01).where(col("c_custkey") < 2000)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val base = cks.map(ck => ck -> md5hex(ck.toString).substring(0, 18)).toMap
+    val subst = base.collect { case (ck, nm) if ck % 10 == 7 =>
+      val p = (ck % 13 + 3).toInt
+      (ck + 100000L) -> (nm.substring(0, p - 1) + "z" + nm.substring(p)) }
+    val shift = base.collect { case (ck, nm) if ck % 10 == 3 =>
+      val p = (ck % 11 + 3).toInt
+      (ck + 100000L) -> (nm.substring(0, p - 1) + nm.substring(p) + "q") }
+    val all = (base ++ subst ++ shift).toArray.sortBy(_._1)
+    // banded levenshtein, exact for values <= 2 (3 = "more than 2")
+    def lev2(a: String, b: String): Int = {
+      val (n, m) = (a.length, b.length)
+      if (math.abs(n - m) > 2) return 3
+      val INF = 9
+      var prev = Array.tabulate(m + 1)(j => if (j <= 2) j else INF)
+      for (i <- 1 to n) {
+        val cur = Array.fill(m + 1)(INF)
+        if (i <= 2) cur(0) = i
+        for (j <- math.max(1, i - 2) to math.min(m, i + 2)) {
+          val c = if (a(i - 1) == b(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + c)
+        }
+        prev = cur
+      }
+      math.min(prev(m), 3)
+    }
+    val expected = (for {
+      i <- all.indices.iterator
+      j <- (i + 1) until all.length
+      d = lev2(all(i)._2, all(j)._2) if d <= 2
+    } yield (all(i)._1, all(j)._1, d.toLong)).toSet
+    val got = SparkEntry.queries("q223_editdist_join")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("ck_a"), r.getAs[Long]("ck_b"), r.getAs[Long]("lev")))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // every plant fires, and the match set is exactly the plants (no
+    // natural lev<=2 pair among random 18-hex strings) — so the candidate
+    // join provably pruned all-pairs down to the planted collisions
+    val planted = subst.keySet ++ shift.keySet
+    assert(expected.map(_._2).toSet == planted.map(_.toLong),
+      "match set is not exactly the planted twins")
+    assert(expected.size == planted.size && expected.nonEmpty)
+  }
+
   test("q233: hits equal the JVM full-vs-head-16 top-5 overlap; loss is real") {
     val got = SparkEntry.queries("q233_matryoshka_recall")(spark, sf01).collect()
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("hits")).toMap

@@ -383,6 +383,108 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("s35: semantic dedup on ingest — drops == JVM online replay == batch q231 rule; replay idempotent; stateless") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf001 = SharedSpark.sf001
+    val emb = Tables.embeddings(spark, sf001)
+    val originals: Seq[VecIngest] =
+      emb.select("vec_id", "embedding").collect()
+        .map(r => VecIngest(r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_.vec_id)
+    // planted near-dups (cos >= ~0.9998 vs the 0.513 noise ceiling):
+    // one WITHIN batch 0 (id 20005, twin of 5 — the batch-local rule) and
+    // three in batch 1 (id+10000 twins — the committed-index rule)
+    def twin(of: VecIngest, id: Long): VecIngest =
+      VecIngest(id, of.embedding.updated(0, of.embedding.head + 0.01f))
+    val seeds = originals.filter(v => v.vec_id % 17 == 5)
+    val batch0 = originals :+ twin(originals.find(_.vec_id == 5).get, 20005L)
+    val batch1 = seeds.map(v => twin(v, v.vec_id + 10000L))
+
+    // frozen centroids: the 8 seed vectors on the 1e6 grid (offline training)
+    val cent = ops.Round11.quantized(
+        emb.where(col("vec_id") < 8).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("j"), col("v").as("c")).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("s35").toString
+
+    val input = MemoryStream[VecIngest]
+    val q = Demos.s35SemanticDedupIngest(spark, input.toDF(), cent, nlist = 8, dir)
+    try {
+      input.addData(batch0)
+      runToCompletion(q)
+      input.addData(batch1)
+      runToCompletion(q)
+      // stateless by design: cross-batch knowledge = frozen centroids +
+      // the committed kept table, never stream state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+
+    // ---- engine-independent JVM replay of the whole protocol ----------
+    val centJ: Map[Long, Array[Long]] = cent.collect()
+      .map(r => r.getAs[Long]("j") -> r.getAs[Seq[Long]]("c").toArray).toMap
+    def grid(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6).toLong).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(v: Array[Long]): Long = {
+      val key = centJ.toSeq.map { case (j, c) => d2(v, c) * 8 + j }.min
+      key % 8
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      def dot(x: Array[Long], y: Array[Long]) =
+        x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    }
+    val tau = 0.8
+    // online rule over (batchId, vec_id) admission order
+    var kept = Vector.empty[(Long, Long, Array[Long])] // (id, list, v)
+    var dropsJ = Set.empty[Long]
+    for (batch <- Seq(batch0, batch1)) {
+      val rows = batch.sortBy(_.vec_id)
+        .map(v => (v.vec_id, assign(grid(v.embedding)), grid(v.embedding)))
+      val committed = kept
+      var keptInBatch = Vector.empty[(Long, Long, Array[Long])]
+      for ((id, l, v) <- rows) {
+        val vsCommitted = committed.exists { case (_, cl, cv) =>
+          cl == l && cos(v, cv) > tau }
+        val vsLowerMates = rows.exists { case (id2, l2, v2) =>
+          id2 < id && l2 == l && cos(v, v2) > tau }
+        if (vsCommitted || vsLowerMates) dropsJ += id
+        else keptInBatch :+= ((id, l, v))
+      }
+      kept ++= keptInBatch
+    }
+    // chain-free corpus (keepers pairwise below tau) — the precondition
+    // under which online == the batch q231 any-lower-id rule
+    val keptByList = kept.groupBy(_._2)
+    assert(keptByList.values.forall(g => g.combinations(2).forall {
+      case Seq(a, b) => cos(a._3, b._3) <= tau }), "corpus grew a keeper chain")
+    // batch q231 rule on the unioned corpus in global id order
+    val allRows = (batch0 ++ batch1)
+      .map(v => (v.vec_id, assign(grid(v.embedding)), grid(v.embedding)))
+      .sortBy(_._1)
+    val dropsBatchRule = allRows.filter { case (id, l, v) =>
+      allRows.exists { case (id2, l2, v2) => id2 < id && l2 == l && cos(v, v2) > tau }
+    }.map(_._1).toSet
+    assert(dropsBatchRule == dropsJ, "online and batch rules diverged on chain-free data")
+    assert(dropsJ.nonEmpty && dropsJ.contains(20005L), "plant failed to fire")
+
+    val gotDrops = Demos.semanticDrops(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotDrops == dropsJ,
+      s"missing=${(dropsJ -- gotDrops).take(3)} extra=${(gotDrops -- dropsJ).take(3)}")
+    val gotKept = Demos.semanticKept(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotKept == kept.map(_._1).toSet)
+
+    // replay batch 1 with the same batchId: overwrites ONLY its own
+    // partitions, rows byte-identical (exactly-once via idempotence)
+    val before = spark.read.parquet(s"$dir/kept/b=1").collect().map(_.toString).sorted.toSeq
+    Demos.semanticDedupBatch(batch1.toDF(), cent, 8, dir, 1L, tau)
+    val after = spark.read.parquet(s"$dir/kept/b=1").collect().map(_.toString).sorted.toSeq
+    assert(before == after)
+  }
+
   test("s11: budget admission — FCFS per-lang quota matches a sequential fold, across batches") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
