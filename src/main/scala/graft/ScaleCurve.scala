@@ -380,7 +380,7 @@ object ScaleCurve {
       // the index build is ONE projection. The shortlist window is
       // qid-partitioned and rank-limited (WindowGroupLimit pushes the
       // top-50 map-side).
-      timed("hamming64_rr50", () => {
+      for (short <- Seq(50, 200)) timed(s"hamming64_rr$short", () => {
         def word(lo: Int) = expr((1 to 32).map(i =>
           s"(CASE WHEN element_at(e, ${lo + i}) > 0 THEN ${1L << (i - 1)}L ELSE 0L END)")
           .mkString(" + "))
@@ -392,9 +392,51 @@ object ScaleCurve {
           .withColumn("ham", expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)"))
           .withColumn("srnk", row_number().over(
             Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))))
-          .where(col("srnk") <= 50)
+          .where(col("srnk") <= short)
           .select("qid", "vec_id")
           .repartition(32) // the q97 probe-side lever: spread the re-rank CPU
+          .join(emb, "vec_id")
+          .join(broadcast(q), "qid")
+          .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
+          .withColumn("rnk", row_number().over(wRank)).where(col("rnk") <= K)
+      }, Some(brute))
+
+      // IVF-routed binary codes — the composition the hamming64_rr50 note
+      // names as the production recall fix: route queries to nprobe=8 of
+      // 64 coarse lists (q62's index), Hamming-shortlist ONLY within the
+      // probed lists (≈1/8 of the corpus per query — less error-ball
+      // flooding than the corpus-wide shortlist), exact cosine re-rank.
+      // Scan cost per query: nprobe/nlist of the corpus × 8 bytes.
+      timed("ivf64_hamming_rr50", () => {
+        val (index, centroids) = graft.ops.Ann.ivfIndex(
+          emb.select(col("vec_id"), col("e").as("embedding")), nlist = 64)
+        def word(c: String, lo: Int) = expr((1 to 32).map(i =>
+          s"(CASE WHEN element_at($c, ${lo + i}) > 0 THEN ${1L << (i - 1)}L ELSE 0L END)")
+          .mkString(" + "))
+        val codes = index.select(col("vec_id"), col("list_id"),
+          word("e", 0).as("w0"), word("e", 32).as("w1")).localCheckpoint()
+        // route with the SAME L2 metric the index assignment used
+        val qprobe = emb.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("e"), col("n2"))
+          .crossJoin(broadcast(centroids.select(col("list_id"), col("ce"))))
+          .withColumn("d", col("n2") + n2C(col("ce"))
+            - lit(2.0) * dotC(col("e"), col("ce")))
+          .withColumn("pr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d"), col("list_id"))))
+          .where(col("pr") <= 8)
+          .select(col("qid"), col("list_id"))
+        val qcodes = emb.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"),
+            word("e", 0).as("qw0"), word("e", 32).as("qw1"))
+        codes.join(broadcast(qprobe), Seq("list_id"))
+          .where(col("vec_id") =!= col("qid"))
+          .join(broadcast(qcodes), Seq("qid"))
+          .withColumn("ham", expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)"))
+          .withColumn("srnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))))
+          .where(col("srnk") <= 50)
+          .select("qid", "vec_id")
+          .repartition(32)
           .join(emb, "vec_id")
           .join(broadcast(q), "qid")
           .withColumn("cos_sim", dotC(col("qe"), col("e")) / sqrt(col("qn") * col("n2")))
