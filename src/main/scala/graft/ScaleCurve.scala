@@ -258,6 +258,74 @@ object ScaleCurve {
           k => (pmod(xxhash64(col("id") * lit(2654435761L) + k.cast("long")),
             lit(2001L)) - 1000L).cast("double") / 1000.0).as("embedding"))
 
+  /** semdedup regime (round 12): q231's scale posture measured. The claim
+    * is that within-cluster pairwise comparison is LINEAR in N once
+    * cluster populations are pinned (~500 here) by growing the cluster
+    * count with N — vs the all-pairs quadratic. Two cluster-key shapes:
+    *  - `semdedup_kmeans` (q231's declared shape): frozen seed centroids,
+    *    integer-grid argmin assignment. The PAIRWISE stage is linear, but
+    *    the ASSIGN stage is Θ(N·nlist) = Θ(N²/target) when nlist grows
+    *    with N — the curve exposes that bend honestly (production runs
+    *    the assign as sampled-trained blocked BLAS, or picks the next
+    *    shape).
+    *  - `semdedup_signbucket`: cluster key = the first ⌈log2(N/500)⌉
+    *    SIGN bits of the vector (the q232 binary-code trick as a
+    *    bucketer) — assignment is ONE projection, Θ(N) total; the
+    *    measured near-linear scale path.
+    * Both plant 1/17 coarser-grid twins (q231's plant) and report planted
+    * recall — a curve that loses its planted pairs is pruning wrongly. */
+  private def semdedupCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
+    println(f"${"pipeline"}%-20s ${"n_vecs"}%8s ${"cells"}%6s ${"sec"}%8s ${"pairs"}%12s ${"recall"}%7s")
+    for (n <- sizes) {
+      val qv = graft.ops.Round11.quantized(
+        vecs(spark, n).select(col("vec_id"), col("embedding")))
+      val twins = qv.where(col("vec_id") % 17 === 5)
+        .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+          expr("transform(v, x -> x - x % 1000)").as("v"))
+      val all = qv.unionAll(twins).localCheckpoint()
+      val nPlanted = all.where(col("vec_id") >= 100000000L).count()
+
+      def pairwise(nm: String, cells: Int, assigned: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val wn = assigned
+          .select(col("vec_id"), col("cell"), col("v").cast("array<double>").as("vd"))
+          .withColumn("n2", n2C(col("vd")))
+        val a = wn.select(col("vec_id").as("id_a"), col("cell"),
+          col("vd").as("va"), col("n2").as("na"))
+        val b = wn.select(col("vec_id").as("id_b"), col("cell"),
+          col("vd").as("vb"), col("n2").as("nb"))
+        val r = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+          .withColumn("cos_sim", dotC(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
+          .agg(count(lit(1)).as("pairs"),
+            sum(when(col("cos_sim") > 0.8 &&
+              col("id_b") === col("id_a") + 100000000L, 1L).otherwise(0L))
+              .as("planted_found"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$nm%-20s $n%8d $cells%6d $dt%8.2f ${r.getLong(0)}%12d " +
+          f"${r.getLong(1).toDouble / math.max(nPlanted, 1L)}%7.3f")
+      }
+
+      val nlist = math.max(8, (n / 500).toInt)
+      pairwise("semdedup_kmeans", nlist, {
+        val c0 = all.where(col("vec_id") < nlist)
+          .select(col("vec_id").as("j"), col("v").as("c")).localCheckpoint()
+        graft.ops.Round11.cAssign(all, c0, nlist)
+          .withColumnRenamed("list_id", "cell").localCheckpoint()
+      })
+      val bBits = math.max(3, (63 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, n / 500))).toInt)
+      pairwise("semdedup_signbucket", 1 << bBits, all.withColumn("cell",
+        (0 until bBits).map(i =>
+          when(expr(s"element_at(v, ${i + 1})") > 0, 1L << i).otherwise(0L))
+          .reduce(_ + _)).localCheckpoint())
+      if (n <= 10000)
+        pairwise("semdedup_allpairs", 1,
+          all.withColumn("cell", lit(0L)).localCheckpoint())
+    }
+  }
+
   /** ANN regime: measure brute-force / LSH-bucketed / IVF top-5 search for
     * Q=100 queries as the corpus grows, plus each approximate method's
     * recall@5 against the brute answer AT THAT SIZE (recall is the claim
@@ -690,10 +758,11 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val regime = args.headOption.getOrElse("real")
     val sizes = (if (args.length > 1) args(1) else regime match {
-      case "adv"   => "5000,10000,20000"
-      case "ann"   => "5000,50000,250000"
-      case "kcore" => "30000,100000,300000,1000000"
-      case _       => "5000,50000,250000"
+      case "adv"      => "5000,10000,20000"
+      case "ann"      => "5000,50000,250000"
+      case "kcore"    => "30000,100000,300000,1000000"
+      case "semdedup" => "10000,50000,250000"
+      case _          => "5000,50000,250000"
     }).split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -707,6 +776,12 @@ object ScaleCurve {
       vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
       annCurve(spark, sizes,
         if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty)
+      spark.stop()
+      return
+    }
+    if (regime == "semdedup") {
+      vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
+      semdedupCurve(spark, sizes)
       spark.stop()
       return
     }
