@@ -224,6 +224,59 @@ object Round12b {
       }
     ),
 
+    // --------------------------------------------------------------- q234
+    // kNN-graph construction: EVERY vector's 3 nearest neighbors within
+    // its IVF cell — the all-vector primitive under SemDeDup, diversity
+    // sampling, and HNSW-style index seeding (query-style top-k only
+    // serves Q query points; a curation pipeline needs the graph over the
+    // whole corpus). Training is the q219 coarse stage verbatim (8 seeds,
+    // one Lloyd iteration, integer grid); neighbors come from an EQUI-join
+    // on list_id — per-cell pairwise, bounded by cell population (nlist
+    // scales with N: the q231 posture, measured near-linear in the
+    // `semdedup` ScaleCurve regime) — and one vec_id-partitioned top-k
+    // window. Approximation is the IVF boundary (a true neighbor in an
+    // adjacent cell is unseen — the standard single-probe kNN-graph
+    // trade; multi-probe or code-based refinement are the production
+    // escalations, q226/q232).
+    "q234_knn_graph" -> QDef(
+      (s, d) => {
+        val qv = Round11.quantized(embeddings(s, d))
+        val c0 = qv.where(col("vec_id") < 8)
+          .select(col("vec_id").as("j"), col("v").as("c"))
+        val c1 = Round11.cUpdate(Round11.cAssign(qv, c0, 8), c0).localCheckpoint()
+        val wn = Round11.cAssign(qv, c1, 8)
+          .select(col("vec_id"), col("list_id"),
+            col("v").cast("array<double>").as("vd"))
+          .localCheckpoint() // both sides of the per-cell pairwise join
+        val b = wn.select(col("vec_id").as("nbr_id"), col("list_id"),
+          col("vd").as("wd"))
+        wn.join(b, Seq("list_id"))
+          .where(col("vec_id") =!= col("nbr_id"))
+          .withColumn("d2", (norm2(col("vd")) + norm2(col("wd"))
+            - lit(2.0) * dotCol(col("vd"), col("wd"))).cast("long"))
+          .withColumn("nbr_rank", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("nbr_id"))))
+          .where(col("nbr_rank") <= 3)
+          .select(col("vec_id"), col("nbr_rank").cast("int").as("nbr_rank"),
+            col("nbr_id"), col("list_id"), col("d2"))
+          .orderBy("vec_id", "nbr_rank")
+      },
+      s"""WITH ${Round11.oracleIvfPq},
+         |wn AS (SELECT vec_id, CAST(key % 8 AS BIGINT) AS list_id, v
+         |       FROM asg),
+         |j AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id, a.list_id,
+         |         CAST(list_aggregate(list_transform(list_zip(a.v, b.v),
+         |           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS d2
+         |  FROM wn a JOIN wn b ON a.list_id = b.list_id
+         |                     AND a.vec_id <> b.vec_id)
+         |SELECT vec_id,
+         |       CAST(row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY d2, nbr_id) AS INT) AS nbr_rank,
+         |       nbr_id, list_id, d2
+         |FROM j QUALIFY nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin
+    ),
+
     // --------------------------------------------------------------- q233
     // Matryoshka truncation recall audit: exact top-5 under the full
     // 64-dim grid distance vs exact top-5 under the FIRST-16-dim prefix,

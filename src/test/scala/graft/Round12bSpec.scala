@@ -75,6 +75,36 @@ class Round12bSpec extends AnyFunSuite {
       s"q232 mismatch: extra=${(got -- expected).take(3)}, missing=${(expected -- got).take(3)}")
   }
 
+  test("q234: matches the JVM one-Lloyd-iteration kNN-graph replay end-to-end") {
+    // full engine-independent replay: seed centroids, argmin assign with
+    // the encoded primitive key, floor(mean) Lloyd update with the
+    // empty-cluster guard, reassign, per-cell top-3 by (d2, nbr_id)
+    def assign(cent: Map[Long, Array[Long]], x: Array[Long]): Long =
+      cent.toSeq.map { case (j, c) => d2(x, c) * 8 + j }.min % 8
+    val seeds = (0L until 8L).map(j => j -> vecs(j)).toMap
+    val asg0 = vecs.map { case (id, x) => id -> assign(seeds, x) }
+    val c1 = (0L until 8L).map { j =>
+      val members = vecs.collect { case (id, x) if asg0(id) == j => x }.toSeq
+      j -> (if (members.isEmpty) seeds(j)
+            else Array.tabulate(64)(i =>
+              math.floor(members.map(_(i)).sum.toDouble / members.size).toLong))
+    }.toMap
+    val asg1 = vecs.map { case (id, x) => id -> assign(c1, x) }
+    val expected = vecs.keys.toSeq.sorted.flatMap { id =>
+      vecs.keys.filter(o => o != id && asg1(o) == asg1(id)).toSeq
+        .map(o => (d2(vecs(o), vecs(id)), o)).sorted.take(3)
+        .zipWithIndex.map { case ((dd, o), i) =>
+          (id, i + 1, o, asg1(id), dd) }
+    }.toSet
+    val got = SparkEntry.queries("q234_knn_graph")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("nbr_rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Long]("list_id"), r.getAs[Long]("d2")))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("q223 (md5 basis): output == JVM brute lev<=2; every planted pair recovered; blocking non-vacuous") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
