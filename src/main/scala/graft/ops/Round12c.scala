@@ -1,0 +1,292 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch 3: four curation/serving operators a 100 TB training-data
+  * platform runs that were absent from the declared inventory.
+  *
+  *  - q235 duplicated-SPAN dedup (Lee et al. 2022, arXiv:2107.06499 —
+  *    "Deduplicating Training Data Makes Language Models Better", the
+  *    ExactSubstr variant): document-level dedup (q39/q66) misses partial
+  *    overlap; this finds the maximal duplicated token SPANS by coalescing
+  *    overlapping duplicated 8-grams per document (gaps-and-islands over
+  *    gram start positions). The corpus carries real ones: 47 spans,
+  *    11–93 tokens, at sf0.01 (measured).
+  *  - q236 content-defined chunking (CDC) dedup — the rsync/storage-dedup
+  *    primitive applied to text: chunk boundaries come from a rolling hash
+  *    of the last 4 tokens, so an insertion RESYNCS within a window
+  *    (fixed-width k-gram blocks shift forever — that is why storage
+  *    systems use CDC), and duplicated chunks are found by exact chunk-key
+  *    rollup. 88 duplicated chunk texts / 174 redundant copies at sf0.01
+  *    (measured).
+  *  - q237 per-cell medoids: the representative-selection primitive under
+  *    dataset distillation / coreset construction — for every IVF cell the
+  *    member minimizing the sum of exact grid distances to its cell-mates
+  *    (the k-medoids objective, one assignment round). Rides q234's
+  *    bounded per-cell pairwise.
+  *  - q238 prefix-cache audit: the serving-side economics of vLLM-style
+  *    prefix caching — per document the longest token prefix shared with
+  *    ANY other document (max LCP is always achieved by a sorted-order
+  *    neighbor, so lag/lead after an in-bucket sort find it without
+  *    all-pairs), rolled up to per-language cacheable-token rates.
+  */
+object Round12c {
+  import Tables._
+
+  private def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+  private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // --------------------------------------------------------------- q235
+    // Duplicated-span coalescing. Scale shape: gram extraction is the
+    // map-side explode; "duplicated" is a map-side-combinable COUNT per
+    // gram (>= 2 total occurrences — the ExactSubstr criterion); the join
+    // back to positions is a hash join on the gram key (at 100 TB the key
+    // is xxhash64(gram) with an FPR argument, the q46/q160 signature
+    // discipline — kept as the string here so the oracle replays exactly);
+    // island-merge is a doc_id-partitioned window (never global). Two
+    // same-start 8-grams overlap iff starts differ by <= 8, and since all
+    // intervals have equal length the running-max island rule reduces to
+    // `p > lag(p) + 8` — one lag, one running sum.
+    "q235_dup_spans" -> QDef(
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val grams = toks.where(size(col("tk")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("gram"))
+        val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+          .where(col("occ") >= 2)
+        val dp = grams.join(dup, "gram").select("doc_id", "p")
+        val w = Window.partitionBy("doc_id").orderBy("p")
+        dp.withColumn("prev", lag("p", 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("p") > col("prev") + 8, 1).otherwise(0))
+          .withColumn("island", sum("brk").over(w))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min("p").as("span_start"), (max("p") + 7).as("span_end"),
+            count(lit(1)).as("n_grams"))
+          .withColumn("span_toks", col("span_end") - col("span_start") + 1)
+          .select("doc_id", "span_start", "span_end", "span_toks", "n_grams")
+          .orderBy("doc_id", "span_start")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS gram
+        |      FROM (SELECT doc_id, tk,
+        |                   unnest(generate_series(1, len(tk) - 7)) AS i
+        |            FROM toks WHERE len(tk) >= 8) s),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |dp AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |         SUM(CASE WHEN prev IS NULL OR p > prev + 8 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM dp) z)
+        |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end,
+        |       MAX(p) + 7 - MIN(p) + 1 AS span_toks, COUNT(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q236
+    // CDC chunk dedup. The rolling hash is portable md5 arithmetic (the
+    // q224 draw discipline): token code = first 8 md5 hex chars as an
+    // integer (< 2^32), window hash = code_p + 3·code_{p-1} + 9·code_{p-2}
+    // + 27·code_{p-3} (< 40·2^32 — exact in both engines), boundary iff
+    // p >= 4 and hash % 16 = 0 (expected chunk ~16 tokens, matching the
+    // duplicated-span lengths q235 measures). Scale shape: one
+    // doc_id-partitioned window pass (lag ×3 + running sum share ONE
+    // exchange/sort), chunk assembly is a (doc, chunk) groupBy with a
+    // positional array_sort (collect_list order is NOT deterministic —
+    // sort on the carried position), and the dedup rollup keys on the
+    // chunk TEXT here so the oracle replays it; at 100 TB the rollup key
+    // is the chunk's 8-byte hash with strings resolved only for the
+    // reported winners (q160/q198 discipline).
+    "q236_cdc_chunks" -> QDef(
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("source"),
+            (col("pos") + 1).cast("long").as("p"), col("col").as("tok"))
+          .withColumn("code",
+            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+        val w = Window.partitionBy("doc_id").orderBy("p")
+        val chunks = toks
+          .withColumn("rh", col("code")
+            + lit(3L) * lag("code", 1).over(w)
+            + lit(9L) * lag("code", 2).over(w)
+            + lit(27L) * lag("code", 3).over(w))
+          .withColumn("brk",
+            when(col("p") >= 4 && col("rh") % 16 === 0, 1).otherwise(0))
+          .withColumn("chunk_id", coalesce(
+            sum("brk").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .groupBy("doc_id", "source", "chunk_id")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')")
+              .as("ctext"),
+            count(lit(1)).as("ctoks"))
+        chunks.groupBy("ctext")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct("doc_id").as("n_docs"),
+            countDistinct("source").as("n_sources"),
+            max("ctoks").as("ctoks"))
+          .where(col("n_occ") >= 2)
+          .select(md5(col("ctext")).as("chunk_key"), col("ctoks"), col("n_occ"),
+            col("n_docs"), col("n_sources"),
+            ((col("n_occ") - 1) * col("ctoks")).as("saved_toks"))
+          .orderBy(col("saved_toks").desc, col("chunk_key"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, p, tok,
+        |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS code
+        |      FROM toks),
+        |h AS (SELECT *, code + 3 * lag(code, 1) OVER w
+        |        + 9 * lag(code, 2) OVER w + 27 * lag(code, 3) OVER w AS rh
+        |      FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |b AS (SELECT *, CASE WHEN p >= 4 AND rh % 16 = 0 THEN 1 ELSE 0 END AS brk
+        |      FROM h),
+        |ch AS (SELECT *, COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |       FROM b),
+        |chunks AS (
+        |  SELECT doc_id, source, chunk_id,
+        |         string_agg(tok, ' ' ORDER BY p) AS ctext, COUNT(*) AS ctoks
+        |  FROM ch GROUP BY 1, 2, 3),
+        |dup AS (
+        |  SELECT ctext, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+        |         COUNT(DISTINCT source) AS n_sources, MAX(ctoks) AS ctoks
+        |  FROM chunks GROUP BY ctext HAVING COUNT(*) >= 2)
+        |SELECT md5(ctext) AS chunk_key, ctoks, n_occ, n_docs, n_sources,
+        |       (n_occ - 1) * ctoks AS saved_toks
+        |FROM dup ORDER BY saved_toks DESC, chunk_key""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q237
+    // Per-cell medoids (k-medoids objective over the q219 IVF assignment).
+    // Scale shape: training is the shared coarse stage (broadcast
+    // codebook, primitive-key argmin — SortAggregate avoidance, SCALE.md
+    // §12); the pairwise stage is the q234 EQUI-join on list_id INCLUDING
+    // the self-pair (d2 = 0 exactly, so singleton cells keep a row and
+    // sums are unshifted), bounded by cell population with nlist ∝ N (the
+    // q231 posture); the argmin over (sum_d2, vec_id) is the documented
+    // TWO-PASS form — min(sum_d2) per cell, equality join, min(vec_id)
+    // tie-break — because sum_d2 (≤ cell·2.56e14) cannot ride the
+    // key-encoding trick and min(struct) plans as SortAggregate.
+    "q237_cell_medoids" -> QDef(
+      (s, d) => {
+        val qv = Round11.quantized(embeddings(s, d))
+        val c0 = qv.where(col("vec_id") < 8)
+          .select(col("vec_id").as("j"), col("v").as("c"))
+        val c1 = Round11.cUpdate(Round11.cAssign(qv, c0, 8), c0).localCheckpoint()
+        val wn = Round11.cAssign(qv, c1, 8)
+          .select(col("vec_id"), col("list_id"),
+            col("v").cast("array<double>").as("vd"))
+          .localCheckpoint() // both sides of the per-cell pairwise join
+        val b = wn.select(col("vec_id").as("nbr_id"), col("list_id"),
+          col("vd").as("wd"))
+        val sums = wn.join(b, Seq("list_id"))
+          .withColumn("d2", (norm2(col("vd")) + norm2(col("wd"))
+            - lit(2.0) * dotCol(col("vd"), col("wd"))).cast("long"))
+          .groupBy("list_id", "vec_id")
+          .agg(sum("d2").as("sum_d2"), count(lit(1)).as("n_cell"))
+        val m = sums.groupBy("list_id").agg(min("sum_d2").as("min_sum"))
+        sums.join(m, Seq("list_id"))
+          .where(col("sum_d2") === col("min_sum"))
+          .groupBy("list_id")
+          .agg(min("n_cell").as("n_cell"), min("vec_id").as("medoid_id"),
+            min("sum_d2").as("sum_d2"))
+          .orderBy("list_id")
+      },
+      s"""WITH ${Round11.oracleIvfPq},
+         |wn AS (SELECT vec_id, CAST(key % 8 AS BIGINT) AS list_id, v
+         |       FROM asg),
+         |sums AS (
+         |  SELECT a.list_id, a.vec_id,
+         |         CAST(SUM(CAST(list_aggregate(list_transform(list_zip(a.v, b.v),
+         |           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT))
+         |           AS BIGINT) AS sum_d2,
+         |         COUNT(*) AS n_cell
+         |  FROM wn a JOIN wn b ON a.list_id = b.list_id
+         |  GROUP BY 1, 2),
+         |m AS (SELECT list_id, MIN(sum_d2) AS min_sum FROM sums GROUP BY 1)
+         |SELECT s.list_id, MIN(s.n_cell) AS n_cell, MIN(s.vec_id) AS medoid_id,
+         |       MIN(s.sum_d2) AS sum_d2
+         |FROM sums s JOIN m ON s.list_id = m.list_id AND s.sum_d2 = m.min_sum
+         |GROUP BY s.list_id ORDER BY s.list_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q238
+    // Prefix-cache audit. For any document, the maximum token-LCP against
+    // the rest of the corpus is achieved by a lexicographic NEIGHBOR, so
+    // one sort + lag/lead replaces the all-pairs LCP matrix; the sort is
+    // PARTITIONED by the first-2-token bucket (a doc outside the bucket
+    // shares < 2 tokens of prefix — those LCPs are dominated or
+    // irrelevant to cache-block economics), so no global window (the
+    // PlanAudit rule). The LCP itself is one zip_with + array_position
+    // over the two token arrays — linear in doc length, codegen-free HOF
+    // on plain attributes (the staging discipline). Reported as the
+    // OFFLINE upper bound on per-language cacheable-token share (every
+    // other doc assumed resident — the cache-oracle framing).
+    "q238_prefix_cache" -> QDef(
+      (s, d) => {
+        def lcp(a: String, b: String): Column = expr(
+          s"""CASE WHEN $b IS NULL THEN 0L ELSE coalesce(
+             |  nullif(array_position(zip_with($a, $b,
+             |    (x, y) -> if(x IS NOT NULL AND y IS NOT NULL AND x = y, 1, 0)),
+             |    0), 0) - 1,
+             |  size($a)) END""".stripMargin).cast("long")
+        val t = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            split(col("text"), " ").as("tk"))
+          .withColumn("bucket", expr("array_join(slice(tk, 1, 2), ' ')"))
+        val w = Window.partitionBy("bucket").orderBy("text", "doc_id")
+        t.withColumn("prv", lag("tk", 1).over(w))
+          .withColumn("nxt", lead("tk", 1).over(w))
+          .withColumn("best", greatest(lcp("tk", "prv"), lcp("tk", "nxt")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("tk"))).as("total_toks"),
+            sum("best").as("cacheable_toks"))
+          .withColumn("hit_rate",
+            col("cacheable_toks").cast("double") / col("total_toks"))
+          .orderBy("lang")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |b AS (SELECT *, array_to_string(tk[1:2], ' ') AS bucket FROM t),
+        |n AS (SELECT *, lag(tk) OVER w AS prv, lead(tk) OVER w AS nxt
+        |      FROM b WINDOW w AS (PARTITION BY bucket ORDER BY text, doc_id)),
+        |l AS (
+        |  SELECT doc_id, lang, len(tk) AS ntoks,
+        |    GREATEST(
+        |      CASE WHEN prv IS NULL THEN 0 ELSE COALESCE(
+        |        list_position(list_transform(list_zip(tk, prv),
+        |          z -> CASE WHEN z[1] IS NOT NULL AND z[2] IS NOT NULL
+        |                         AND z[1] = z[2] THEN 1 ELSE 0 END), 0) - 1,
+        |        len(tk)) END,
+        |      CASE WHEN nxt IS NULL THEN 0 ELSE COALESCE(
+        |        list_position(list_transform(list_zip(tk, nxt),
+        |          z -> CASE WHEN z[1] IS NOT NULL AND z[2] IS NOT NULL
+        |                         AND z[1] = z[2] THEN 1 ELSE 0 END), 0) - 1,
+        |        len(tk)) END) AS best
+        |  FROM n)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(ntoks) AS BIGINT) AS total_toks,
+        |       CAST(SUM(best) AS BIGINT) AS cacheable_toks,
+        |       CAST(SUM(best) AS DOUBLE) / SUM(ntoks) AS hit_rate
+        |FROM l GROUP BY lang ORDER BY lang""".stripMargin
+    )
+  )
+}

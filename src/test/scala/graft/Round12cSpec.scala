@@ -1,0 +1,181 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 batch 3 (ops/Round12c.scala). Each query is re-derived here
+  * with plain JVM math over the collected sf0.01 tables — an oracle
+  * independent of BOTH engines, on top of the driver's DuckDB parity.
+  * Locked:
+  *  1. q235 == the JVM gram/island replay, and the corpus carries real
+  *     multi-token duplicated spans (non-vacuous);
+  *  2. q236 == the JVM CDC replay, and the CDC RESYNC property holds:
+  *     inserting one token changes only the chunks overlapping the edit
+  *     window — the suffix chunk sequence is identical (the reason CDC
+  *     beats fixed-width blocks under insertion);
+  *  3. q237 == the JVM k-means + per-cell medoid replay end-to-end;
+  *  4. q238 == the JVM brute max-LCP-within-bucket — proving the
+  *     sorted-neighbor lag/lead trick equals the all-pairs answer.
+  */
+class Round12cSpec extends AnyFunSuite {
+  import SharedSpark.{sf01, spark}
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val docRows: Seq[(Long, String, String, String)] =
+    Tables.documents(spark, sf01).select("doc_id", "lang", "source", "text")
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("text")))
+
+  private lazy val toks: Map[Long, Array[String]] =
+    docRows.map { case (id, _, _, t) => id -> t.split(" ") }.toMap
+
+  // ---- q235 ---------------------------------------------------------
+  test("q235: spans == the JVM duplicated-8-gram island replay; real spans exist") {
+    val grams = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.length < 8) Seq.empty
+      else (0 to tk.length - 8).map(i => (id, i + 1, tk.slice(i, i + 8).mkString(" ")))
+    }
+    val occ = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = grams.filter(g => occ(g._3) >= 2)
+      .groupBy(_._1).toSeq.flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        // island split when start > prev start + 8 (equal-length intervals)
+        val islands = ps.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && p <= acc.last.last + 8) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        islands.map(is =>
+          (id, is.head.toLong, is.last.toLong + 7,
+            (is.last + 7 - is.head + 1).toLong, is.size.toLong))
+      }.toSet
+    val got = SparkEntry.queries("q235_dup_spans")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_toks"),
+        r.getAs[Long]("n_grams"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.exists(_._4 > 8), "no multi-gram span — the coalescing is vacuous")
+  }
+
+  // ---- q236 ---------------------------------------------------------
+  /** The declared query's chunker, in plain JVM math: token code = first
+    * 8 md5 hex chars, rolling hash over the last 4 codes, boundary CLOSES
+    * the chunk at p when p >= 4 and hash % 16 == 0. Returns
+    * (1-based start position, chunk text). */
+  private def cdcChunks(tk: Array[String]): Vector[(Int, String)] = {
+    val codes = tk.map(t => java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16))
+    def brk(i: Int): Boolean = i >= 3 &&
+      (codes(i) + 3 * codes(i - 1) + 9 * codes(i - 2) + 27 * codes(i - 3)) % 16 == 0
+    val b = Vector.newBuilder[(Int, String)]
+    var start = 0
+    for (i <- tk.indices) {
+      if (brk(i)) { b += ((start + 1, tk.slice(start, i + 1).mkString(" "))); start = i + 1 }
+    }
+    if (start < tk.length) b += ((start + 1, tk.slice(start, tk.length).mkString(" ")))
+    b.result()
+  }
+
+  test("q236: duplicated chunks == the JVM CDC replay") {
+    val chunks = docRows.flatMap { case (id, _, src, _) =>
+      cdcChunks(toks(id)).map { case (_, text) => (id, src, text) }
+    }
+    val expected = chunks.groupBy(_._3).collect {
+      case (text, xs) if xs.size >= 2 =>
+        val ctoks = text.split(" ").length.toLong
+        (md5hex(text), ctoks, xs.size.toLong,
+          xs.map(_._1).distinct.size.toLong, xs.map(_._2).distinct.size.toLong,
+          (xs.size - 1) * ctoks)
+    }.toSet
+    val got = SparkEntry.queries("q236_cdc_chunks")(spark, sf01).collect()
+      .map(r => (r.getAs[String]("chunk_key"), r.getAs[Long]("ctoks"),
+        r.getAs[Long]("n_occ"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources"), r.getAs[Long]("saved_toks"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "no duplicated chunk — the rollup is vacuous")
+  }
+
+  test("q236: CDC resyncs after a single-token insertion (the anti-fixed-block property)") {
+    val tk = toks.maxBy(_._2.length)._2
+    val ins = 5 // insert a vocabulary-foreign token after position 5
+    val edited = (tk.take(ins) :+ "xq-inserted") ++ tk.drop(ins)
+    val orig = cdcChunks(tk)
+    val mod = cdcChunks(edited)
+    // chunks whose window never touches the edit: start > ins + 4 in the
+    // original (shifted by one in the edited stream) must be IDENTICAL
+    val origTail = orig.dropWhile(_._1 <= ins + 4).map(_._2)
+    val modTail = mod.dropWhile(_._1 <= ins + 5).map(_._2)
+    assert(origTail.nonEmpty, "doc too short to exercise the resync")
+    assert(origTail == modTail,
+      s"CDC failed to resync — suffix chunks differ: $origTail vs $modTail")
+  }
+
+  // ---- q237 ---------------------------------------------------------
+  test("q237: medoids == the JVM k-means + argmin-sum replay end-to-end") {
+    val vecs: Map[Long, Array[Long]] =
+      Tables.embeddings(spark, sf01).select("vec_id", "embedding").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Float]]("embedding")
+            .map(x => math.floor(x.toDouble * 1e6).toLong).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(cent: Map[Long, Array[Long]], x: Array[Long]): Long =
+      cent.toSeq.map { case (j, c) => d2(x, c) * 8 + j }.min % 8
+    val seeds = (0L until 8L).map(j => j -> vecs(j)).toMap
+    val asg0 = vecs.map { case (id, x) => id -> assign(seeds, x) }
+    val c1 = (0L until 8L).map { j =>
+      val members = vecs.collect { case (id, x) if asg0(id) == j => x }.toSeq
+      j -> (if (members.isEmpty) seeds(j)
+            else Array.tabulate(64)(i =>
+              math.floor(members.map(_(i)).sum.toDouble / members.size).toLong))
+    }.toMap
+    val asg1 = vecs.map { case (id, x) => id -> assign(c1, x) }
+    val expected = asg1.groupBy(_._2).map { case (cell, m) =>
+      val ids = m.keys.toSeq
+      val sums = ids.map(id => (ids.map(o => d2(vecs(id), vecs(o))).sum, id))
+      val minSum = sums.map(_._1).min
+      val medoid = sums.filter(_._1 == minSum).map(_._2).min
+      (cell, ids.size.toLong, medoid, minSum)
+    }.toSet
+    val got = SparkEntry.queries("q237_cell_medoids")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("n_cell"),
+        r.getAs[Long]("medoid_id"), r.getAs[Long]("sum_d2"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  // ---- q238 ---------------------------------------------------------
+  test("q238: per-lang sums == the JVM brute within-bucket max-LCP (neighbor trick is exact)") {
+    def lcp(a: Array[String], b: Array[String]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      i
+    }
+    val rows = docRows.map { case (id, lang, _, _) =>
+      val tk = toks(id)
+      (id, lang, tk, tk.take(2).mkString(" "))
+    }
+    val byBucket = rows.groupBy(_._4)
+    val best = rows.map { case (id, lang, tk, bucket) =>
+      val others = byBucket(bucket).filter(_._1 != id)
+      val b = if (others.isEmpty) 0 else others.map(o => lcp(tk, o._3)).max
+      (lang, tk.length.toLong, b.toLong)
+    }
+    val expected = best.groupBy(_._1).map { case (lang, xs) =>
+      val tot = xs.map(_._2).sum
+      val cac = xs.map(_._3).sum
+      (lang, xs.size.toLong, tot, cac, cac.toDouble / tot)
+    }.toSet
+    val got = SparkEntry.queries("q238_prefix_cache")(spark, sf01).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_toks"), r.getAs[Long]("cacheable_toks"),
+        r.getAs[Double]("hit_rate"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.exists(_._4 > 0), "zero cacheable tokens — the audit is vacuous")
+  }
+}
