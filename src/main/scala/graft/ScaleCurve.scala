@@ -326,6 +326,51 @@ object ScaleCurve {
     }
   }
 
+  /** spans regime (round 12): q235/q236's scale posture measured. The
+    * docs generator plants a VERBATIM duplicate every 10th doc, so every
+    * planted doc must emit one full-doc duplicated span (q235) and its
+    * whole chunk sequence as duplicate chunks (q236). The claim under
+    * test: both pipelines are LINEAR in token volume (gram/token explode
+    * + map-side-combinable rollup + hash join + doc-partitioned windows —
+    * no all-pairs term anywhere), and planted recall holds 1.0 at every
+    * size (a curve that loses planted duplicates is pruning wrongly).
+    * q235 recall = planted docs whose span covers the whole doc; q236
+    * recall = saved duplicate tokens / planted token volume (== 1 when
+    * exactly the planted copies dedup; > 1 only via chance collisions). */
+  private def spansCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    println(f"${"pipeline"}%-12s ${"n_docs"}%8s ${"sec"}%8s ${"rows"}%10s ${"recall"}%7s")
+    for (n <- sizes) {
+      val d = docs(spark, n, "real")
+        .withColumn("source", col("lang")).localCheckpoint()
+      val plantedRow = d.where(col("doc_id") % 10 === 9)
+        .agg(count(lit(1)), sum(size(split(col("text"), " ")))).collect()(0)
+      val (planted, plantedToks) = (plantedRow.getLong(0), plantedRow.getLong(1))
+      for ((nm, hashed) <- Seq(("dup_spans", false), ("dup_spans_h64", true))) {
+        val t0 = System.nanoTime()
+        val spans = graft.ops.Round12c.dupSpans(d, hashKey = hashed).localCheckpoint()
+        val nSpans = spans.count()
+        val full = spans
+          .join(d.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("len")), "doc_id")
+          .where(col("doc_id") % 10 === 9 &&
+            col("span_start") === 1 && col("span_toks") === col("len"))
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$nm%-12s $n%8d $dt%8.2f $nSpans%10d " +
+          f"${full.toDouble / math.max(planted, 1L)}%7.3f")
+      }
+      locally {
+        val t0 = System.nanoTime()
+        val dup = graft.ops.Round12c.cdcDupChunks(d).localCheckpoint()
+        val agg = dup.agg(count(lit(1)), coalesce(sum("saved_toks"), lit(0L)))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"${"cdc_chunks"}%-12s $n%8d $dt%8.2f ${agg.getLong(0)}%10d " +
+          f"${agg.getLong(1).toDouble / math.max(plantedToks, 1L)}%7.3f")
+      }
+    }
+  }
+
   /** ANN regime: measure brute-force / LSH-bucketed / IVF top-5 search for
     * Q=100 queries as the corpus grows, plus each approximate method's
     * recall@5 against the brute answer AT THAT SIZE (recall is the claim
@@ -762,6 +807,7 @@ object ScaleCurve {
       case "ann"      => "5000,50000,250000"
       case "kcore"    => "30000,100000,300000,1000000"
       case "semdedup" => "10000,50000,250000"
+      case "spans"    => "20000,80000,320000"
       case _          => "5000,50000,250000"
     }).split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
@@ -782,6 +828,12 @@ object ScaleCurve {
     if (regime == "semdedup") {
       vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
       semdedupCurve(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (regime == "spans") {
+      docs(spark, 1000, "real").selectExpr("sum(length(text))").collect()
+      spansCurve(spark, sizes)
       spark.stop()
       return
     }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QDef, Tables}
+import graft.{Det, QDef, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,6 +39,68 @@ object Round12c {
   private def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
   private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
 
+  /** q235's core over any (doc_id, text) frame — shared with ScaleCurve's
+    * `spans` regime. hashKey = the 100 TB form: roll up and join on
+    * xxhash64(gram) (8 B) instead of the 8-token string (~45 B) — a
+    * collision can only ADD a span candidate (one in 2^64), and the
+    * declared query keeps the string so the DuckDB oracle replays it. */
+  private[graft] def dupSpans(docs: org.apache.spark.sql.DataFrame,
+                              hashKey: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = toks.where(size(col("tk")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        (if (hashKey) xxhash64(col("col")) else col("col")).as("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+    val dp = grams.join(dup, "gram").select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    dp.withColumn("prev", lag("p", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") > col("prev") + 8, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("p").as("span_start"), (max("p") + 7).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_toks", col("span_end") - col("span_start") + 1)
+      .select("doc_id", "span_start", "span_end", "span_toks", "n_grams")
+  }
+
+  /** q236's core over any (doc_id, source, text) frame — shared with
+    * ScaleCurve's `spans` regime. */
+  private[graft] def cdcDupChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("source"),
+        (col("pos") + 1).cast("long").as("p"), col("col").as("tok"))
+      .withColumn("code",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val chunks = toks
+      .withColumn("rh", col("code")
+        + lit(3L) * lag("code", 1).over(w)
+        + lit(9L) * lag("code", 2).over(w)
+        + lit(27L) * lag("code", 3).over(w))
+      .withColumn("brk",
+        when(col("p") >= 4 && col("rh") % 16 === 0, 1).otherwise(0))
+      .withColumn("chunk_id", coalesce(
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("doc_id", "source", "chunk_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')")
+          .as("ctext"),
+        count(lit(1)).as("ctoks"))
+    chunks.groupBy("ctext")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        max("ctoks").as("ctoks"))
+      .where(col("n_occ") >= 2)
+      .select(md5(col("ctext")).as("chunk_key"), col("ctoks"), col("n_occ"),
+        col("n_docs"), col("n_sources"),
+        ((col("n_occ") - 1) * col("ctoks")).as("saved_toks"))
+  }
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // --------------------------------------------------------------- q235
@@ -52,30 +114,18 @@ object Round12c {
     // same-start 8-grams overlap iff starts differ by <= 8, and since all
     // intervals have equal length the running-max island rule reduces to
     // `p > lag(p) + 8` — one lag, one running sum.
+    // The declared query runs the hashKey form: the gram key is result-
+    // INVISIBLE (the q186 salt argument — output only carries positions,
+    // and a one-in-2^64 collision is the only way the key choice could
+    // show), while the oracle replays the STRING form, making the DuckDB
+    // compare an independent collision-freedom check on this data. The
+    // hash key is also the measured STABILITY lever, not just bytes: at
+    // 320k docs the string-keyed rollup swung 25 -> 216 s across
+    // contention windows (wide-string shuffle spill) while the h64 form
+    // held 22-53 s (ScaleCurve spans regime, SCALE.md §13).
     "q235_dup_spans" -> QDef(
-      (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        val grams = toks.where(size(col("tk")) >= 8)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))")))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-            col("col").as("gram"))
-        val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
-          .where(col("occ") >= 2)
-        val dp = grams.join(dup, "gram").select("doc_id", "p")
-        val w = Window.partitionBy("doc_id").orderBy("p")
-        dp.withColumn("prev", lag("p", 1).over(w))
-          .withColumn("brk",
-            when(col("prev").isNull || col("p") > col("prev") + 8, 1).otherwise(0))
-          .withColumn("island", sum("brk").over(w))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min("p").as("span_start"), (max("p") + 7).as("span_end"),
-            count(lit(1)).as("n_grams"))
-          .withColumn("span_toks", col("span_end") - col("span_start") + 1)
-          .select("doc_id", "span_start", "span_end", "span_toks", "n_grams")
-          .orderBy("doc_id", "span_start")
-      },
+      (s, d) => dupSpans(documents(s, d), hashKey = true)
+        .orderBy("doc_id", "span_start"),
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS gram
@@ -112,38 +162,8 @@ object Round12c {
     // is the chunk's 8-byte hash with strings resolved only for the
     // reported winners (q160/q198 discipline).
     "q236_cdc_chunks" -> QDef(
-      (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")))
-          .select(col("doc_id"), col("source"),
-            (col("pos") + 1).cast("long").as("p"), col("col").as("tok"))
-          .withColumn("code",
-            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-        val w = Window.partitionBy("doc_id").orderBy("p")
-        val chunks = toks
-          .withColumn("rh", col("code")
-            + lit(3L) * lag("code", 1).over(w)
-            + lit(9L) * lag("code", 2).over(w)
-            + lit(27L) * lag("code", 3).over(w))
-          .withColumn("brk",
-            when(col("p") >= 4 && col("rh") % 16 === 0, 1).otherwise(0))
-          .withColumn("chunk_id", coalesce(
-            sum("brk").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .groupBy("doc_id", "source", "chunk_id")
-          .agg(expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')")
-              .as("ctext"),
-            count(lit(1)).as("ctoks"))
-        chunks.groupBy("ctext")
-          .agg(count(lit(1)).as("n_occ"),
-            countDistinct("doc_id").as("n_docs"),
-            countDistinct("source").as("n_sources"),
-            max("ctoks").as("ctoks"))
-          .where(col("n_occ") >= 2)
-          .select(md5(col("ctext")).as("chunk_key"), col("ctoks"), col("n_occ"),
-            col("n_docs"), col("n_sources"),
-            ((col("n_occ") - 1) * col("ctoks")).as("saved_toks"))
-          .orderBy(col("saved_toks").desc, col("chunk_key"))
-      },
+      (s, d) => cdcDupChunks(documents(s, d))
+        .orderBy(col("saved_toks").desc, col("chunk_key")),
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
@@ -287,6 +307,93 @@ object Round12c {
         |       CAST(SUM(best) AS BIGINT) AS cacheable_toks,
         |       CAST(SUM(best) AS DOUBLE) / SUM(ntoks) AS hit_rate
         |FROM l GROUP BY lang ORDER BY lang""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q239
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every document by the log-likelihood ratio of a TARGET-domain
+    // n-gram model (here lang = 'en', the corpus's largest slice) over
+    // the RAW-corpus model, on bigram features — the data-selection
+    // primitive between q74's fixed mix weights and q134's single-LM
+    // perplexity filter. Determinism: both models are add-one-smoothed
+    // exact integer counts; each ln() is rounded to 4 decimals and
+    // bridged to DECIMAL(18,4) BEFORE any arithmetic (the q134
+    // transcendental discipline — subtracting first would let a last-ulp
+    // libm difference cross the rounding boundary), the per-doc sum is
+    // exact decimal, and the final cast to double is an identity.
+    // Scale shape: ONE bigram explode feeds the raw model, the target
+    // model, and the per-doc scoring (three map-side-combinable rollups
+    // of the same table); the feature-weight table is vocab²-bounded —
+    // broadcast at any corpus size; the only data-sized shuffle is the
+    // per-doc rollup. keep_rank is a lang-PARTITIONED window (never
+    // global) ordering the selection the paper resamples from.
+    "q239_dsir_weights" -> QDef(
+      (s, d) => {
+        val docFeat = documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> array_join(slice(tk, i, 2), ' '))"))
+            .as("f"))
+          .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("k"))
+        val raw = docFeat.groupBy("f").agg(sum("k").as("cnt_r"))
+        val tgt = docFeat.where(col("lang") === "en")
+          .groupBy("f").agg(sum("k").as("cnt_t"))
+        val tots = raw.crossJoin(tgt.select(sum("cnt_t").as("tot_t")))
+          .agg(sum("cnt_r").as("tot_r"), count(lit(1)).as("nf"),
+            min("tot_t").as("tot_t"))
+        val featW = raw.join(tgt, Seq("f"), "left")
+          .na.fill(0L, Seq("cnt_t"))
+          .crossJoin(broadcast(tots))
+          .select(col("f"),
+            (round(log((col("cnt_t") + 1).cast("double") /
+                (col("tot_t") + col("nf")).cast("double")), 4).cast(Det.D)
+              - round(log((col("cnt_r") + 1).cast("double") /
+                (col("tot_r") + col("nf")).cast("double")), 4).cast(Det.D))
+              .as("w_f"))
+        val byDoc = docFeat.join(broadcast(featW), "f")
+          .groupBy("doc_id", "lang")
+          .agg(sum("k").as("n_feats"),
+            sum(col("k") * col("w_f")).cast("double").as("logw"))
+        byDoc.withColumn("keep_rank", row_number().over(
+            Window.partitionBy("lang").orderBy(col("logw").desc, col("doc_id")))
+            .cast("long"))
+          .select("doc_id", "lang", "n_feats", "logw", "keep_rank")
+          .orderBy("doc_id")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |df AS (
+        |  SELECT doc_id, lang, array_to_string(tk[i:i+1], ' ') AS f,
+        |         COUNT(*) AS k
+        |  FROM (SELECT doc_id, lang, tk,
+        |               unnest(generate_series(1, len(tk) - 1)) AS i
+        |        FROM tk WHERE len(tk) >= 2) s
+        |  GROUP BY 1, 2, 3),
+        |raw AS (SELECT f, SUM(k) AS cnt_r FROM df GROUP BY f),
+        |tgt AS (SELECT f, SUM(k) AS cnt_t FROM df WHERE lang = 'en' GROUP BY f),
+        |tots AS (SELECT (SELECT SUM(cnt_r) FROM raw) AS tot_r,
+        |                (SELECT COUNT(*) FROM raw) AS nf,
+        |                (SELECT SUM(cnt_t) FROM tgt) AS tot_t),
+        |featw AS (
+        |  SELECT raw.f,
+        |         CAST(ROUND(ln(CAST(COALESCE(tgt.cnt_t, 0) + 1 AS DOUBLE) /
+        |                       CAST(tots.tot_t + tots.nf AS DOUBLE)), 4)
+        |              AS DECIMAL(18,4))
+        |         - CAST(ROUND(ln(CAST(raw.cnt_r + 1 AS DOUBLE) /
+        |                         CAST(tots.tot_r + tots.nf AS DOUBLE)), 4)
+        |                AS DECIMAL(18,4)) AS w_f
+        |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tots),
+        |byd AS (
+        |  SELECT df.doc_id, df.lang, CAST(SUM(df.k) AS BIGINT) AS n_feats,
+        |         CAST(SUM(df.k * fw.w_f) AS DOUBLE) AS logw
+        |  FROM df JOIN featw fw ON df.f = fw.f
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_feats, logw,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY logw DESC, doc_id) AS BIGINT) AS keep_rank
+        |FROM byd ORDER BY doc_id""".stripMargin
     )
   )
 }

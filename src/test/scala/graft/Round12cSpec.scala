@@ -178,4 +178,46 @@ class Round12cSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
     assert(expected.exists(_._4 > 0), "zero cacheable tokens — the audit is vacuous")
   }
+
+  // ---- q239 ---------------------------------------------------------
+  test("q239: DSIR log-weights == the JVM bigram-LM replay; weights separate target from rest") {
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    def r4(x: Double): JBD = new JBD(x, MathContext.UNLIMITED)
+      .setScale(4, RoundingMode.HALF_UP)
+    val feats = docRows.map { case (id, lang, _, _) =>
+      val tk = toks(id)
+      (id, lang,
+        if (tk.length < 2) Seq.empty[String]
+        else tk.sliding(2).map(_.mkString(" ")).toSeq)
+    }.filter(_._3.nonEmpty)
+    val cntR = feats.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cntT = feats.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (totR, totT, nf) = (cntR.values.sum, cntT.values.sum, cntR.size.toLong)
+    val wF: Map[String, JBD] = cntR.map { case (f, cr) =>
+      f -> r4(math.log((cntT.getOrElse(f, 0L) + 1).toDouble / (totT + nf)))
+        .subtract(r4(math.log((cr + 1).toDouble / (totR + nf))))
+    }
+    val byDoc = feats.map { case (id, lang, fs) =>
+      val logw = fs.foldLeft(JBD.ZERO)((acc, f) => acc.add(wF(f)))
+      (id, lang, fs.size.toLong, logw.doubleValue)
+    }
+    val ranks = byDoc.groupBy(_._2).flatMap { case (_, xs) =>
+      xs.sortBy(x => (-x._4, x._1)).zipWithIndex
+        .map { case (x, i) => x._1 -> (i + 1).toLong }
+    }
+    val expected = byDoc.map { case (id, lang, n, w) => (id, lang, n, w, ranks(id)) }.toSet
+    val got = SparkEntry.queries("q239_dsir_weights")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_feats"), r.getAs[Double]("logw"),
+        r.getAs[Long]("keep_rank"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the weights are not vacuous: the target slice scores higher on
+    // average than the rest (it IS the target model's own data)
+    val en = byDoc.filter(_._2 == "en").map(_._4)
+    val rest = byDoc.filter(_._2 != "en").map(_._4)
+    assert(en.sum / en.size > rest.sum / rest.size,
+      "target docs do not outscore the rest — the weighting is inverted or vacuous")
+  }
 }
