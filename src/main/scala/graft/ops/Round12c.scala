@@ -39,6 +39,12 @@ object Round12c {
   private def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
   private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
 
+  /** Exact squared L2 on the 1e6 integer grid (the q219/q228 bridge). */
+  private def gridDist(a: Column, b: Column): Column = {
+    val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
+    (norm2(ad) + norm2(bd) - lit(2.0) * dotCol(ad, bd)).cast("long")
+  }
+
   /** q235's core over any (doc_id, text) frame — shared with ScaleCurve's
     * `spans` regime. hashKey = the 100 TB form: roll up and join on
     * xxhash64(gram) (8 B) instead of the 8-token string (~45 B) — a
@@ -67,9 +73,10 @@ object Round12c {
       .select("doc_id", "span_start", "span_end", "span_toks", "n_grams")
   }
 
-  /** q236's core over any (doc_id, source, text) frame — shared with
-    * ScaleCurve's `spans` regime. */
-  private[graft] def cdcDupChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The q236 chunker over any (doc_id, source, text) frame → one row per
+    * (doc, chunk): (doc_id, source, chunk_id, ctext, ctoks). Shared by the
+    * q236 rollup, ScaleCurve's `spans` regime, and the s36 ingest twin. */
+  private[graft] def cdcChunkTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("source"),
@@ -77,7 +84,7 @@ object Round12c {
       .withColumn("code",
         conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val w = Window.partitionBy("doc_id").orderBy("p")
-    val chunks = toks
+    toks
       .withColumn("rh", col("code")
         + lit(3L) * lag("code", 1).over(w)
         + lit(9L) * lag("code", 2).over(w)
@@ -90,7 +97,11 @@ object Round12c {
       .agg(expr("array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' ')")
           .as("ctext"),
         count(lit(1)).as("ctoks"))
-    chunks.groupBy("ctext")
+  }
+
+  /** q236's core — the duplicated-chunk rollup over the chunk table. */
+  private[graft] def cdcDupChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    cdcChunkTable(docs).groupBy("ctext")
       .agg(count(lit(1)).as("n_occ"),
         countDistinct("doc_id").as("n_docs"),
         countDistinct("source").as("n_sources"),
@@ -337,6 +348,11 @@ object Round12c {
             "transform(sequence(1, size(tk) - 1), i -> array_join(slice(tk, i, 2), ' '))"))
             .as("f"))
           .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("k"))
+          // checkpointed: consumed by the raw LM, the target LM, and the
+          // per-doc scoring — un-checkpointed, the explode+rollup replays
+          // once per consumer (PlanAudit showed 5 scans; the comment's
+          // "one explode" claim is only true with the barrier)
+          .localCheckpoint()
         val raw = docFeat.groupBy("f").agg(sum("k").as("cnt_r"))
         val tgt = docFeat.where(col("lang") === "en")
           .groupBy("f").agg(sum("k").as("cnt_t"))
@@ -394,6 +410,119 @@ object Round12c {
         |       CAST(row_number() OVER (PARTITION BY lang
         |         ORDER BY logw DESC, doc_id) AS BIGINT) AS keep_rank
         |FROM byd ORDER BY doc_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q240
+    // NDCG@5 ranking-quality audit of the binary-Hamming ANN path — the
+    // GRADED metric completing the ANN audit family (q222 counts recall
+    // hits, q233 prices truncation; NDCG weighs WHERE the hits land,
+    // which is what a serving SLA actually buys). Approximate side =
+    // q232's raw Hamming top-5 (deliberately WITHOUT the re-rank, so the
+    // audit measures the 1-bit quantizer's real ranking loss);
+    // relevance(v) = 6 − exact_rank(v) for the exact grid top-5, else 0;
+    // discount(i) = 1/log2(i+1) rounded to 4 decimals and bridged to
+    // DECIMAL(18,4) per rank BEFORE multiplication (the q134
+    // transcendental discipline — rel·disc is then int×decimal, exact),
+    // per-query sums exact decimal, NDCG = dcg/idcg as a raw double
+    // quotient of identical doubles. Scale shape: two linear corpus
+    // passes against the broadcast ≤10-row query carve (codes pass reads
+    // 8 B/vector; exact pass is the audit's ground-truth side — at 100 TB
+    // it comes from the offline eval harness, not the serving path), each
+    // top-5 a qid-partitioned window; the join/grade/rollup stages touch
+    // exactly Q·5 rows.
+    "q240_ndcg_audit" -> QDef(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        def word(lo: Int): Column = expr((1 to 32).map(i =>
+          s"(CASE WHEN element_at(embedding, ${lo + i}) > 0 THEN ${1L << (i - 1)}L ELSE 0L END)")
+          .mkString(" + "))
+        val codes = emb.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+          .localCheckpoint() // corpus side + query carve
+        val qc = codes.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+          .limit(10)
+        def disc(r: Column): Column =
+          round(lit(1.0) / log2(r.cast("double") + 1.0), 4).cast(Det.D)
+        val ham5 = codes.crossJoin(broadcast(qc))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("ham",
+            expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("long"))
+          .withColumn("arank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))))
+          .where(col("arank") <= 5).select("qid", "vec_id", "arank")
+        val qv = Round11.quantized(emb)
+        val qq = qv.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv")).limit(10)
+        val exact5 = qv.crossJoin(broadcast(qq))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("d2", gridDist(col("v"), col("qv")))
+          .withColumn("erank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+          .where(col("erank") <= 5).select("qid", "vec_id", "erank")
+          .localCheckpoint() // graded join side + idcg rollup
+        val dcg = ham5.join(exact5, Seq("qid", "vec_id"), "left")
+          .withColumn("rel", coalesce(lit(6) - col("erank"), lit(0)))
+          .groupBy("qid")
+          .agg(sum(col("rel") * disc(col("arank"))).cast("double").as("dcg"),
+            sum(when(col("erank").isNotNull, 1L).otherwise(0L)).as("hits"))
+        val idcg = exact5.groupBy("qid")
+          .agg(sum((lit(6) - col("erank")) * disc(col("erank")))
+            .cast("double").as("idcg"))
+        dcg.join(idcg, "qid")
+          .select(col("qid"), col("hits"), col("dcg"), col("idcg"),
+            (col("dcg") / col("idcg")).as("ndcg"))
+          .orderBy("qid")
+      }, {
+        def wordSql(lo: Int): String = (1 to 32).map(i =>
+          s"(CASE WHEN e[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           |             FROM embeddings),
+           |qv AS (SELECT vec_id, list_transform(e,
+           |         x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS v FROM emb),
+           |codes AS (SELECT vec_id,
+           |            CAST(${wordSql(0)} AS BIGINT) AS w0,
+           |            CAST(${wordSql(32)} AS BIGINT) AS w1
+           |          FROM emb),
+           |qc AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM codes
+           |       WHERE vec_id < 10),
+           |ham5 AS (
+           |  SELECT qid, vec_id, arank FROM (
+           |    SELECT qc.qid, c.vec_id,
+           |           row_number() OVER (PARTITION BY qc.qid
+           |             ORDER BY bit_count(xor(c.w0, qc.qw0))
+           |                    + bit_count(xor(c.w1, qc.qw1)), c.vec_id) AS arank
+           |    FROM codes c CROSS JOIN qc WHERE c.vec_id <> qc.qid) z
+           |  WHERE arank <= 5),
+           |qq AS (SELECT vec_id AS qid, v AS qv FROM qv WHERE vec_id < 10),
+           |exact5 AS (
+           |  SELECT qid, vec_id, erank FROM (
+           |    SELECT qq.qid, a.vec_id,
+           |           row_number() OVER (PARTITION BY qq.qid
+           |             ORDER BY list_aggregate(list_transform(list_zip(a.v, qq.qv),
+           |               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), a.vec_id) AS erank
+           |    FROM qv a CROSS JOIN qq WHERE a.vec_id <> qq.qid) z
+           |  WHERE erank <= 5),
+           |dcg AS (
+           |  SELECT h.qid,
+           |         CAST(SUM(COALESCE(6 - e.erank, 0) *
+           |           CAST(ROUND(1.0 / log2(h.arank + 1.0), 4) AS DECIMAL(18,4)))
+           |           AS DOUBLE) AS dcg,
+           |         SUM(CASE WHEN e.erank IS NOT NULL THEN 1 ELSE 0 END) AS hits
+           |  FROM ham5 h LEFT JOIN exact5 e
+           |    ON h.qid = e.qid AND h.vec_id = e.vec_id
+           |  GROUP BY h.qid),
+           |idcg AS (
+           |  SELECT qid,
+           |         CAST(SUM((6 - erank) *
+           |           CAST(ROUND(1.0 / log2(erank + 1.0), 4) AS DECIMAL(18,4)))
+           |           AS DOUBLE) AS idcg
+           |  FROM exact5 GROUP BY qid)
+           |SELECT d.qid, CAST(d.hits AS BIGINT) AS hits, d.dcg, i.idcg,
+           |       d.dcg / i.idcg AS ndcg
+           |FROM dcg d JOIN idcg i ON d.qid = i.qid
+           |ORDER BY d.qid""".stripMargin
+      }
     )
   )
 }

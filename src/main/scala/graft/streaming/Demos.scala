@@ -114,6 +114,9 @@ case class DocLang(doc_id: Long, lang: String, text: String)
 /** s34 ingest row: a vector arriving on the embedding stream. */
 case class VecIngest(vec_id: Long, embedding: Seq[Float])
 
+/** s36's ingest row (top-level: nested case classes break Janino codegen). */
+case class CdcDocIngest(doc_id: Long, source: String, text: String)
+
 /** s26 ingest row: a document with its crawler/source attribution. */
 case class DocSrc(doc_id: Long, source: String, text: String)
 
@@ -2011,6 +2014,82 @@ object Demos {
     spark.read.parquet(s"$dir/kept").drop("b")
   private[graft] def semanticDrops(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/drops").drop("b")
+
+  /** s36 — CDC chunk dedup on ingest: q236's streaming twin (the s35
+    * admission posture applied to storage-level text dedup). Each
+    * micro-batch is chunked with the batch query's EXACT chunker
+    * (`Round12c.cdcChunkTable` — same rolling hash, same boundary rule),
+    * and each chunk occurrence gets a verdict: DUPLICATE iff its chunk
+    * key was committed by an earlier batch OR a batch-mate precedes it in
+    * the (doc_id, chunk_id) admission order; else NOVEL. Novel keys are
+    * committed to `chunks/b=N`, per-doc savings rows to `stats/b=N`.
+    *
+    * Batching-invariance: when batch boundaries respect doc_id order
+    * (admission order is (batchId, doc_id)), the verdict for every chunk
+    * occurrence equals the sequential doc_id-order scan's — so the union
+    * of per-doc stats is a pure function of the corpus, independent of
+    * HOW it was batched (StreamingDemosSpec locks 1-batch == 3-batch ==
+    * the JVM sequential replay). Exactly-once is the s14/s35 argument:
+    * batch N's output is a pure function of (committed b < N, batch
+    * rows), so a replay overwrites `chunks/b=N` + `stats/b=N`
+    * byte-identically. No stream state: cross-batch knowledge is the
+    * committed chunk-key store, read per batch (at 100 TB it is
+    * key-partitioned parquet and the membership probe is a broadcast of
+    * the BATCH's keys against it — the batch side is always the small
+    * side; a Bloom filter over committed keys is the standard
+    * first-level screen). stateOperators empty, spec-locked. */
+  def s36CdcDedupIngest(spark: SparkSession, docs: DataFrame,
+      dir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        cdcDedupBatch(batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One CDC-dedup admission step (factored out so the spec can replay a
+    * batch with the same batchId and assert byte-identical output). */
+  private[graft] def cdcDedupBatch(batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // checkpointed: consumed by the novel-key write AND the stats rollup
+    // (un-checkpointed, the chunker windows would replay per consumer)
+    val chunks = graft.ops.Round12c.cdcChunkTable(batch)
+      .withColumn("ck", md5(col("ctext")))
+      .localCheckpoint()
+    val chunkDir = s"$dir/chunks"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // committed prefix = partitions b < batchId ONLY (the s14 version
+    // rule): a replayed batch must not compare against its own output
+    val prev =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(chunkDir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(chunkDir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b="))
+        .map(_.stripPrefix("b=").toLong).filter(_ < batchId)
+    val committed =
+      if (prev.isEmpty) chunks.select(col("ck")).limit(0)
+      else spark.read.parquet(prev.sorted.map(p => s"$chunkDir/b=$p"): _*)
+        .select(col("ck"))
+    // batch-local admission order: first occurrence per key by
+    // (doc_id, chunk_id); later occurrences are duplicates even if novel
+    val w = Window.partitionBy("ck").orderBy("doc_id", "chunk_id")
+    val marked = chunks
+      .withColumn("rnk", row_number().over(w))
+      .join(committed.withColumn("seen", lit(1)).distinct(), Seq("ck"), "left")
+      .withColumn("is_dup", col("seen").isNotNull || col("rnk") > 1)
+      .localCheckpoint()
+    marked.where(!col("is_dup")).select("ck")
+      .write.mode("overwrite").parquet(s"$chunkDir/b=$batchId")
+    marked.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("ctoks")).as("n_toks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("is_dup"), col("ctoks")).otherwise(0L)).as("dup_toks"))
+      .write.mode("overwrite").parquet(s"$dir/stats/b=$batchId")
+  }
+
+  /** The verdict view of an s36 directory: per-doc dedup stats. */
+  private[graft] def cdcStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stats").drop("b")
 
   /** The LIVE view of an s25 snapshot version: tombstones excluded. */
   private[graft] def cdcLiveView(spark: SparkSession, dir: String, version: Long): DataFrame =

@@ -220,4 +220,47 @@ class Round12cSpec extends AnyFunSuite {
     assert(en.sum / en.size > rest.sum / rest.size,
       "target docs do not outscore the rest — the weighting is inverted or vacuous")
   }
+
+  // ---- q240 ---------------------------------------------------------
+  test("q240: NDCG == the JVM graded replay; the 1-bit quantizer's ranking loss is real") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Tables.embeddings(spark, sf01).select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    val grid = rows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong) }
+    def word(v: Array[Float], lo: Int): Long =
+      (0 until 32).map(i => if (v(lo + i) > 0) 1L << i else 0L).sum
+    val codes = rows.map { case (id, v) => id -> (word(v, 0), word(v, 32)) }
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong +
+        java.lang.Long.bitCount(a._2 ^ b._2).toLong
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def disc(r: Int): JBD = new JBD(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(4, RoundingMode.HALF_UP)
+    val expected = (0L until 10L).map { qid =>
+      val h5 = codes.view.filterKeys(_ != qid).toSeq
+        .map { case (v, c) => (ham(c, codes(qid)), v) }.sorted.take(5)
+        .zipWithIndex.map { case ((_, v), i) => (v, i + 1) }
+      val e5 = grid.view.filterKeys(_ != qid).toSeq
+        .map { case (v, g) => (d2(g, grid(qid)), v) }.sorted.take(5)
+        .zipWithIndex.map { case ((_, v), i) => v -> (i + 1) }.toMap
+      val dcg = h5.foldLeft(JBD.ZERO) { case (acc, (v, ar)) =>
+        acc.add(disc(ar).multiply(new JBD(e5.get(v).map(6 - _).getOrElse(0)))) }
+      val idcg = e5.values.foldLeft(JBD.ZERO)((acc, er) =>
+        acc.add(disc(er).multiply(new JBD(6 - er))))
+      val hits = h5.count { case (v, _) => e5.contains(v) }.toLong
+      (qid, hits, dcg.doubleValue, idcg.doubleValue,
+        dcg.doubleValue / idcg.doubleValue)
+    }.toSet
+    val got = SparkEntry.queries("q240_ndcg_audit")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("hits"),
+        r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+        r.getAs[Double]("ndcg"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.exists(_._5 < 1.0),
+      "NDCG loss vanished — the audit would be vacuous on this corpus")
+  }
 }

@@ -485,6 +485,75 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("s36: CDC dedup on ingest — stats batching-invariant == JVM sequential replay; replay idempotent; stateless") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, SharedSpark.sf001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => CdcDocIngest(r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id).toSeq
+    // plant a verbatim duplicate doc so cross-DOC chunk dedup fires even
+    // if the tiny sf0.001 carve has no natural duplicated chunks
+    val all = docs :+ CdcDocIngest(90000L, docs.head.source, docs.head.text)
+
+    def runBatches(batches: Seq[Seq[CdcDocIngest]]): (String, Map[(Long, String), (Long, Long, Long, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("s36").toString
+      val input = MemoryStream[CdcDocIngest]
+      val q = Demos.s36CdcDedupIngest(spark, input.toDF(), dir)
+      try {
+        batches.foreach { b => input.addData(b); runToCompletion(q) }
+        assert(q.lastProgress.stateOperators.isEmpty) // stateless by design
+      } finally q.stop()
+      dir -> Demos.cdcStats(spark, dir).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source")) ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_toks"),
+            r.getAs[Long]("dup_chunks"), r.getAs[Long]("dup_toks"))).toMap
+    }
+    val (_, oneShot) = runBatches(Seq(all))
+    val (dir3, threeWay) = runBatches(
+      Seq(all.take(15), all.slice(15, 30), all.drop(30)))
+
+    // ---- JVM sequential replay (doc_id-order scan, one global seen set)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Vector[String] = {
+      val tk = text.split(" ")
+      val codes = tk.map(t => java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16))
+      def brk(i: Int): Boolean = i >= 3 &&
+        (codes(i) + 3 * codes(i - 1) + 9 * codes(i - 2) + 27 * codes(i - 3)) % 16 == 0
+      val b = Vector.newBuilder[String]
+      var start = 0
+      for (i <- tk.indices) if (brk(i)) {
+        b += tk.slice(start, i + 1).mkString(" "); start = i + 1
+      }
+      if (start < tk.length) b += tk.slice(start, tk.length).mkString(" ")
+      b.result()
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = all.sortBy(_.doc_id).map { d =>
+      val cs = chunksOf(d.text)
+      var (dupC, dupT) = (0L, 0L)
+      cs.foreach { c =>
+        if (!seen.add(c)) { dupC += 1; dupT += c.split(" ").length }
+      }
+      (d.doc_id, d.source) ->
+        (cs.size.toLong, cs.map(_.split(" ").length.toLong).sum, dupC, dupT)
+    }.toMap
+    assert(oneShot == expected, "1-batch run diverged from the JVM sequential replay")
+    assert(threeWay == expected, "3-batch run diverged — batching is not invariant")
+    assert(expected.values.exists(_._3 > 0), "no duplicate chunk fired — vacuous")
+    assert(expected((90000L, docs.head.source))._3 ==
+      expected((90000L, docs.head.source))._1, "planted verbatim doc not fully dedup'd")
+
+    // replay batch 1 with the same batchId: byte-identical (exactly-once)
+    import spark.implicits._
+    val before = spark.read.parquet(s"$dir3/stats/b=1").collect().map(_.toString).sorted.toSeq
+    Demos.cdcDedupBatch(all.slice(15, 30).toDF(), dir3, 1L)
+    val after = spark.read.parquet(s"$dir3/stats/b=1").collect().map(_.toString).sorted.toSeq
+    assert(before == after)
+  }
+
   test("s11: budget admission — FCFS per-lang quota matches a sequential fold, across batches") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
