@@ -39,6 +39,34 @@ object Round12c {
   private def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
   private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
 
+  /** q238's core over any (doc_id, lang, text) frame — factored so the
+    * spec can drive the duplicate-text edge (identical token arrays →
+    * lcp = full length; both engines' array-position builtins return 0,
+    * not NULL, on "no mismatch found", hence the nullif guards — the
+    * sf0.1-only q238 parity bug, CLAUDE.md gotcha). */
+  private[graft] def prefixCacheStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def lcp(a: String, b: String): Column = expr(
+      s"""CASE WHEN $b IS NULL THEN 0L ELSE coalesce(
+         |  nullif(array_position(zip_with($a, $b,
+         |    (x, y) -> if(x IS NOT NULL AND y IS NOT NULL AND x = y, 1, 0)),
+         |    0), 0) - 1,
+         |  size($a)) END""".stripMargin).cast("long")
+    val t = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("tk"))
+      .withColumn("bucket", expr("array_join(slice(tk, 1, 2), ' ')"))
+    val w = Window.partitionBy("bucket").orderBy("text", "doc_id")
+    t.withColumn("prv", lag("tk", 1).over(w))
+      .withColumn("nxt", lead("tk", 1).over(w))
+      .withColumn("best", greatest(lcp("tk", "prv"), lcp("tk", "nxt")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk"))).as("total_toks"),
+        sum("best").as("cacheable_toks"))
+      .withColumn("hit_rate",
+        col("cacheable_toks").cast("double") / col("total_toks"))
+  }
+
   /** Exact squared L2 on the 1e6 integer grid (the q219/q228 bridge). */
   private def gridDist(a: Column, b: Column): Column = {
     val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
@@ -270,29 +298,7 @@ object Round12c {
     // OFFLINE upper bound on per-language cacheable-token share (every
     // other doc assumed resident — the cache-oracle framing).
     "q238_prefix_cache" -> QDef(
-      (s, d) => {
-        def lcp(a: String, b: String): Column = expr(
-          s"""CASE WHEN $b IS NULL THEN 0L ELSE coalesce(
-             |  nullif(array_position(zip_with($a, $b,
-             |    (x, y) -> if(x IS NOT NULL AND y IS NOT NULL AND x = y, 1, 0)),
-             |    0), 0) - 1,
-             |  size($a)) END""".stripMargin).cast("long")
-        val t = documents(s, d)
-          .select(col("doc_id"), col("lang"), col("text"),
-            split(col("text"), " ").as("tk"))
-          .withColumn("bucket", expr("array_join(slice(tk, 1, 2), ' ')"))
-        val w = Window.partitionBy("bucket").orderBy("text", "doc_id")
-        t.withColumn("prv", lag("tk", 1).over(w))
-          .withColumn("nxt", lead("tk", 1).over(w))
-          .withColumn("best", greatest(lcp("tk", "prv"), lcp("tk", "nxt")))
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(size(col("tk"))).as("total_toks"),
-            sum("best").as("cacheable_toks"))
-          .withColumn("hit_rate",
-            col("cacheable_toks").cast("double") / col("total_toks"))
-          .orderBy("lang")
-      },
+      (s, d) => prefixCacheStats(documents(s, d)).orderBy("lang"),
       """WITH t AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk
         |  FROM documents),
@@ -300,17 +306,23 @@ object Round12c {
         |n AS (SELECT *, lag(tk) OVER w AS prv, lead(tk) OVER w AS nxt
         |      FROM b WINDOW w AS (PARTITION BY bucket ORDER BY text, doc_id)),
         |l AS (
+        |  -- NULLIF: DuckDB list_position returns 0 (not NULL) when the
+        |  -- element is absent — i.e. NO mismatch, which happens exactly
+        |  -- for identical token arrays (duplicate texts exist at sf0.1
+        |  -- but not sf0.01 — the magnitude gate caught the bare form
+        |  -- evaluating 0-1 = -1 instead of len). Spark's nullif twin is
+        |  -- in the query body.
         |  SELECT doc_id, lang, len(tk) AS ntoks,
         |    GREATEST(
         |      CASE WHEN prv IS NULL THEN 0 ELSE COALESCE(
-        |        list_position(list_transform(list_zip(tk, prv),
+        |        NULLIF(list_position(list_transform(list_zip(tk, prv),
         |          z -> CASE WHEN z[1] IS NOT NULL AND z[2] IS NOT NULL
-        |                         AND z[1] = z[2] THEN 1 ELSE 0 END), 0) - 1,
+        |                         AND z[1] = z[2] THEN 1 ELSE 0 END), 0), 0) - 1,
         |        len(tk)) END,
         |      CASE WHEN nxt IS NULL THEN 0 ELSE COALESCE(
-        |        list_position(list_transform(list_zip(tk, nxt),
+        |        NULLIF(list_position(list_transform(list_zip(tk, nxt),
         |          z -> CASE WHEN z[1] IS NOT NULL AND z[2] IS NOT NULL
-        |                         AND z[1] = z[2] THEN 1 ELSE 0 END), 0) - 1,
+        |                         AND z[1] = z[2] THEN 1 ELSE 0 END), 0), 0) - 1,
         |        len(tk)) END) AS best
         |  FROM n)
         |SELECT lang, COUNT(*) AS n_docs,
@@ -523,6 +535,84 @@ object Round12c {
            |FROM dcg d JOIN idcg i ON d.qid = i.qid
            |ORDER BY d.qid""".stripMargin
       }
+    ),
+
+    // --------------------------------------------------------------- q241
+    // Dataset digest diff — the cheap "which partitions changed between
+    // two snapshots" primitive a 100 TB platform runs BEFORE q129's
+    // row-level diff: per bucket, an ORDER-INVARIANT digest (bit_xor of a
+    // portable row hash + row count + an overflow-safe hash sum), then a
+    // 64-row digest compare. Here snapshot B is snapshot A with
+    // value-visible planted corruption both engines replay (the q230
+    // discipline): l_orderkey % 997 = 13 rows get quantity + 1, % 997 =
+    // 29 rows are dropped. Determinism: the canonical row uses ONLY
+    // integer renderings (keys + floor(money·100) — raw doubles never
+    // enter a string; int→string is identical across engines); the row
+    // hash is portable md5 arithmetic (q224); xor is exactly
+    // order/partition-invariant; the sum term is capped to 2^20 so a
+    // 2^43-row bucket cannot overflow (at true 100 TB scale the sum
+    // digest rides DECIMAL(38,0) — noted, not needed at any test SF).
+    // Scale shape: one linear map-side hash pass per snapshot, a 64-cell
+    // map-side-combinable rollup each, one 64-row join — NOTHING is
+    // row-aligned between the snapshots, which is the whole point (q129
+    // must co-shuffle both sides by key; this ships 64 rows).
+    "q241_dataset_digest" -> QDef(
+      (s, d) => {
+        def canon(qShift: Column): Column = concat_ws("|",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          floor((col("l_quantity") + qShift) * 100).cast("long"),
+          floor(col("l_extendedprice") * 100).cast("long"))
+        def digest(df: org.apache.spark.sql.DataFrame, qShift: Column) = df
+          .withColumn("h",
+            conv(substring(md5(canon(qShift)), 1, 15), 16, 10).cast("long"))
+          .groupBy(pmod(col("l_orderkey"), lit(64)).as("bucket"))
+          .agg(count(lit(1)).as("rows"), expr("bit_xor(h)").as("xr"),
+            sum(col("h") % 1048576).as("hs"))
+        val a = digest(lineitem(s, d), lit(0.0))
+        val b = digest(
+          lineitem(s, d).where(col("l_orderkey") % 997 =!= 29),
+          when(col("l_orderkey") % 997 === 13, 1.0).otherwise(0.0))
+        a.select(col("bucket"), col("rows").as("rows_a"), col("xr").as("xr_a"),
+            col("hs").as("hs_a"))
+          .join(b.select(col("bucket"), col("rows").as("rows_b"),
+            col("xr").as("xr_b"), col("hs").as("hs_b")), Seq("bucket"), "full")
+          .where(col("rows_a") =!= col("rows_b") || col("xr_a") =!= col("xr_b")
+            || col("hs_a") =!= col("hs_b"))
+          .orderBy("bucket")
+      },
+      """WITH src AS (SELECT * FROM lineitem),
+        |da AS (
+        |  SELECT l_orderkey % 64 AS bucket, COUNT(*) AS rows_a,
+        |         bit_xor(h) AS xr_a, SUM(h % 1048576) AS hs_a
+        |  FROM (SELECT l_orderkey,
+        |          CAST(('0x' || substring(md5(
+        |            l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|'
+        |            || l_linenumber || '|'
+        |            || CAST(FLOOR(l_quantity * 100) AS BIGINT) || '|'
+        |            || CAST(FLOOR(l_extendedprice * 100) AS BIGINT)), 1, 15))
+        |            AS BIGINT) AS h
+        |        FROM src) z
+        |  GROUP BY 1),
+        |db AS (
+        |  SELECT l_orderkey % 64 AS bucket, COUNT(*) AS rows_b,
+        |         bit_xor(h) AS xr_b, SUM(h % 1048576) AS hs_b
+        |  FROM (SELECT l_orderkey,
+        |          CAST(('0x' || substring(md5(
+        |            l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|'
+        |            || l_linenumber || '|'
+        |            || CAST(FLOOR((l_quantity +
+        |                 CASE WHEN l_orderkey % 997 = 13 THEN 1.0 ELSE 0.0 END)
+        |                 * 100) AS BIGINT) || '|'
+        |            || CAST(FLOOR(l_extendedprice * 100) AS BIGINT)), 1, 15))
+        |            AS BIGINT) AS h
+        |        FROM src WHERE l_orderkey % 997 <> 29) z
+        |  GROUP BY 1)
+        |SELECT bucket, rows_a, xr_a, CAST(hs_a AS BIGINT) AS hs_a,
+        |       rows_b, xr_b, CAST(hs_b AS BIGINT) AS hs_b
+        |FROM da FULL JOIN db USING (bucket)
+        |WHERE rows_a <> rows_b OR xr_a <> xr_b OR hs_a <> hs_b
+        |ORDER BY bucket""".stripMargin
     )
   )
 }

@@ -179,6 +179,24 @@ class Round12cSpec extends AnyFunSuite {
     assert(expected.exists(_._4 > 0), "zero cacheable tokens — the audit is vacuous")
   }
 
+  test("q238: duplicate-text edge — identical docs count their FULL length (the sf0.1 parity bug class)") {
+    // the absent-mismatch case (identical token arrays) is what DuckDB's
+    // list_position-returns-0 bug bit at sf0.1; lock the Spark semantics
+    // on a synthetic frame where it MUST fire
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "a b c d"), // exact duplicates
+      (3L, "en", "a b x y"), // shares 2 tokens with the twins
+      (4L, "de", "z z z")    // alone in its bucket
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.Round12c.prefixCacheStats(rows).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("total_toks"), r.getAs[Long]("cacheable_toks"))).toMap
+    // en: docs 1/2 cache all 4 tokens each (identical), doc 3 caches 2
+    assert(got("en") == ((12L, 10L)), s"en: ${got("en")}")
+    assert(got("de") == ((3L, 0L)), s"de: ${got("de")}")
+  }
+
   // ---- q239 ---------------------------------------------------------
   test("q239: DSIR log-weights == the JVM bigram-LM replay; weights separate target from rest") {
     import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
@@ -262,5 +280,41 @@ class Round12cSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
     assert(expected.exists(_._5 < 1.0),
       "NDCG loss vanished — the audit would be vacuous on this corpus")
+  }
+
+  // ---- q241 ---------------------------------------------------------
+  test("q241: digest diff == the JVM order-invariant checksum replay; clean buckets stay silent") {
+    val li = Tables.lineitem(spark, sf01)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey"),
+        r.getAs[Long]("l_suppkey"), r.getAs[Int]("l_linenumber"),
+        r.getAs[Double]("l_quantity"), r.getAs[Double]("l_extendedprice")))
+    def h(ok: Long, pk: Long, sk: Long, ln: Int, q: Double, ep: Double): Long = {
+      val canon = s"$ok|$pk|$sk|$ln|${math.floor(q * 100).toLong}|${math.floor(ep * 100).toLong}"
+      java.lang.Long.parseLong(md5hex(canon).substring(0, 15), 16)
+    }
+    def digest(rows: Seq[(Long, Long, Long, Int, Double, Double)]) =
+      rows.groupBy(_._1 % 64).view.mapValues { g =>
+        val hs = g.map { case (ok, pk, sk, ln, q, ep) => h(ok, pk, sk, ln, q, ep) }
+        (g.size.toLong, hs.foldLeft(0L)(_ ^ _), hs.map(_ % 1048576L).sum)
+      }.toMap
+    val da = digest(li.toSeq)
+    val db = digest(li.toSeq.filter(_._1 % 997 != 29)
+      .map { case (ok, pk, sk, ln, q, ep) =>
+        (ok, pk, sk, ln, if (ok % 997 == 13) q + 1.0 else q, ep) })
+    val expected = (da.keySet ++ db.keySet).toSeq
+      .filter(b => da.get(b) != db.get(b))
+      .map(b => (b, da(b)._1, da(b)._2, da(b)._3, db(b)._1, db(b)._2, db(b)._3))
+      .toSet
+    val got = SparkEntry.queries("q241_dataset_digest")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("rows_a"),
+        r.getAs[Long]("xr_a"), r.getAs[Long]("hs_a"), r.getAs[Long]("rows_b"),
+        r.getAs[Long]("xr_b"), r.getAs[Long]("hs_b"))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the audit is selective, not a tautology: some buckets are clean
+    assert(expected.size < 64 && expected.nonEmpty,
+      s"${expected.size} of 64 buckets flagged — plant or digest is degenerate")
   }
 }
