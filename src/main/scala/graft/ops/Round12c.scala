@@ -613,6 +613,115 @@ object Round12c {
         |FROM da FULL JOIN db USING (bucket)
         |WHERE rows_a <> rows_b OR xr_a <> xr_b OR hs_a <> hs_b
         |ORDER BY bucket""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q242
+    // Greedy MMR selection (Carbonell & Goldstein 1998): pick k=3 items
+    // maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected
+    // (λ=0.5) — the diversity-aware selection primitive under few-shot
+    // example picking, dedup-aware retrieval, and coreset seeding; pure
+    // top-k (q41) returns near-duplicates of each other, MMR provably
+    // spreads. Query = vec 0, candidates = the 1..199 carve. Determinism:
+    // all cosines are the bit-identical float folds of exact grid
+    // integers; the MMR score is ±0.5·(identical doubles) — identical —
+    // and every argmax tie-breaks on vec_id. Scale shape: k BOUNDED
+    // rounds, each one broadcast join of the ≤k-row selected set against
+    // the candidate table + a TakeOrdered(1) — Θ(k·|candidates|) total,
+    // no all-pairs among candidates (MMR needs cand×selected sims only);
+    // at 100 TB the candidate set is an ANN shortlist (q228's output),
+    // so the greedy loop is shortlist-bounded by construction. The
+    // 3-checkpoint ladder is the q66 bounded-iteration discipline.
+    "q242_mmr_select" -> QDef(
+      (s, d) => {
+        val lam = 0.5
+        val wn = Round11.quantized(embeddings(s, d))
+          .select(col("vec_id"), col("v").cast("array<double>").as("vd"))
+          .withColumn("n2", norm2(col("vd")))
+        val qvec = wn.where(col("vec_id") === 0)
+          .select(col("vd").as("qv"), col("n2").as("qn")).limit(1)
+        val cand = wn.where(col("vec_id") > 0 && col("vec_id") < 200)
+          .crossJoin(broadcast(qvec))
+          .withColumn("rel", dotCol(col("vd"), col("qv")) / sqrt(col("n2") * col("qn")))
+          .select("vec_id", "vd", "n2", "rel")
+          .localCheckpoint() // consumed by every round's scan + rejoin
+        def selRows(pick: org.apache.spark.sql.DataFrame) =
+          cand.join(pick.select("vec_id"), "vec_id")
+            .select(col("vec_id").as("sel_id"), col("vd").as("sel_vd"),
+              col("n2").as("sel_n2"))
+        val p1 = cand
+          .select(col("vec_id"), col("rel"), lit(0.0).as("max_sim"),
+            (lit(lam) * col("rel")).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .localCheckpoint()
+        def nextPick(selected: org.apache.spark.sql.DataFrame) = cand
+          .join(broadcast(selected.select(col("sel_id").as("vec_id"))),
+            Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(selected))
+          .withColumn("sim",
+            dotCol(col("vd"), col("sel_vd")) / sqrt(col("n2") * col("sel_n2")))
+          .groupBy("vec_id")
+          .agg(min("rel").as("rel"), max("sim").as("max_sim"))
+          .withColumn("score",
+            lit(lam) * col("rel") - lit(1 - lam) * col("max_sim"))
+          .select("vec_id", "rel", "max_sim", "score")
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .localCheckpoint()
+        val p2 = nextPick(selRows(p1))
+        val p3 = nextPick(selRows(p1).unionAll(selRows(p2)))
+        p1.withColumn("sel_rank", lit(1))
+          .unionAll(p2.withColumn("sel_rank", lit(2)))
+          .unionAll(p3.withColumn("sel_rank", lit(3)))
+          .select(col("sel_rank"), col("vec_id"), col("rel"), col("max_sim"),
+            col("score"))
+          .orderBy("sel_rank")
+      },
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE[]) AS vd
+        |  FROM embeddings),
+        |wn AS (SELECT vec_id, vd,
+        |         list_aggregate(list_transform(vd, z -> z * z), 'sum') AS n2
+        |       FROM qv),
+        |q AS (SELECT vd AS qvd, n2 AS qn FROM wn WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT w.vec_id, w.vd, w.n2,
+        |         list_aggregate(list_transform(list_zip(w.vd, q.qvd),
+        |           p -> p[1] * p[2]), 'sum') / sqrt(w.n2 * q.qn) AS rel
+        |  FROM wn w CROSS JOIN q WHERE w.vec_id > 0 AND w.vec_id < 200),
+        |p1 AS (SELECT vec_id, rel, 0.0 AS max_sim, 0.5 * rel AS score
+        |       FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+        |s1 AS (SELECT c.vec_id AS sel_id, c.vd AS sel_vd, c.n2 AS sel_n2
+        |       FROM cand c JOIN p1 ON p1.vec_id = c.vec_id),
+        |r2 AS (
+        |  SELECT c.vec_id, MIN(c.rel) AS rel,
+        |         MAX(list_aggregate(list_transform(list_zip(c.vd, s.sel_vd),
+        |           p -> p[1] * p[2]), 'sum') / sqrt(c.n2 * s.sel_n2)) AS max_sim
+        |  FROM cand c CROSS JOIN s1 s
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+        |  GROUP BY c.vec_id),
+        |p2 AS (SELECT vec_id, rel, max_sim,
+        |              0.5 * rel - 0.5 * max_sim AS score
+        |       FROM r2 ORDER BY score DESC, vec_id LIMIT 1),
+        |s12 AS (SELECT * FROM s1 UNION ALL
+        |        SELECT c.vec_id, c.vd, c.n2 FROM cand c
+        |        JOIN p2 ON p2.vec_id = c.vec_id),
+        |r3 AS (
+        |  SELECT c.vec_id, MIN(c.rel) AS rel,
+        |         MAX(list_aggregate(list_transform(list_zip(c.vd, s.sel_vd),
+        |           p -> p[1] * p[2]), 'sum') / sqrt(c.n2 * s.sel_n2)) AS max_sim
+        |  FROM cand c CROSS JOIN s12 s
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL
+        |                         SELECT vec_id FROM p2)
+        |  GROUP BY c.vec_id),
+        |p3 AS (SELECT vec_id, rel, max_sim,
+        |              0.5 * rel - 0.5 * max_sim AS score
+        |       FROM r3 ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS INT) AS sel_rank, vec_id, rel, max_sim, score FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), vec_id, rel, max_sim, score FROM p2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), vec_id, rel, max_sim, score FROM p3
+        |ORDER BY sel_rank""".stripMargin
     )
   )
 }

@@ -317,4 +317,43 @@ class Round12cSpec extends AnyFunSuite {
     assert(expected.size < 64 && expected.nonEmpty,
       s"${expected.size} of 64 buckets flagged — plant or digest is degenerate")
   }
+
+  // ---- q242 ---------------------------------------------------------
+  test("q242: MMR picks == the JVM greedy replay, score-exact") {
+    val grid: Map[Long, Array[Double]] =
+      Tables.embeddings(spark, sf01).select("vec_id", "embedding").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Float]]("embedding")
+            .map(x => math.floor(x.toDouble * 1e6)).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val q = grid(0L)
+    val cand = grid.filter { case (id, _) => id > 0 && id < 200 }
+      .map { case (id, v) => id -> (cos(v, q), v) }
+    var selected = Vector.empty[Long]
+    var expected = Vector.empty[(Int, Long, Double, Double, Double)]
+    for (k <- 1 to 3) {
+      val scored = cand.filterNot { case (id, _) => selected.contains(id) }
+        .map { case (id, (rel, v)) =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => cos(v, cand(s)._2)).max
+          (id, rel, maxSim, 0.5 * rel - 0.5 * maxSim)
+        }
+      val (id, rel, ms, sc) = scored.minBy { case (i, _, _, s) => (-s, i) }
+      selected :+= id
+      expected :+= ((k, id, rel, ms, sc))
+    }
+    val got = SparkEntry.queries("q242_mmr_select")(spark, sf01).collect()
+      .map(r => (r.getAs[Int]("sel_rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("rel"), r.getAs[Double]("max_sim"),
+        r.getAs[Double]("score"))).toVector
+    assert(got == expected, s"got=$got expected=$expected")
+    // diversity is live: later picks carry a real computed similarity
+    // term (on this noise corpus it can be NEGATIVE — anti-correlated
+    // picks — but never the round-1 placeholder 0.0)
+    assert(expected.drop(1).forall(_._4 != 0.0), "max_sim never fired")
+  }
 }
