@@ -150,9 +150,11 @@ object Round12c {
     // is xxhash64(gram) with an FPR argument, the q46/q160 signature
     // discipline — kept as the string here so the oracle replays exactly);
     // island-merge is a doc_id-partitioned window (never global). Two
-    // same-start 8-grams overlap iff starts differ by <= 8, and since all
-    // intervals have equal length the running-max island rule reduces to
-    // `p > lag(p) + 8` — one lag, one running sum.
+    // same-doc 8-grams overlap or are contiguous iff starts differ by
+    // <= 8 (at exactly 8 they abut — contiguous duplicated regions should
+    // merge into one span), and since all intervals have equal length the
+    // running-max island rule reduces to `p > lag(p) + 8` — one lag, one
+    // running sum.
     // The declared query runs the hashKey form: the gram key is result-
     // INVISIBLE (the q186 salt argument — output only carries positions,
     // and a one-in-2^64 collision is the only way the key choice could
@@ -577,8 +579,11 @@ object Round12c {
             col("hs").as("hs_a"))
           .join(b.select(col("bucket"), col("rows").as("rows_b"),
             col("xr").as("xr_b"), col("hs").as("hs_b")), Seq("bucket"), "full")
-          .where(col("rows_a") =!= col("rows_b") || col("xr_a") =!= col("xr_b")
-            || col("hs_a") =!= col("hs_b"))
+          // NULL-SAFE diff: a bucket present in only one snapshot (every
+          // row dropped — the corruption a digest diff most wants to flag)
+          // yields NULLs that a plain =!= would silently filter out
+          .where(!(col("rows_a") <=> col("rows_b"))
+            || !(col("xr_a") <=> col("xr_b")) || !(col("hs_a") <=> col("hs_b")))
           .orderBy("bucket")
       },
       """WITH src AS (SELECT * FROM lineitem),
@@ -611,7 +616,8 @@ object Round12c {
         |SELECT bucket, rows_a, xr_a, CAST(hs_a AS BIGINT) AS hs_a,
         |       rows_b, xr_b, CAST(hs_b AS BIGINT) AS hs_b
         |FROM da FULL JOIN db USING (bucket)
-        |WHERE rows_a <> rows_b OR xr_a <> xr_b OR hs_a <> hs_b
+        |WHERE rows_a IS DISTINCT FROM rows_b OR xr_a IS DISTINCT FROM xr_b
+        |   OR hs_a IS DISTINCT FROM hs_b
         |ORDER BY bucket""".stripMargin
     ),
 

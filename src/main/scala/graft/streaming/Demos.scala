@@ -2031,8 +2031,10 @@ object Demos {
     * HOW it was batched (StreamingDemosSpec locks 1-batch == 3-batch ==
     * the JVM sequential replay). Exactly-once is the s14/s35 argument:
     * batch N's output is a pure function of (committed b < N, batch
-    * rows), so a replay overwrites `chunks/b=N` + `stats/b=N`
-    * byte-identically. No stream state: cross-batch knowledge is the
+    * rows), so a replay overwrites `chunks/b=N` + `stats/b=N` with
+    * content-identical rows (spec-locked via sorted-row compare; parquet
+    * file bytes/row order across a replay are not pinned — idempotence
+    * is at the row-content level). No stream state: cross-batch knowledge is the
     * committed chunk-key store, read per batch (at 100 TB it is
     * key-partitioned parquet and the membership probe is a broadcast of
     * the BATCH's keys against it — the batch side is always the small
