@@ -138,7 +138,14 @@ object Round11 {
     * q205/ScaleCurve posture — pqEncode's one-pass contract applies
     * unchanged); the declared query trains on the gate-scale corpus so the
     * oracle can replay it. */
-  private[graft] def ivfPqTopK(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
+  // `indexFilter` is the q246 pre-filter hook: a metadata predicate on the
+  // packed-codes table applied BEFORE the ADC scan (pre-filtering — the
+  // serving posture where the predicate prunes list members before any
+  // distance math; post-filtering under-fills k under selective
+  // predicates). Training stays unfiltered: the index is built over the
+  // full corpus, the filter is a query-time knob.
+  private[graft] def ivfPqTopK(emb: DataFrame, nprobe: Int, k: Int,
+      indexFilter: Column = lit(true)): DataFrame = {
     val qv = quantized(emb)
     // coarse: only c1 is checkpointed — referenced by the final assign,
     // the residual join, and the query probe (3 consumers; an
@@ -189,7 +196,7 @@ object Round11 {
       .map(s => s"element_at(la, CAST(${s * 16} + element_at(ca, ${s + 1}) + 1 AS INT))")
       .mkString(" + ")
     val wRank = Window.partitionBy("qid").orderBy(col("adc_dist"), col("vid"))
-    packed.join(broadcast(lut), Seq("list_id"))
+    packed.where(indexFilter).join(broadcast(lut), Seq("list_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"), col("list_id"),
         expr(lookupSum).as("adc_dist"))
@@ -264,9 +271,11 @@ object Round11 {
       |pc AS (SELECT vec_id, list_id, list(code ORDER BY s) AS ca
       |       FROM codes GROUP BY vec_id, list_id)""".stripMargin
 
-  /** The q219 oracle's QUERY side, shared with q222: probe ranking, ADC
-    * LUTs, the unrolled 16-lookup scan, and the per-query rank `r`. */
-  private[ops] val oracleAdcRank =
+  /** The q219 oracle's QUERY side, shared with q222/q228/q246: probe
+    * ranking, ADC LUTs, the unrolled 16-lookup scan, and the per-query
+    * rank `r`. `pred` is q246's pre-filter on the packed-codes side
+    * (mirrors ivfPqTopK's indexFilter). */
+  private[ops] def oracleAdcRankWhere(pred: String): String =
     s"""q AS (SELECT vec_id AS qid, v AS qv FROM qv WHERE vec_id < 10),
        |pr AS (
        |  SELECT qid, list_id, qr FROM (
@@ -290,11 +299,14 @@ object Round11 {
        |         CAST(${(0 until 16).map(s =>
                     s"la[CAST(${s * 16} + ca[${s + 1}] + 1 AS INTEGER)]")
                     .mkString(" + ")} AS BIGINT) AS adc_dist
-       |  FROM pc JOIN lutA l ON pc.list_id = l.list_id AND pc.vec_id <> l.qid),
+       |  FROM pc JOIN lutA l ON pc.list_id = l.list_id AND pc.vec_id <> l.qid
+       |  WHERE ($pred)),
        |r AS (SELECT qid, vid, list_id, adc_dist,
        |             CAST(row_number() OVER (PARTITION BY qid
        |               ORDER BY adc_dist, vid) AS INTEGER) AS rnk
        |      FROM adc)""".stripMargin
+
+  private[ops] val oracleAdcRank = oracleAdcRankWhere("TRUE")
 
   val defs: Vector[(String, QDef)] = Vector(
 

@@ -13,8 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *     window — the suffix chunk sequence is identical (the reason CDC
   *     beats fixed-width blocks under insertion);
   *  3. q237 == the JVM k-means + per-cell medoid replay end-to-end;
-  *  4. q238 == the JVM brute max-LCP-within-bucket — proving the
-  *     sorted-neighbor lag/lead trick equals the all-pairs answer.
+  *  4. q238 == the JVM brute corpus-wide max-LCP (true string equality,
+  *     all pairs) — proving the windowless prefix-signature counting
+  *     equals the all-pairs answer and is collision-free on this data.
   */
 class Round12cSpec extends AnyFunSuite {
   import SharedSpark.{sf01, spark}
@@ -149,19 +150,20 @@ class Round12cSpec extends AnyFunSuite {
   }
 
   // ---- q238 ---------------------------------------------------------
-  test("q238: per-lang sums == the JVM brute within-bucket max-LCP (neighbor trick is exact)") {
+  test("q238: per-lang sums == the JVM brute corpus-wide max-LCP (signature counting is exact)") {
+    // brute ALL-PAIRS true-string LCP — independent of the query's 44-bit
+    // prefix signatures, so this also certifies collision-freedom on the
+    // gate data (a signature collision would falsely raise a best)
     def lcp(a: Array[String], b: Array[String]): Int = {
       var i = 0
       while (i < a.length && i < b.length && a(i) == b(i)) i += 1
       i
     }
     val rows = docRows.map { case (id, lang, _, _) =>
-      val tk = toks(id)
-      (id, lang, tk, tk.take(2).mkString(" "))
+      (id, lang, toks(id))
     }
-    val byBucket = rows.groupBy(_._4)
-    val best = rows.map { case (id, lang, tk, bucket) =>
-      val others = byBucket(bucket).filter(_._1 != id)
+    val best = rows.map { case (id, lang, tk) =>
+      val others = rows.filter(_._1 != id)
       val b = if (others.isEmpty) 0 else others.map(o => lcp(tk, o._3)).max
       (lang, tk.length.toLong, b.toLong)
     }
@@ -179,22 +181,24 @@ class Round12cSpec extends AnyFunSuite {
     assert(expected.exists(_._4 > 0), "zero cacheable tokens — the audit is vacuous")
   }
 
-  test("q238: duplicate-text edge — identical docs count their FULL length (the sf0.1 parity bug class)") {
-    // the absent-mismatch case (identical token arrays) is what DuckDB's
-    // list_position-returns-0 bug bit at sf0.1; lock the Spark semantics
-    // on a synthetic frame where it MUST fire
+  test("q238: duplicate-text and singleton edges — full-length LCP for twins, true 1-token LCP across langs") {
+    // identical token arrays must count their FULL length (the class the
+    // old zip_with form got wrong at sf0.1), and the corpus-wide form
+    // must see 1-token prefixes the old first-2-token bucketing hid
     import spark.implicits._
     val rows = Seq(
       (1L, "en", "a b c d"), (2L, "en", "a b c d"), // exact duplicates
       (3L, "en", "a b x y"), // shares 2 tokens with the twins
-      (4L, "de", "z z z")    // alone in its bucket
+      (4L, "de", "z z z"),   // shares 1 token with doc 5 (old form: 0)
+      (5L, "de", "z q")
     ).toDF("doc_id", "lang", "text")
     val got = graft.ops.Round12c.prefixCacheStats(rows).collect()
       .map(r => r.getAs[String]("lang") ->
         (r.getAs[Long]("total_toks"), r.getAs[Long]("cacheable_toks"))).toMap
     // en: docs 1/2 cache all 4 tokens each (identical), doc 3 caches 2
     assert(got("en") == ((12L, 10L)), s"en: ${got("en")}")
-    assert(got("de") == ((3L, 0L)), s"de: ${got("de")}")
+    // de: docs 4/5 share exactly the 1-token prefix 'z'
+    assert(got("de") == ((5L, 2L)), s"de: ${got("de")}")
   }
 
   // ---- q239 ---------------------------------------------------------
