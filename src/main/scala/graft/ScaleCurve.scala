@@ -800,6 +800,125 @@ object ScaleCurve {
     }
   }
 
+  /** prefix regime (round 13): q238's windowless prefix-signature form vs
+    * the round-12 bucketed-window form it replaced, on the ADVERSARIAL
+    * corpus that breaks the window: EVERY doc opens with the same 16-token
+    * boilerplate (the realistic web-corpus case — shared headers/licence
+    * blocks), so the old first-2-token bucket is ONE bucket and its
+    * window sorts the whole corpus — full text as the sort key — on a
+    * single task. Claim: the new form stays near-linear (per-doc windows,
+    * a (p, g) count rollup, a semi-join — a hot PREFIX is a hot combiner
+    * GROUP, partial-aggregated map-side, never a hot task); the old form
+    * degrades toward single-task serialization as n grows. */
+  private def prefixCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    println(f"${"pipeline"}%-16s ${"n_docs"}%8s ${"sec"}%8s ${"cacheable"}%12s")
+    val boiler = (1 to 16).map(i => s"bp$i").mkString(" ")
+    for (n <- sizes) {
+      val d = docs(spark, n, "real")
+        .withColumn("text", concat(lit(boiler + " "), col("text")))
+        .localCheckpoint()
+      locally {
+        val t0 = System.nanoTime()
+        val r = graft.ops.Round12c.prefixCacheStats(d)
+          .agg(sum("cacheable_toks")).collect()(0).getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"${"prefix_sig"}%-16s $n%8d $dt%8.2f $r%12d")
+      }
+      locally { // the round-12 windowed form, kept as the measured control
+        def lcpE(a: String, b: String) = expr(
+          s"""CASE WHEN $b IS NULL THEN 0L ELSE coalesce(
+             |  nullif(array_position(zip_with($a, $b,
+             |    (x, y) -> if(x IS NOT NULL AND y IS NOT NULL AND x = y, 1, 0)),
+             |    0), 0) - 1,
+             |  size($a)) END""".stripMargin).cast("long")
+        val t0 = System.nanoTime()
+        val t = d.select(col("doc_id"), col("text"),
+            split(col("text"), " ").as("tk"))
+          .withColumn("bucket", expr("array_join(slice(tk, 1, 2), ' ')"))
+        val w = Window.partitionBy("bucket").orderBy("text", "doc_id")
+        val r = t.withColumn("prv", lag("tk", 1).over(w))
+          .withColumn("nxt", lead("tk", 1).over(w))
+          .withColumn("best", greatest(lcpE("tk", "prv"), lcpE("tk", "nxt")))
+          .agg(sum("best")).collect()(0).getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"${"prefix_window"}%-16s $n%8d $dt%8.2f $r%12d")
+      }
+    }
+  }
+
+  /** knngraph regime (round 13): q234/q244's build cost and graph RECALL
+    * at scale with nlist ∝ N (the q231 posture — per-cell population
+    * pinned ~500). Per size: frozen-seed centroids (the graph stages are
+    * what the curve prices; production trains on a fixed sample), one
+    * probe ranking (×nprobe), per-cell pairwise equi-join, top-3 window;
+    * recall measured against brute 3-NN over a 100-vector carve (carve×N
+    * — the q243 audit posture). The claim: 2-probe pays ~2× the
+    * candidate volume for a recall step-change, and both stay linear-ish
+    * in N at pinned cell population (the probe-assign stage is the
+    * honest Θ(N·nlist) bend the semdedup curve already names). */
+  private def knnGraphCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
+    def cDist(a: Column, b: Column): Column = {
+      val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
+      n2C(ad) + n2C(bd) - lit(2.0) * dotC(ad, bd)
+    }
+    println(f"${"pipeline"}%-16s ${"n_vecs"}%8s ${"nlist"}%6s ${"sec"}%8s ${"edges"}%10s ${"recall@3"}%9s")
+    for (n <- sizes) {
+      val nlist = math.max(8, (n / 500).toInt)
+      val qv = vecs(spark, n).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(FLOOR(x * 1e6) AS BIGINT))").as("v"))
+        .repartition(32).localCheckpoint()
+      val cent = qv.where(col("vec_id") < nlist)
+        .select(col("vec_id").as("j"), col("v").as("c")).localCheckpoint()
+      // audit carve DISJOINT from the seed set: a seed vector is its own
+      // cell's center, so auditing seeds inflates recall (its true
+      // neighbors are exactly the vectors routed to its cell — measured
+      // 0.97 vs 0.45 for a generic carve at 50k/nlist=100)
+      val carve = qv.where(col("vec_id") % 97 === 3 && col("vec_id") >= nlist)
+        .where(col("vec_id") < nlist + 97 * 100)
+        .select(col("vec_id").as("aid"), col("v").as("av"))
+      val brute = qv.crossJoin(broadcast(carve))
+        .where(col("vec_id") =!= col("aid"))
+        .withColumn("d2", cDist(col("v"), col("av")).cast("long"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
+        .where(col("r") <= 3)
+        .collect().map(r => (r.getAs[Long]("aid"), r.getAs[Long]("vec_id"))).toSet
+      for (np <- Seq(1, 2)) {
+        val t0 = System.nanoTime()
+        // probe ranking carries ONLY primitives through the window; the
+        // vector payload rejoins by id (the q234/SCALE §12 discipline)
+        val pr = qv.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("j"),
+            cDist(col("v"), col("c")).cast("long").as("cd"))
+          .withColumn("probe", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("cd"), col("j"))))
+          .where(col("probe") <= np)
+          .select(col("vec_id"), col("j").as("list_id"), col("probe"))
+          .repartition(32).localCheckpoint()
+        val memb = pr.where(col("probe") === 1)
+          .join(qv, Seq("vec_id"))
+          .select(col("vec_id").as("nbr_id"), col("list_id"), col("v").as("wv"))
+          .repartition(32).localCheckpoint()
+        val edges = pr.join(qv, Seq("vec_id"))
+          .join(memb, Seq("list_id"))
+          .where(col("vec_id") =!= col("nbr_id"))
+          .withColumn("d2", cDist(col("v"), col("wv")).cast("long"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("nbr_id"))))
+          .where(col("r") <= 3)
+          .select(col("vec_id"), col("nbr_id"))
+          .localCheckpoint()
+        val ne = edges.count()
+        val got = edges.where(col("vec_id") < 100)
+          .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+        val recall = (got & brute).size.toDouble / math.max(brute.size, 1)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"${s"knngraph_${np}p"}%-16s $n%8d $nlist%6d $dt%8.2f $ne%10d $recall%9.3f")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val regime = args.headOption.getOrElse("real")
     val sizes = (if (args.length > 1) args(1) else regime match {
@@ -808,6 +927,8 @@ object ScaleCurve {
       case "kcore"    => "30000,100000,300000,1000000"
       case "semdedup" => "10000,50000,250000"
       case "spans"    => "20000,80000,320000"
+      case "prefix"   => "20000,80000,320000"
+      case "knngraph" => "10000,50000,250000"
       case _          => "5000,50000,250000"
     }).split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
@@ -834,6 +955,18 @@ object ScaleCurve {
     if (regime == "spans") {
       docs(spark, 1000, "real").selectExpr("sum(length(text))").collect()
       spansCurve(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (regime == "prefix") {
+      docs(spark, 1000, "real").selectExpr("sum(length(text))").collect()
+      prefixCurve(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (regime == "knngraph") {
+      vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
+      knnGraphCurve(spark, sizes)
       spark.stop()
       return
     }

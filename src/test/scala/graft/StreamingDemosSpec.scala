@@ -485,6 +485,24 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  // JVM replay of the s36/s37 CDC chunker (shared by both tests)
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def chunksOf(text: String): Vector[String] = {
+    val tk = text.split(" ")
+    val codes = tk.map(t => java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16))
+    def brk(i: Int): Boolean = i >= 3 &&
+      (codes(i) + 3 * codes(i - 1) + 9 * codes(i - 2) + 27 * codes(i - 3)) % 16 == 0
+    val b = Vector.newBuilder[String]
+    var start = 0
+    for (i <- tk.indices) if (brk(i)) {
+      b += tk.slice(start, i + 1).mkString(" "); start = i + 1
+    }
+    if (start < tk.length) b += tk.slice(start, tk.length).mkString(" ")
+    b.result()
+  }
+
   test("s36: CDC dedup on ingest — stats batching-invariant == JVM sequential replay; replay idempotent; stateless") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
@@ -514,22 +532,6 @@ class StreamingDemosSpec extends AnyFunSuite {
       Seq(all.take(15), all.slice(15, 30), all.drop(30)))
 
     // ---- JVM sequential replay (doc_id-order scan, one global seen set)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def chunksOf(text: String): Vector[String] = {
-      val tk = text.split(" ")
-      val codes = tk.map(t => java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16))
-      def brk(i: Int): Boolean = i >= 3 &&
-        (codes(i) + 3 * codes(i - 1) + 9 * codes(i - 2) + 27 * codes(i - 3)) % 16 == 0
-      val b = Vector.newBuilder[String]
-      var start = 0
-      for (i <- tk.indices) if (brk(i)) {
-        b += tk.slice(start, i + 1).mkString(" "); start = i + 1
-      }
-      if (start < tk.length) b += tk.slice(start, tk.length).mkString(" ")
-      b.result()
-    }
     val seen = scala.collection.mutable.Set.empty[String]
     val expected = all.sortBy(_.doc_id).map { d =>
       val cs = chunksOf(d.text)
@@ -551,6 +553,66 @@ class StreamingDemosSpec extends AnyFunSuite {
     val before = spark.read.parquet(s"$dir3/stats/b=1").collect().map(_.toString).sorted.toSeq
     Demos.cdcDedupBatch(all.slice(15, 30).toDF(), dir3, 1L)
     val after = spark.read.parquet(s"$dir3/stats/b=1").collect().map(_.toString).sorted.toSeq
+    assert(before == after)
+  }
+
+  test("s37: chunk-store compaction — re-ingest supersedes; reclaim == JVM replay; compact idempotent") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Tables.documents(spark, SharedSpark.sf001)
+      .orderBy("doc_id").select("text").limit(3).collect().map(_.getString(0))
+    val Array(ta, tb, tc) = texts
+    // re-ingest of doc 1 with one token INSERTED mid-doc: CDC resync means
+    // only the edit-window chunks differ (the s36-locked property), so
+    // compaction must reclaim exactly chunks(ta) − live
+    val taToks = ta.split(" ")
+    val ta2 = (taToks.take(taToks.length / 2) ++ Array("INSERTED") ++
+      taToks.drop(taToks.length / 2)).mkString(" ")
+    val b1 = Seq(CdcDocIngest(1L, "s", ta), CdcDocIngest(2L, "s", tb))
+    val b2 = Seq(CdcDocIngest(1L, "s", ta2), CdcDocIngest(3L, "s", tc))
+
+    val dir = java.nio.file.Files.createTempDirectory("s37").toString
+    val input = MemoryStream[CdcDocIngest]
+    val q = Demos.s37ChunkStoreIngest(spark, input.toDF(), dir)
+    try {
+      input.addData(b1); runToCompletion(q)
+      input.addData(b2); runToCompletion(q)
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless by design
+    } finally q.stop()
+
+    // ---- JVM replay: admission (batch order, doc order, chunk order, one
+    // global content-addressed store) then latest-version liveness
+    val admitted = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    for (batch <- Seq(b1, b2); d <- batch.sortBy(_.doc_id); c <- chunksOf(d.text))
+      if (!admitted.contains(c)) admitted(c) = c.split(" ").length.toLong
+    val live: Set[String] =
+      (chunksOf(ta2) ++ chunksOf(tb) ++ chunksOf(tc)).toSet
+    val deadExpected = admitted.keySet.toSet -- live
+    assert(deadExpected.nonEmpty,
+      "edit produced no superseded chunk — the compaction test is vacuous")
+
+    val reclaimed = Demos.compactChunkStore(spark, dir).collect()
+      .map(r => (r.getAs[String]("ck"), r.getAs[Long]("ctoks"))).toSet
+    assert(reclaimed == deadExpected.map(c => (md5hex(c), admitted(c))),
+      s"reclaimed=${reclaimed.take(3)} expected=${deadExpected.take(3).map(md5hex)}")
+
+    // the compacted store is exactly the live admitted chunks
+    val compacted = spark.read.parquet(s"$dir/compacted/v=1")
+      .select("ck", "ctext", "ctoks").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val liveAdmitted = (admitted.keySet.toSet & live)
+      .map(c => (md5hex(c), c, admitted(c)))
+    assert(compacted == liveAdmitted)
+    // chunks of the re-ingested doc OUTSIDE the edit window stayed live —
+    // the CDC surgical-reclaim claim (old and new version share chunks)
+    assert((chunksOf(ta).toSet & chunksOf(ta2).toSet).nonEmpty)
+
+    // compact is a pure function of the directory: rerun, content-identical
+    val before = spark.read.parquet(s"$dir/compacted/v=1").collect()
+      .map(_.toString).sorted.toSeq
+    Demos.compactChunkStore(spark, dir)
+    val after = spark.read.parquet(s"$dir/compacted/v=1").collect()
+      .map(_.toString).sorted.toSeq
     assert(before == after)
   }
 
