@@ -910,7 +910,8 @@ object ScaleCurve {
           .select(col("vec_id"), col("nbr_id"))
           .localCheckpoint()
         val ne = edges.count()
-        val got = edges.where(col("vec_id") < 100)
+        val got = edges.where(col("vec_id") % 97 === 3 &&
+            col("vec_id") >= nlist && col("vec_id") < nlist + 97 * 100)
           .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
         val recall = (got & brute).size.toDouble / math.max(brute.size, 1)
         val dt = (System.nanoTime() - t0) / 1e9
