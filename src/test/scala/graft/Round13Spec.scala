@@ -134,11 +134,19 @@ class Round13Spec extends AnyFunSuite {
           .partitionBy("qid").orderBy(col("d2"), col("vid"))))
       .where(col("rnk") <= 5)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
-    val (recPre, recPost) = ((pre & truth).size.toDouble / truth.size,
-      (post & truth).size.toDouble / truth.size)
-    info(f"filtered recall@5 — pre-filter (q246): $recPre%.3f, post-filter: $recPost%.3f")
+    // ADC-only filtered variant (no exact re-rank): the other component
+    // at equal budget — the composition must not lose to it either
+    val adcOnly = ops.Round11.ivfPqTopK(emb, nprobe = 2, k = 5,
+        indexFilter = col("vec_id") % 3 === 0)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val (recPre, recPost, recAdc) = ((pre & truth).size.toDouble / truth.size,
+      (post & truth).size.toDouble / truth.size,
+      (adcOnly & truth).size.toDouble / truth.size)
+    info(f"filtered recall@5 — pre-filter+rerank (q246): $recPre%.3f, post-filter: $recPost%.3f, ADC-only filtered: $recAdc%.3f")
     assert(recPre >= recPost,
       f"pre-filtering lost recall: $recPre%.3f < post $recPost%.3f")
+    assert(recPre >= recAdc,
+      f"re-rank lost recall: $recPre%.3f < ADC-only $recAdc%.3f")
     // the pre-filtered shortlist always fills from in-predicate vectors,
     // so the result set must be at least as large as the post-filtered one
     assert(pre.size >= post.size)
