@@ -87,7 +87,7 @@ object Round11 {
     * on the quantized grid; empty lists keep their previous centroid. The
     * 64 dimension sums are unrolled into ONE aggregation (one shuffle to
     * the ≤nlist-row codebook — the q205 rework). */
-  private[ops] def cUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+  private[graft] def cUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
     val sums = (1 to 64).map(i => sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
     val newC = assigned.groupBy(col("list_id").as("j"))
       .agg(count(lit(1)).as("n"), sums: _*)
@@ -206,10 +206,11 @@ object Round11 {
         col("rnk").cast("int").as("rnk"))
   }
 
-  /** The q219 oracle's training replay, shared CTE prefix: binds `c1`
-    * (coarse centroids), `res` (per-vector list + integer residual),
-    * `p1` (residual PQ centroids), and `pc` (packed codes). */
-  private[ops] val oracleIvfPq =
+  /** The coarse-stage CTE prefix alone (through `asg`): quantized grid,
+    * seed centroids, one Lloyd iteration, final assignment. Shared by the
+    * graph/audit oracles (q243/q244/q247/q248) that never touch the PQ
+    * stages. */
+  private[ops] val oracleCoarse =
     """qv AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |           x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS v
@@ -237,8 +238,14 @@ object Round11 {
       |  SELECT vec_id, MIN(v) AS v, MIN(
       |    list_aggregate(list_transform(list_zip(v, c),
       |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') * 8 + j) AS key
-      |  FROM qv CROSS JOIN c1 GROUP BY vec_id),
-      |res AS (
+      |  FROM qv CROSS JOIN c1 GROUP BY vec_id)""".stripMargin
+
+  /** The q219 oracle's training replay, shared CTE prefix: binds `c1`
+    * (coarse centroids), `res` (per-vector list + integer residual),
+    * `p1` (residual PQ centroids), and `pc` (packed codes). */
+  private[ops] val oracleIvfPq =
+    s"""$oracleCoarse,
+      |res AS (""".stripMargin + """
       |  SELECT a.vec_id, a.key % 8 AS list_id,
       |         list_transform(list_zip(a.v, c1.c), p -> p[1] - p[2]) AS r
       |  FROM asg a JOIN c1 ON c1.j = a.key % 8),

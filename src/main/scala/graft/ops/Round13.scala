@@ -162,7 +162,7 @@ object Round13 {
           .withColumn("recall_2p", col("n_hit_2p") / lit(3.0))
           .orderBy("vec_id")
       },
-      s"""WITH ${Round11.oracleIvfPq},
+      s"""WITH ${Round11.oracleCoarse},
          |$oracleKnnCand,
          |carve AS (SELECT vec_id AS aid, v AS av FROM qv
          |          WHERE vec_id % 97 = 3 AND vec_id < 2000),
@@ -216,7 +216,7 @@ object Round13 {
         .select(col("vec_id"), col("nbr_rank").cast("int").as("nbr_rank"),
           col("nbr_id"), col("list_id"), col("probe"), col("d2"))
         .orderBy("vec_id", "nbr_rank"),
-      s"""WITH ${Round11.oracleIvfPq},
+      s"""WITH ${Round11.oracleCoarse},
          |$oracleKnnCand
          |SELECT vec_id,
          |       CAST(row_number() OVER (PARTITION BY vec_id

@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch 2: the two clustering/serving TUNING audits still absent
+  * from the inventory — both are the numbers a platform derives before
+  * trusting (q247) or configuring (q248) its vector index.
+  *
+  *  - q247 cell-silhouette audit: the clustering-QUALITY metric for the
+  *    IVF/semdedup cell family (q144 audits cardinality estimates, q161
+  *    flags outliers, q243 measures graph recall — nothing measured
+  *    whether the CELLS themselves separate the data). Classic silhouette
+  *    s = (b − a) / max(a, b) over exact grid distances, computed for a
+  *    deterministic carve (the audit-on-a-carve posture).
+  *  - q248 nprobe operating curve: recall@5 AS A FUNCTION of nprobe
+  *    (1/2/4/8) in ONE plan — the tuning table behind every IVF
+  *    deployment's speed/recall knob. nprobe = nlist is provably exact,
+  *    so the curve's top row doubles as its own ground truth.
+  */
+object Round13b {
+  import Tables._
+
+  private def dotCol(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+  private def norm2(a: Column): Column = graft.plans.DotProduct.norm2(a)
+
+  private def gridDist(a: Column, b: Column): Column = {
+    val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
+    (norm2(ad) + norm2(bd) - lit(2.0) * dotCol(ad, bd)).cast("long")
+  }
+
+  val defs: Vector[(String, QDef)] = Vector(
+
+    // --------------------------------------------------------------- q247
+    // Cell-silhouette audit over the shared q219 coarse stage: for each
+    // carve vector, a = mean exact grid d² to its OWN cell's other
+    // members, b = min over other cells of the mean d² to that cell's
+    // members, s = (b−a)/max(a,b) (singleton own cell ⇒ s = 0 by the
+    // standard convention). Determinism: per-pair d² is exact (< 2^53);
+    // per-(carve, cell) SUMS are exact integers (≤ n_cell·2.56e14 < 2^63
+    // — DuckDB's HUGEINT is CAST back to BIGINT so both engines convert
+    // the SAME int64 to double, the well-defined IEEE conversion, before
+    // the one division); s is arithmetic over identical doubles. Scale
+    // shape: ONE carve×N pass (the q243 audit posture — at 100 TB the
+    // sufficient-statistics form (n_j, Σv, Σ‖v‖²) replaces the pass but
+    // needs >2^53-safe decimal accumulators, noted not needed at audit
+    // scale), a (carve × nlist)-cell rollup, no windows at all.
+    "q247_cell_silhouette" -> QDef(
+      (s, d) => {
+        val qv = Round11.quantized(embeddings(s, d))
+        val c0 = qv.where(col("vec_id") < 8)
+          .select(col("vec_id").as("j"), col("v").as("c"))
+        val c1 = Round11.cUpdate(Round11.cAssign(qv, c0, 8), c0).localCheckpoint()
+        val wn = Round11.cAssign(qv, c1, 8)
+          .select(col("vec_id"), col("list_id"),
+            col("v").cast("array<double>").as("vd"))
+          .localCheckpoint() // carve + member side
+        val carve = wn.where(col("vec_id") % 97 === 3 && col("vec_id") < 2000)
+          .select(col("vec_id").as("aid"), col("list_id").as("own_list"),
+            col("vd").as("av"))
+          .limit(21)
+        val stats = wn.select(col("vec_id").as("mid"), col("list_id"),
+            col("vd").as("wd"))
+          .crossJoin(broadcast(carve))
+          .where(col("mid") =!= col("aid"))
+          .withColumn("d2", (norm2(col("av")) + norm2(col("wd"))
+            - lit(2.0) * dotCol(col("av"), col("wd"))).cast("long"))
+          .groupBy("aid", "own_list", "list_id")
+          .agg(sum("d2").as("sd2"), count(lit(1)).as("n"))
+          .withColumn("md", col("sd2").cast("double") / col("n").cast("double"))
+          .localCheckpoint() // own slice + other-cells min
+        val own = stats.where(col("list_id") === col("own_list"))
+          .select(col("aid").as("vec_id"), col("md").as("a"))
+        val oth = stats.where(col("list_id") =!= col("own_list"))
+          .groupBy(col("aid").as("vec_id")).agg(min("md").as("b"))
+        carve.select(col("aid").as("vec_id"), col("own_list"))
+          .join(own, Seq("vec_id"), "left")
+          .join(oth, Seq("vec_id"), "left")
+          .withColumn("silhouette",
+            when(col("a").isNull || col("b").isNull, lit(0.0))
+              .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+          .select(col("vec_id"), col("own_list"), col("a"), col("b"),
+            col("silhouette"))
+          .orderBy("vec_id")
+      },
+      s"""WITH ${Round11.oracleCoarse},
+         |wn AS (SELECT vec_id, CAST(key % 8 AS BIGINT) AS list_id, v
+         |       FROM asg),
+         |carve AS (SELECT vec_id AS aid, list_id AS own_list, v AS av
+         |          FROM wn WHERE vec_id % 97 = 3 AND vec_id < 2000),
+         |stats AS (
+         |  SELECT cv.aid, cv.own_list, m.list_id,
+         |         CAST(CAST(SUM(list_aggregate(list_transform(
+         |             list_zip(cv.av, m.v),
+         |             z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum')) AS BIGINT)
+         |           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS md
+         |  FROM wn m CROSS JOIN carve cv
+         |  WHERE m.vec_id <> cv.aid
+         |  GROUP BY 1, 2, 3),
+         |own AS (SELECT aid AS vec_id, md AS a FROM stats
+         |        WHERE list_id = own_list),
+         |oth AS (SELECT aid AS vec_id, MIN(md) AS b FROM stats
+         |        WHERE list_id <> own_list GROUP BY 1)
+         |SELECT cv.aid AS vec_id, cv.own_list, own.a, oth.b,
+         |       CASE WHEN own.a IS NULL OR oth.b IS NULL THEN 0.0
+         |            ELSE (oth.b - own.a) / GREATEST(own.a, oth.b) END
+         |         AS silhouette
+         |FROM carve cv LEFT JOIN own ON own.vec_id = cv.aid
+         |              LEFT JOIN oth ON oth.vec_id = cv.aid
+         |ORDER BY vec_id""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q248
+    // nprobe operating curve: one candidate table (each query's exact d²
+    // to every corpus vector, tagged with the probed list's rank), ranked
+    // once per level (1/2/4/8) — candidates at level p are exactly the
+    // rows with pr ≤ p, so the curve shares ONE scan and ONE distance
+    // pass across all levels. nprobe = 8 = nlist probes every list ⇒ its
+    // top-5 IS the exact answer, making the level-8 row the curve's own
+    // internal ground truth (recall ≡ 1.0 — the anchor the spec locks)
+    // and recall monotone non-decreasing in p (supersets under one
+    // consistent (d2, vec_id) order). Scale shape: at 100 TB the
+    // candidate pass reads only the probed lists per level (the q219
+    // scan), but the CURVE is an offline tuning audit on a carve — one
+    // deliberate Q×N pass, the q222/q243 posture; windows are
+    // (qid, nprobe)-partitioned.
+    "q248_nprobe_curve" -> QDef(
+      (s, d) => {
+        import s.implicits._
+        val levels = Seq(1, 2, 4, 8).toDF("nprobe")
+        val qv = Round11.quantized(embeddings(s, d))
+        val c0 = qv.where(col("vec_id") < 8)
+          .select(col("vec_id").as("j"), col("v").as("c"))
+        val c1 = Round11.cUpdate(Round11.cAssign(qv, c0, 8), c0).localCheckpoint()
+        val wn = Round11.cAssign(qv, c1, 8)
+          .select(col("vec_id"), col("list_id"), col("v"))
+          .localCheckpoint() // candidate side
+        val q = qv.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv")).limit(10)
+        val pr = q.crossJoin(broadcast(c1.select(col("j"), col("c")).limit(8)))
+          .withColumn("cd", gridDist(col("qv"), col("c")))
+          .withColumn("pr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cd"), col("j"))))
+          .select(col("qid"), col("j").as("list_id"), col("pr"))
+        val cand = wn.join(broadcast(pr), Seq("list_id"))
+          .where(col("vec_id") =!= col("qid"))
+          .join(broadcast(q), Seq("qid"))
+          .withColumn("d2", gridDist(col("v"), col("qv")))
+          .select(col("qid"), col("vec_id"), col("pr"), col("d2"))
+          .localCheckpoint() // ranked once per level + the truth slice
+        val byLevel = cand
+          .crossJoin(broadcast(levels))
+          .where(col("pr") <= col("nprobe"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid", "nprobe").orderBy(col("d2"), col("vec_id"))))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("nprobe"), col("vec_id"))
+          .localCheckpoint() // truth slice + per-level hits
+        val truth = byLevel.where(col("nprobe") === 8)
+          .select(col("qid"), col("vec_id"))
+        val hits = byLevel
+          .join(truth, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid", "nprobe").agg(count(lit(1)).as("n_hit"))
+        q.select("qid")
+          .crossJoin(broadcast(levels))
+          .join(hits, Seq("qid", "nprobe"), "left")
+          .select(col("qid"), col("nprobe"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_at_5", col("n_hit") / lit(5.0))
+          .orderBy("qid", "nprobe")
+      },
+      s"""WITH ${Round11.oracleCoarse},
+         |wn AS (SELECT vec_id, CAST(key % 8 AS BIGINT) AS list_id, v
+         |       FROM asg),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM qv WHERE vec_id < 10),
+         |pr AS (
+         |  SELECT qid, list_id, pr FROM (
+         |    SELECT q.qid, c1.j AS list_id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             list_aggregate(list_transform(list_zip(q.qv, c1.c),
+         |               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), c1.j) AS pr
+         |    FROM q CROSS JOIN c1) z),
+         |cand AS (
+         |  SELECT q.qid, m.vec_id, pr.pr,
+         |         CAST(list_aggregate(list_transform(list_zip(m.v, q.qv),
+         |           z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d2
+         |  FROM wn m
+         |  JOIN pr ON pr.list_id = m.list_id
+         |  JOIN q ON q.qid = pr.qid
+         |  WHERE m.vec_id <> q.qid),
+         |lv AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS nprobe),
+         |byl AS (
+         |  SELECT qid, nprobe, vec_id FROM (
+         |    SELECT c.qid, lv.nprobe, c.vec_id,
+         |           row_number() OVER (PARTITION BY c.qid, lv.nprobe
+         |             ORDER BY c.d2, c.vec_id) AS rnk
+         |    FROM cand c CROSS JOIN lv WHERE c.pr <= lv.nprobe) z
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT qid, vec_id FROM byl WHERE nprobe = 8),
+         |hits AS (
+         |  SELECT b.qid, b.nprobe, COUNT(*) AS n_hit
+         |  FROM byl b JOIN truth t ON t.qid = b.qid AND t.vec_id = b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT q.qid, lv.nprobe,
+         |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       COALESCE(h.n_hit, 0) / 5.0 AS recall_at_5
+         |FROM q CROSS JOIN lv
+         |LEFT JOIN hits h ON h.qid = q.qid AND h.nprobe = lv.nprobe
+         |ORDER BY q.qid, lv.nprobe""".stripMargin
+    )
+  )
+}
