@@ -86,6 +86,24 @@ object Round13 {
         col("d2"))
   }
 
+  /** q50's quality expression appended to any (..., text) frame — shared
+    * by q245 and the s38 streaming keeper twin. Integer quotients + one
+    * IEEE affine combine: bit-identical across engines (the q50 proof). */
+  private[graft] def withQuality(docs: DataFrame): DataFrame = {
+    val stops = array(Seq("a", "the", "row", "value", "table", "and",
+      "of").map(lit): _*)
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stops, t))).cast("long"))
+      .withColumn("quality",
+        lit(0.5) * (col("n_distinct") / col("n_toks"))
+          + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_toks"))
+          + lit(0.2) * (least(col("n_toks"), lit(100L)) / 100.0))
+      .drop("toks", "n_toks", "n_distinct", "n_stop")
+  }
+
   /** The probes + candidate CTEs shared by the q243/q244 oracles; binds
     * `wn` (assignments), `probes` (each vector's 2 nearest cells), and
     * `cand` (per-vector neighbor candidates with probe + exact d2). */
@@ -251,19 +269,7 @@ object Round13 {
           .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
         val clusters = Dedup.dupClusters(chain)
           .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        val stops = array(Seq("a", "the", "row", "value", "table", "and",
-          "of").map(lit): _*)
-        val quality = docs
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("n_toks", size(col("toks")).cast("long"))
-          .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-          .withColumn("n_stop",
-            size(filter(col("toks"), t => array_contains(stops, t))).cast("long"))
-          .select(col("doc_id"),
-            (lit(0.5) * (col("n_distinct") / col("n_toks"))
-              + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_toks"))
-              + lit(0.2) * (least(col("n_toks"), lit(100L)) / 100.0))
-              .as("quality"))
+        val quality = withQuality(docs).select("doc_id", "quality")
         val memb = clusters.join(quality, "doc_id")
           .localCheckpoint() // both argmax passes + the stats rollup
         val mx = memb.groupBy("cluster_id")

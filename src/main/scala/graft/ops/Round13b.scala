@@ -209,6 +209,128 @@ object Round13b {
          |FROM q CROSS JOIN lv
          |LEFT JOIN hits h ON h.qid = q.qid AND h.nprobe = lv.nprobe
          |ORDER BY q.qid, lv.nprobe""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q249
+    // Shortlist-WIDTH operating curve for the binary-Hamming path: exact
+    // re-rank recall@5 as a function of the Hamming shortlist width k'
+    // (10/25/50/100) in one plan — the OTHER serving knob next to q248's
+    // nprobe (the round-12 finding: width is the 1-bit path's recall
+    // lever — k' 50→200 bought recall 0.314→0.538 at 250k for free,
+    // CLAUDE.md/SCALE.md §12 — this declares the curve that finding tunes).
+    // One codes pass ranks the corpus per query to srnk ≤ 100 (the max
+    // width — WindowGroupLimit pushes it map-side); each level re-ranks
+    // the srnk ≤ w slice with the exact grid distance; ground truth is
+    // the brute exact top-5 (the q222 side). Recall is monotone
+    // non-decreasing in w (superset re-ranked under one consistent
+    // order). Scale shape: the corpus scan reads 16 bytes/vector once;
+    // re-rank touches ≤ Q·100 raw vectors; windows are (qid[, width])-
+    // partitioned.
+    "q249_width_curve" -> QDef(
+      (s, d) => {
+        import s.implicits._
+        val widths = Seq(10, 25, 50, 100).toDF("width")
+        val emb = embeddings(s, d)
+        def word(lo: Int): Column = expr((1 to 32).map(i =>
+          s"(CASE WHEN element_at(embedding, ${lo + i}) > 0 THEN ${1L << (i - 1)}L ELSE 0L END)")
+          .mkString(" + "))
+        val codes = emb.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+          .localCheckpoint() // corpus side + query carve
+        val qc = codes.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+          .limit(10)
+        val qv = Round11.quantized(emb)
+        val q = qv.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv")).limit(10)
+        val short = codes.crossJoin(broadcast(qc))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("ham",
+            expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").cast("long"))
+          .withColumn("srnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))))
+          .where(col("srnk") <= 100)
+          .join(qv.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .join(broadcast(q), Seq("qid"))
+          .withColumn("d2", gridDist(col("v"), col("qv")))
+          .select(col("qid"), col("vec_id"), col("srnk"), col("d2"))
+          .localCheckpoint() // re-ranked once per width level
+        val byWidth = short.crossJoin(broadcast(widths))
+          .where(col("srnk") <= col("width"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid", "width").orderBy(col("d2"), col("vec_id"))))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("width"), col("vec_id"))
+        val truth = qv.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("d2", gridDist(col("v"), col("qv")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+          .where(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val hits = byWidth.join(truth, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid", "width").agg(count(lit(1)).as("n_hit"))
+        q.select("qid").crossJoin(broadcast(widths))
+          .join(hits, Seq("qid", "width"), "left")
+          .select(col("qid"), col("width"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_at_5", col("n_hit") / lit(5.0))
+          .orderBy("qid", "width")
+      }, {
+        def wordSql(lo: Int): String = (1 to 32).map(i =>
+          s"(CASE WHEN e[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           |             FROM embeddings),
+           |qv AS (SELECT vec_id, list_transform(e,
+           |         x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS v FROM emb),
+           |codes AS (SELECT vec_id,
+           |            CAST(${wordSql(0)} AS BIGINT) AS w0,
+           |            CAST(${wordSql(32)} AS BIGINT) AS w1
+           |          FROM emb),
+           |qc AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM codes
+           |       WHERE vec_id < 10),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM qv WHERE vec_id < 10),
+           |short AS (
+           |  SELECT z.qid, z.vec_id, z.srnk,
+           |         CAST(list_aggregate(list_transform(list_zip(a.v, q.qv),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS d2
+           |  FROM (
+           |    SELECT qc.qid, c.vec_id,
+           |           row_number() OVER (PARTITION BY qc.qid
+           |             ORDER BY bit_count(xor(c.w0, qc.qw0))
+           |                    + bit_count(xor(c.w1, qc.qw1)), c.vec_id) AS srnk
+           |    FROM codes c CROSS JOIN qc WHERE c.vec_id <> qc.qid) z
+           |  JOIN qv a ON a.vec_id = z.vec_id
+           |  JOIN q ON q.qid = z.qid
+           |  WHERE z.srnk <= 100),
+           |wl AS (SELECT CAST(unnest([10, 25, 50, 100]) AS INT) AS width),
+           |byw AS (
+           |  SELECT qid, width, vec_id FROM (
+           |    SELECT s.qid, wl.width, s.vec_id,
+           |           row_number() OVER (PARTITION BY s.qid, wl.width
+           |             ORDER BY s.d2, s.vec_id) AS rnk
+           |    FROM short s CROSS JOIN wl WHERE s.srnk <= wl.width) z
+           |  WHERE rnk <= 5),
+           |truth AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT q.qid, a.vec_id,
+           |           row_number() OVER (PARTITION BY q.qid ORDER BY
+           |             list_aggregate(list_transform(list_zip(a.v, q.qv),
+           |               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'),
+           |             a.vec_id) AS rnk
+           |    FROM qv a CROSS JOIN q WHERE a.vec_id <> q.qid) z
+           |  WHERE rnk <= 5),
+           |hits AS (
+           |  SELECT b.qid, b.width, COUNT(*) AS n_hit
+           |  FROM byw b JOIN truth t ON t.qid = b.qid AND t.vec_id = b.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT q.qid, wl.width,
+           |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |       COALESCE(h.n_hit, 0) / 5.0 AS recall_at_5
+           |FROM q CROSS JOIN wl
+           |LEFT JOIN hits h ON h.qid = q.qid AND h.width = wl.width
+           |ORDER BY q.qid, wl.width""".stripMargin
+      }
     )
   )
 }

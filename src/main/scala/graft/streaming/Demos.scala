@@ -117,6 +117,9 @@ case class VecIngest(vec_id: Long, embedding: Seq[Float])
 /** s36's ingest row (top-level: nested case classes break Janino codegen). */
 case class CdcDocIngest(doc_id: Long, source: String, text: String)
 
+/** s38's ingest row (top-level: nested case classes break Janino codegen). */
+case class QkDocIngest(doc_id: Long, lang: String, source: String, text: String)
+
 /** s26 ingest row: a document with its crawler/source attribution. */
 case class DocSrc(doc_id: Long, source: String, text: String)
 
@@ -2148,6 +2151,68 @@ object Demos {
       .where(col("seen").isNull && col("rnk") === 1)
       .select("ck", "ctext", "ctoks")
       .write.mode("overwrite").parquet(s"$storeDir/b=$batchId")
+  }
+
+  /** s38 — quality-keeper admission: q245's streaming twin (the keeper
+    * rule real curation stacks run, applied at ingest). Cluster key =
+    * (lang, source); every batch scores its docs with q50's quality
+    * expression (`Round13.withQuality` — the batch query's EXACT
+    * arithmetic) and writes a FULL keeper snapshot `keepers/b=N` =
+    * argmax(quality, tie min doc_id) over (latest committed snapshot ∪
+    * batch) — the s14 versioned-snapshot posture, so a better-quality
+    * member arriving later REPLACES the committed keeper, and the
+    * snapshot is a pure function of (committed prefix, batch rows):
+    * batching-invariant and replay-idempotent (spec-locked against a JVM
+    * fold). The argmax is the two-pass primitive form (max double →
+    * equality join → min id): no struct min/max (the SortAggregate
+    * trap), no stream state — cross-batch knowledge is the committed
+    * snapshot, keeper-count-sized (≤ |clusters| rows, broadcast-scale at
+    * any corpus size). */
+  def s38QualityKeeperIngest(spark: SparkSession, docs: DataFrame,
+      dir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        qualityKeeperBatch(batch.toDF(), dir, batchId))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+
+  /** One keeper-admission step (factored so the spec can replay a batch
+    * with the same batchId and assert content-identical output). */
+  private[graft] def qualityKeeperBatch(batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cand = graft.ops.Round13.withQuality(batch)
+      .select(col("lang"), col("source"), col("doc_id"), col("quality"))
+    val kdir = s"$dir/keepers"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // latest committed snapshot ONLY (it already folds everything earlier
+    // — the s14 version rule; a replayed batch must not see its own write)
+    val prev =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(kdir))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(kdir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b="))
+        .map(_.stripPrefix("b=").toLong).filter(_ < batchId)
+    val all = (if (prev.isEmpty) cand.limit(0)
+      else spark.read.parquet(s"$kdir/b=${prev.max}")
+        .select("lang", "source", "doc_id", "quality"))
+      .unionAll(cand)
+      .localCheckpoint() // both argmax passes
+    val mx = all.groupBy("lang", "source").agg(max("quality").as("q"))
+    all.join(mx, Seq("lang", "source"))
+      .where(col("quality") === col("q"))
+      .groupBy("lang", "source", "q").agg(min("doc_id").as("doc_id"))
+      .select(col("lang"), col("source"), col("doc_id"), col("q").as("quality"))
+      .write.mode("overwrite").parquet(s"$kdir/b=$batchId")
+  }
+
+  /** The verdict view of an s38 directory: the latest keeper snapshot. */
+  private[graft] def keeperView(spark: SparkSession, dir: String): DataFrame = {
+    val kdir = s"$dir/keepers"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val vmax = fs.listStatus(new org.apache.hadoop.fs.Path(kdir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("b="))
+      .map(_.stripPrefix("b=").toLong).max
+    spark.read.parquet(s"$kdir/b=$vmax")
   }
 
   /** Rebuild the live chunk store from the committed directory (a pure

@@ -71,4 +71,23 @@ class Round13bSpec extends AnyFunSuite {
     assert(rows.exists(r => r._2 == 1 && r._3 < 5),
       "nprobe=1 already exact — the operating curve is vacuous here")
   }
+
+  test("q249: recall monotone non-decreasing in shortlist width; knee is real") {
+    val rows = SparkEntry.queries("q249_width_curve")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("width"),
+        r.getAs[Long]("n_hit")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val byW = rs.sortBy(_._2).map(_._3)
+      assert(byW.zip(byW.tail).forall { case (lo, hi) => lo <= hi },
+        s"qid $qid: recall not monotone in width: ${byW.toSeq}")
+    }
+    // the 1-bit quantizer's loss must be visible at the narrow end AND
+    // width must buy some of it back, else the curve tunes nothing
+    assert(rows.exists(r => r._2 == 10 && r._3 < 5),
+      "width=10 already exact — curve vacuous")
+    val (m10, m100) = (rows.filter(_._2 == 10).map(_._3).sum,
+      rows.filter(_._2 == 100).map(_._3).sum)
+    assert(m100 > m10, "width bought no recall on this corpus")
+  }
 }

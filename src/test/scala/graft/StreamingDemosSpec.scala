@@ -616,6 +616,77 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("s38: quality-keeper admission — snapshot == JVM argmax fold; batching-invariant; replay idempotent; stateless") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, SharedSpark.sf001)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => QkDocIngest(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+      .sortBy(_.doc_id).toSeq
+
+    def quality(text: String): Double = {
+      val tk = text.split(" ")
+      val n = tk.length.toLong
+      val nd = tk.distinct.length.toLong
+      val stops = Set("a", "the", "row", "value", "table", "and", "of")
+      val ns = tk.count(stops.contains).toLong
+      0.5 * (nd.toDouble / n) + 0.3 * (1.0 - ns.toDouble / n) +
+        0.2 * (math.min(n, 100L).toDouble / 100.0)
+    }
+    val expected = docs.groupBy(d => (d.lang, d.source)).map { case (k, ms) =>
+      val qs = ms.map(d => (d.doc_id, quality(d.text)))
+      val qmax = qs.map(_._2).max
+      k -> (qs.filter(_._2 == qmax).map(_._1).min, qmax)
+    }.toSet
+
+    def run(batches: Seq[Seq[QkDocIngest]]): (String, Set[((String, String), (Long, Double))]) = {
+      val dir = java.nio.file.Files.createTempDirectory("s38").toString
+      val input = MemoryStream[QkDocIngest]
+      val q = Demos.s38QualityKeeperIngest(spark, input.toDF(), dir)
+      try {
+        batches.foreach { b => input.addData(b); runToCompletion(q) }
+        assert(q.lastProgress.stateOperators.isEmpty) // stateless by design
+      } finally q.stop()
+      dir -> Demos.keeperView(spark, dir).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+          (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toSet
+    }
+    val (_, oneShot) = run(Seq(docs))
+    val (dir2, twoWay) = run(Seq(docs.take(20), docs.drop(20)))
+    assert(oneShot == expected, "1-batch snapshot diverged from the JVM argmax fold")
+    assert(twoWay == expected, "2-batch snapshot diverged — admission is not batching-invariant")
+
+    // a later better member REPLACES the committed keeper: re-ingest the
+    // worst (lang, source) member boosted past its keeper (distinct-token
+    // padding) and check the snapshot updates
+    val k0 = expected.head
+    val boosted = QkDocIngest(999999L, k0._1._1, k0._1._2,
+      (1 to 120).map(i => s"uniq$i").mkString(" "))
+    assert(quality(boosted.text) > k0._2._2)
+    val dirB = java.nio.file.Files.createTempDirectory("s38b").toString
+    val inB = MemoryStream[QkDocIngest]
+    val qB = Demos.s38QualityKeeperIngest(spark, inB.toDF(), dirB)
+    try {
+      inB.addData(docs); runToCompletion(qB)
+      inB.addData(Seq(boosted)); runToCompletion(qB)
+    } finally qB.stop()
+    val afterBoost = Demos.keeperView(spark, dirB).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("doc_id")).toMap
+    assert(afterBoost(k0._1) == 999999L,
+      "a later better-quality member did not replace the committed keeper")
+
+    // replay batch 1 with the same batchId: content-identical (exactly-once)
+    import spark.implicits._
+    val before = spark.read.parquet(s"$dir2/keepers/b=1").collect()
+      .map(_.toString).sorted.toSeq
+    Demos.qualityKeeperBatch(docs.drop(20).toDF(), dir2, 1L)
+    val after = spark.read.parquet(s"$dir2/keepers/b=1").collect()
+      .map(_.toString).sorted.toSeq
+    assert(before == after)
+  }
+
   test("s11: budget admission — FCFS per-lang quota matches a sequential fold, across batches") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
