@@ -331,6 +331,114 @@ object Round13b {
            |LEFT JOIN hits h ON h.qid = q.qid AND h.width = wl.width
            |ORDER BY q.qid, wl.width""".stripMargin
       }
+    ),
+
+    // --------------------------------------------------------------- q250
+    // Dedup LADDER audit: the three text-dedup granularities this engine
+    // ships — exact document (q39's rule), duplicated span (q235), CDC
+    // chunk (q236) — compared in ONE result, the audit a platform runs to
+    // decide which rungs of the stack pay for themselves on ITS corpus.
+    // Per family: n_units (dup groups / spans / dup chunk texts), n_hits
+    // (docs in dup groups / docs carrying a span / total chunk
+    // occurrences), toks (exact + chunk: RECLAIMABLE tokens, the n−1
+    // redundant copies; span: FLAGGED duplicated-span tokens — spans mark
+    // both copies, the ExactSubstr framing). Scale shape: three
+    // independent linear pipelines (each already measured near-linear —
+    // SCALE.md §13) unioned into a 3-row result; nothing is joined
+    // across families. The declared spans leg runs the h64 gram key
+    // while the oracle replays the STRING key — the q235 collision-
+    // freedom cross-check, inherited.
+    "q250_dedup_ladder" -> QDef(
+      (s, d) => {
+        val docs = documents(s, d)
+        val sized = docs.select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("ntoks"))
+        val exact = sized.groupBy("text")
+          .agg(count(lit(1)).as("n"), min("ntoks").as("ntoks"))
+          .where(col("n") >= 2)
+          .agg(count(lit(1)).as("n_units"),
+            coalesce(sum(col("n")), lit(0L)).as("n_hits"),
+            coalesce(sum((col("n") - 1) * col("ntoks")), lit(0L)).as("toks"))
+          .select(lit("1_exact_doc").as("family"), col("n_units"),
+            col("n_hits"), col("toks"))
+        val spans = Round12c.dupSpans(docs, hashKey = true)
+          .agg(count(lit(1)).as("n_units"),
+            countDistinct(col("doc_id")).as("n_hits"),
+            coalesce(sum(col("span_toks")), lit(0L)).as("toks"))
+          .select(lit("2_dup_span").as("family"), col("n_units"),
+            col("n_hits"), col("toks"))
+        val chunks = Round12c.cdcDupChunks(docs)
+          .agg(count(lit(1)).as("n_units"),
+            coalesce(sum(col("n_occ")), lit(0L)).as("n_hits"),
+            coalesce(sum(col("saved_toks")), lit(0L)).as("toks"))
+          .select(lit("3_cdc_chunk").as("family"), col("n_units"),
+            col("n_hits"), col("toks"))
+        exact.unionAll(spans).unionAll(chunks).orderBy("family")
+      },
+      """WITH sized AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks
+        |  FROM documents),
+        |exact AS (
+        |  SELECT '1_exact_doc' AS family,
+        |         CAST(COUNT(*) AS BIGINT) AS n_units,
+        |         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_hits,
+        |         CAST(COALESCE(SUM((n - 1) * ntoks), 0) AS BIGINT) AS toks
+        |  FROM (SELECT text, COUNT(*) AS n, MIN(ntoks) AS ntoks
+        |        FROM sized GROUP BY text HAVING COUNT(*) >= 2) g),
+        |-- q235's span pipeline, STRING gram key (the declared leg runs
+        |-- h64 — the inherited collision-freedom cross-check)
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS gram
+        |      FROM (SELECT doc_id, tk,
+        |                   unnest(generate_series(1, len(tk) - 7)) AS i
+        |            FROM toks WHERE len(tk) >= 8) s),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |dp AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |         SUM(CASE WHEN prev IS NULL OR p > prev + 8 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM dp) z),
+        |sp AS (SELECT doc_id, MAX(p) + 7 - MIN(p) + 1 AS span_toks
+        |       FROM isl GROUP BY doc_id, island),
+        |spans AS (
+        |  SELECT '2_dup_span' AS family,
+        |         CAST(COUNT(*) AS BIGINT) AS n_units,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_hits,
+        |         CAST(COALESCE(SUM(span_toks), 0) AS BIGINT) AS toks
+        |  FROM sp),
+        |-- q236's CDC chunk pipeline
+        |ctoks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+        |  FROM documents),
+        |cc AS (SELECT doc_id, source, p, tok,
+        |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS code
+        |       FROM ctoks),
+        |ch AS (SELECT *, code + 3 * lag(code, 1) OVER w
+        |         + 9 * lag(code, 2) OVER w + 27 * lag(code, 3) OVER w AS rh
+        |       FROM cc WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |cb AS (SELECT *, CASE WHEN p >= 4 AND rh % 16 = 0 THEN 1 ELSE 0 END AS brk
+        |       FROM ch),
+        |cid AS (SELECT *, COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |        FROM cb),
+        |chk AS (SELECT doc_id, source, chunk_id,
+        |          string_agg(tok, ' ' ORDER BY p) AS ctext, COUNT(*) AS ctoks
+        |        FROM cid GROUP BY 1, 2, 3),
+        |cdup AS (SELECT ctext, COUNT(*) AS n_occ, MAX(ctoks) AS ctoks
+        |         FROM chk GROUP BY ctext HAVING COUNT(*) >= 2),
+        |chunks AS (
+        |  SELECT '3_cdc_chunk' AS family,
+        |         CAST(COUNT(*) AS BIGINT) AS n_units,
+        |         CAST(COALESCE(SUM(n_occ), 0) AS BIGINT) AS n_hits,
+        |         CAST(COALESCE(SUM((n_occ - 1) * ctoks), 0) AS BIGINT) AS toks
+        |  FROM cdup)
+        |SELECT * FROM exact UNION ALL SELECT * FROM spans
+        |UNION ALL SELECT * FROM chunks ORDER BY family""".stripMargin
     )
   )
 }

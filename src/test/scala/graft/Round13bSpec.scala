@@ -90,4 +90,22 @@ class Round13bSpec extends AnyFunSuite {
       rows.filter(_._2 == 100).map(_._3).sum)
     assert(m100 > m10, "width bought no recall on this corpus")
   }
+
+  test("q250: ladder legs match their source pipelines; h64 span leg == string-keyed totals") {
+    val got = SparkEntry.queries("q250_dedup_ladder")(spark, sf01).collect()
+      .map(r => r.getAs[String]("family") ->
+        (r.getAs[Long]("n_units"), r.getAs[Long]("n_hits"), r.getAs[Long]("toks")))
+      .toMap
+    assert(got.keySet == Set("1_exact_doc", "2_dup_span", "3_cdc_chunk"))
+    // the declared leg runs the h64 gram key; the STRING-keyed pipeline
+    // must produce identical totals (in-engine collision-freedom check,
+    // independent of the oracle's own string replay)
+    val str = ops.Round12c.dupSpans(Tables.documents(spark, sf01), hashKey = false)
+      .agg(count(lit(1)), countDistinct(col("doc_id")),
+        coalesce(sum(col("span_toks")), lit(0L)))
+      .collect()(0)
+    assert(got("2_dup_span") == ((str.getLong(0), str.getLong(1), str.getLong(2))))
+    assert(got("2_dup_span")._1 > 0 || got("3_cdc_chunk")._1 > 0,
+      "no dup structure found at any granularity — ladder vacuous")
+  }
 }
