@@ -253,7 +253,7 @@ object Round13b {
           .join(broadcast(q), Seq("qid"))
           .withColumn("d2", gridDist(col("v"), col("qv")))
           .select(col("qid"), col("vec_id"), col("srnk"), col("d2"))
-          .localCheckpoint() // re-ranked once per width level
+          .localCheckpoint() // cut the corpus-rank lineage before the ×4 level fan-out
         val byWidth = short.crossJoin(broadcast(widths))
           .where(col("srnk") <= col("width"))
           .withColumn("rnk", row_number().over(
