@@ -40,11 +40,28 @@ import org.apache.spark.sql.SparkSession
   *     cross-round envelope (>3×+1 s — CLAUDE.md records ~2× swings with
   *     NO code change, vs the contaminated q59 at 88× history) gets
   *     targeted extra sweeps, and a hot post-run calibration probe with no
-  *     history signal (e.g. all-new queries) triggers one full resweep.
+  *     history signal (e.g. all-new queries) triggers a full resweep.
   *     min() only ever improves, so repair can never fabricate a faster
   *     machine — it only removes inflation the interleaving missed. The
   *     extra-sweep count ships in both outputs ("extra") so a repaired
-  *     record is self-identifying.
+  *     record is self-identifying;
+  *   - UNIFORM-INFLATION repair (round 14; round 13's driver-captured
+  *     record read 362.9 s against a same-tree clean 179.3 because a
+  *     43-minute contention window inflated EVERY query ~1.9× — below the
+  *     3×+1 s per-query outlier rule, so targeted repair had nothing to
+  *     target and the single allowed full resweep wasn't enough): the
+  *     MEDIAN of per-query best/history ratios over the shared inventory
+  *     is a contention detector the per-query rule can't be — individual
+  *     queries swing ~2× cross-round with no code change, but the median
+  *     across 240+ queries stays near 1.0 on a quiet machine. A median
+  *     ratio past [[uniformHot]] triggers up to TWO extra full sweeps
+  *     (per-query min, as always), and the FINAL median ratio ships in
+  *     both outputs as `hist_ratio` together with `adj_total` =
+  *     total / max(1, hist_ratio) — the probe-normalized number the
+  *     round-13 adjudication had to reconstruct by hand. `value` stays
+  *     the raw measured total; `adj_total` is the contention-divided
+  *     estimate and is only meaningful when hist_ratio > 1 (a clean run
+  *     has adj_total == value).
   */
 object Bench {
   private def jstr(s: String) = "\"" + s + "\""
@@ -60,6 +77,26 @@ object Bench {
     * while catching real contamination (round 11: q59 26.4 s vs 0.3 s
     * history, q60 20.0 vs 0.5). */
   def isOutlier(t: Double, hist: Double): Boolean = t > hist * 3.0 + 1.0
+
+  /** Uniform-inflation ceiling for the MEDIAN best/history ratio. Individual
+    * queries swing ~2× cross-round with no code change (CLAUDE.md), but the
+    * median across the full shared inventory stays near 1.0 on a quiet
+    * machine (BASELINE.md round rows); 1.4 is far above median drift and
+    * well below round 13's measured ~1.9 uniform contamination. */
+  val uniformHot = 1.4
+
+  /** Median of per-query best/history ratios over the shared inventory —
+    * the uniform-contention detector. Sub-50 ms history entries are
+    * excluded (pure timer noise); fewer than `minShared` shared queries
+    * (fresh repo, garbled history) returns None and disables the detector
+    * rather than flagging on a tiny sample. */
+  def medianHistRatio(best: collection.Map[String, Double],
+                      hist: collection.Map[String, Double],
+                      minShared: Int = 20): Option[Double] = {
+    val rs = best.toSeq.flatMap { case (n, t) =>
+      hist.get(n).filter(_ >= 0.05).map(h => t / h) }
+    if (rs.size < minShared) None else Some(rs.sorted.apply(rs.size / 2))
+  }
 
   /** Parse the per-query map out of a previous bench.json (OUR OWN output
     * format — fullJson below). Empty on any shape problem: history is
@@ -81,19 +118,22 @@ object Bench {
     * pins the bound). */
   def stdoutLine(total: Double, errorNames: Seq[String], reps: Int,
                  sf: String, nQueries: Int, calib: (Double, Double),
-                 extra: Int = 0): String = {
+                 extra: Int = 0, histRatio: Double = 1.0): String = {
     val errJson = errorNames.take(8).map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nQueries,"n_errors":${errorNames.size},"errors":$errJson,"reps":$reps,"extra":$extra,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"sf":"$sf"}"""
+    val adj = total / math.max(1.0, histRatio)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","adj_total":${fmt(adj)},"hist_ratio":${fmt(histRatio)},"n_queries":$nQueries,"n_errors":${errorNames.size},"errors":$errJson,"reps":$reps,"extra":$extra,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"sf":"$sf"}"""
   }
 
   /** Full record written to bench.json: everything stdoutLine has PLUS the
     * per-query timing map and full error messages. */
   def fullJson(total: Double, results: Seq[(String, Double)],
                errors: collection.Map[String, String], reps: Int, sf: String,
-               calib: (Double, Double), extra: Int = 0): String = {
+               calib: (Double, Double), extra: Int = 0,
+               histRatio: Double = 1.0): String = {
     val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"extra":$extra,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"sf":"$sf"}"""
+    val adj = total / math.max(1.0, histRatio)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","adj_total":${fmt(adj)},"hist_ratio":${fmt(histRatio)},"queries":$qs,"errors":$errJson,"reps":$reps,"extra":$extra,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -154,27 +194,33 @@ object Bench {
     var calibPost = probe()
 
     // Contention repair: targeted extra sweeps for history outliers first
-    // (cheap — only the flagged queries), then ONE full resweep if the
-    // probe is still hot with no outlier signal left. Bounded at 3 extra
-    // passes total so a permanently-contended machine can't stall the
-    // driver; the record then carries the hot calib tell honestly.
+    // (cheap — only the flagged queries), then FULL resweeps while either
+    // the probe is hot or the median history ratio shows uniform inflation
+    // (round 13's failure mode: every query ~1.9×, no per-query outlier).
+    // Bounded — ≤3 targeted + ≤2 full extra passes — so a permanently
+    // contended machine can't stall the driver; a still-hot record then
+    // ships hist_ratio > 1 and the divided-out adj_total honestly.
     var extra = 0
+    var targeted = 0
     var fullResweeps = 0
     var repairing = true
-    while (repairing && extra < 3) {
+    while (repairing) {
       val out = names.filter(n =>
         best.get(n).zip(hist.get(n)).exists { case (t, h) => isOutlier(t, h) })
-      if (out.nonEmpty) { runSweep(out); extra += 1; calibPost = probe() }
-      else if (calibPost > probeHot && fullResweeps < 1) {
+      val uniform = medianHistRatio(best, hist).exists(_ > uniformHot)
+      if (out.nonEmpty && targeted < 3) {
+        runSweep(out); targeted += 1; extra += 1; calibPost = probe()
+      } else if ((calibPost > probeHot || uniform) && fullResweeps < 2) {
         runSweep(names); fullResweeps += 1; extra += 1; calibPost = probe()
       } else repairing = false
     }
+    val histRatio = medianHistRatio(best, hist).getOrElse(1.0)
 
     val results = sorted.map(_._1).flatMap(n => best.get(n).map(n -> _))
     val calib = (calibPre, calibPost)
     val total = results.map(_._2).sum
-    val full = fullJson(total, results, errors, reps, sfDir, calib, extra)
-    val line = stdoutLine(total, errors.keys.toSeq, reps, sfDir, results.size, calib, extra)
+    val full = fullJson(total, results, errors, reps, sfDir, calib, extra, histRatio)
+    val line = stdoutLine(total, errors.keys.toSeq, reps, sfDir, results.size, calib, extra, histRatio)
     Files.write(Paths.get("bench.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
     if (errors.nonEmpty)
       System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")

@@ -59,7 +59,12 @@ object Round12c {
     * can only RAISE a best (false sharing); both engines compute the
     * identical sum so parity is unaffected, and at audit scale the
     * expected inflation is vanishing (the spec's brute replay uses TRUE
-    * string equality and matches). Semantics note: this is the TRUE
+    * string equality and matches). Scale bound: per depth p the
+    * signature space is ~p·2^44, so false sharing becomes birthday-likely
+    * past ~2^22·√p ≈ 4M distinct prefixes AT ONE DEPTH — beyond that,
+    * widen to a second independent 44-bit lane (md5 chars 12–22) grouped
+    * as the (g1, g2) pair (~88 bits, still exact BIGINT sums in both
+    * engines); see SCALE.md `prefix` regime. Semantics note: this is the TRUE
     * "longest token prefix shared with ANY other document" — the
     * round-12 bucketed form under-reported 1-token LCPs for docs alone
     * in their 2-token bucket (the ADVICE-flagged semantics nit). */

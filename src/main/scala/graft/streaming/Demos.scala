@@ -1972,7 +1972,12 @@ object Demos {
       .withColumn("n2", n2C(col("vd")))
       .localCheckpoint()
     val keptDir = s"$dir/kept"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path's OWN scheme, not the default FS — with
+    // a local default and an s3a://…/hdfs://… dir, FileSystem.get would
+    // list the wrong filesystem, `prev` would come back empty, and a
+    // replayed batch would silently re-admit everything
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // committed prefix = partitions b < batchId ONLY (the s14 version
     // rule): on restart the engine replays batch N while b=N already
     // exists on disk — reading it would compare the batch against itself
@@ -2062,7 +2067,12 @@ object Demos {
       .withColumn("ck", md5(col("ctext")))
       .localCheckpoint()
     val chunkDir = s"$dir/chunks"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path's OWN scheme, not the default FS — with
+    // a local default and an s3a://…/hdfs://… dir, FileSystem.get would
+    // list the wrong filesystem, `prev` would come back empty, and a
+    // replayed batch would silently re-admit everything
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // committed prefix = partitions b < batchId ONLY (the s14 version
     // rule): a replayed batch must not compare against its own output
     val prev =
@@ -2135,7 +2145,12 @@ object Demos {
     chunks.select("doc_id", "source", "chunk_id", "ck", "ctoks")
       .write.mode("overwrite").parquet(s"$dir/refs/b=$batchId")
     val storeDir = s"$dir/store"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path's OWN scheme, not the default FS — with
+    // a local default and an s3a://…/hdfs://… dir, FileSystem.get would
+    // list the wrong filesystem, `prev` would come back empty, and a
+    // replayed batch would silently re-admit everything
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev =
       if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) Seq.empty
       else fs.listStatus(new org.apache.hadoop.fs.Path(storeDir)).toSeq
@@ -2167,7 +2182,19 @@ object Demos {
     * equality join → min id): no struct min/max (the SortAggregate
     * trap), no stream state — cross-batch knowledge is the committed
     * snapshot, keeper-count-sized (≤ |clusters| rows, broadcast-scale at
-    * any corpus size). */
+    * any corpus size).
+    *
+    * MONOTONE ADMISSION, by design: the fold is argmax over (snapshot ∪
+    * batch), so a doc RE-ingested with edited lower-quality text never
+    * demotes or updates its committed keeper row — the stale
+    * (doc_id, quality) persists until some batch beats it. This is the
+    * classic append-only keeper semantics (quality can only rise);
+    * it is deliberately ASYMMETRIC with s37's latest-version-wins chunk
+    * store. A mutable-corpus deployment that must honor edits would key
+    * the snapshot∪batch union by doc_id latest-version (s37's rule)
+    * BEFORE the argmax — one extra groupBy("doc_id").agg(max_by(...,
+    * version)) stage — at the cost of carrying per-doc versions in the
+    * snapshot. */
   def s38QualityKeeperIngest(spark: SparkSession, docs: DataFrame,
       dir: String): StreamingQuery =
     docs.writeStream
@@ -2184,7 +2211,12 @@ object Demos {
     val cand = graft.ops.Round13.withQuality(batch)
       .select(col("lang"), col("source"), col("doc_id"), col("quality"))
     val kdir = s"$dir/keepers"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path's OWN scheme, not the default FS — with
+    // a local default and an s3a://…/hdfs://… dir, FileSystem.get would
+    // list the wrong filesystem, `prev` would come back empty, and a
+    // replayed batch would silently re-admit everything
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // latest committed snapshot ONLY (it already folds everything earlier
     // — the s14 version rule; a replayed batch must not see its own write)
     val prev =
@@ -2208,7 +2240,12 @@ object Demos {
   /** The verdict view of an s38 directory: the latest keeper snapshot. */
   private[graft] def keeperView(spark: SparkSession, dir: String): DataFrame = {
     val kdir = s"$dir/keepers"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path's OWN scheme, not the default FS — with
+    // a local default and an s3a://…/hdfs://… dir, FileSystem.get would
+    // list the wrong filesystem, `prev` would come back empty, and a
+    // replayed batch would silently re-admit everything
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vmax = fs.listStatus(new org.apache.hadoop.fs.Path(kdir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("b="))
       .map(_.stripPrefix("b=").toLong).max

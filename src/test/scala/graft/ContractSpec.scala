@@ -24,14 +24,45 @@ class ContractSpec extends AnyFunSuite {
     val line = Bench.stdoutLine(
       total = 123456.7891, errorNames = manyErrors, reps = 2,
       sf = "/root/testdata/sf0.1", nQueries = 1000, calib = (123.4567, 123.4567),
-      extra = 3)
+      extra = 3, histRatio = 1.8765)
     assert(line.getBytes(StandardCharsets.UTF_8).length < 1500,
       s"bench stdout line is ${line.length} bytes: $line")
     assert(!line.contains("\n"))
     // and the healthy-path line for the real inventory is tiny
     val healthy = Bench.stdoutLine(30.74, Nil, 2, "/root/testdata/sf0.1",
       SparkEntry.queries.size, calib = (0.1234, 0.1234))
-    assert(healthy.getBytes(StandardCharsets.UTF_8).length < 200, healthy)
+    assert(healthy.getBytes(StandardCharsets.UTF_8).length < 250, healthy)
+    // adj_total divides out hist_ratio only when ratio > 1 (contention can
+    // inflate, never deflate — a faster-than-history run is code, not weather)
+    assert(healthy.contains(""""adj_total":30.7400"""), healthy)
+    val hot = Bench.stdoutLine(362.9, Nil, 2, "sf", 250, (0.89, 0.24),
+      extra = 2, histRatio = 2.0)
+    assert(hot.contains(""""adj_total":181.4500""") && hot.contains(""""hist_ratio":2.0000"""), hot)
+    val fast = Bench.stdoutLine(100.0, Nil, 2, "sf", 250, (0.1, 0.1), histRatio = 0.8)
+    assert(fast.contains(""""adj_total":100.0000"""), fast)
+  }
+
+  test("Bench uniform-inflation detector: median ratio flags round-13 weather, not envelope noise") {
+    def mk(ts: Seq[Double]): Map[String, Double] =
+      ts.zipWithIndex.map { case (t, i) => f"q$i%03d" -> t }.toMap
+    val hist = mk(Vector.tabulate(50)(i => 0.2 + i * 0.1))
+    // round-13 shape: EVERY query ~1.9× its history — no per-query outlier
+    // (1.9 < 3×+1s), but the median ratio nails it
+    val hot = hist.map { case (k, v) => k -> v * 1.9 }
+    assert(!hot.exists { case (k, t) => Bench.isOutlier(t, hist(k)) })
+    assert(Bench.medianHistRatio(hot, hist).exists(r => r > Bench.uniformHot && r < 2.0))
+    // clean run with the documented per-query envelope (a few queries swing
+    // 2× each way) keeps the median near 1.0 — no false repair
+    val clean = hist.map { case (k, v) =>
+      val i = k.drop(1).toInt
+      k -> (if (i % 17 == 0) v * 2.0 else if (i % 13 == 0) v * 0.5 else v * 1.05)
+    }
+    assert(Bench.medianHistRatio(clean, hist).exists(_ < Bench.uniformHot))
+    // tiny shared sample (fresh repo / garbled history) disables the detector
+    assert(Bench.medianHistRatio(hot.take(5), hist).isEmpty)
+    // sub-50ms history entries are timer noise, excluded from the sample
+    val noisy = Map("a" -> 0.5, "b" -> 0.6)
+    assert(Bench.medianHistRatio(noisy, Map("a" -> 0.01, "b" -> 0.02), minShared = 1).isEmpty)
   }
 
   test("Bench contention repair: history round-trips and the outlier rule is calibrated") {

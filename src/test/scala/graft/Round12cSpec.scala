@@ -311,18 +311,23 @@ class Round12cSpec extends AnyFunSuite {
     // current %997 plant every bucket survives in both snapshots, but the
     // query's diff is null-safe and this builder must not throw if the
     // testdata regen ever makes a bucket one-sided
+    // one-sided buckets stay Option-typed END TO END: getAs[Long] on a null
+    // column silently unboxes to 0L, so a scalar sentinel on the expected
+    // side would mis-compare the day a testdata regen actually produces a
+    // one-sided bucket (the query itself is null-safe)
     val expected = (da.keySet ++ db.keySet).toSeq
       .filter(b => da.get(b) != db.get(b))
-      .map { b =>
-        val (a1, a2, a3) = da.getOrElse(b, (-1L, -1L, -1L))
-        val (b1, b2, b3) = db.getOrElse(b, (-1L, -1L, -1L))
-        (b, a1, a2, a3, b1, b2, b3)
-      }
+      .map(b => (b, da.get(b), db.get(b)))
       .toSet
+    def side(r: org.apache.spark.sql.Row, c1: String, c2: String,
+             c3: String): Option[(Long, Long, Long)] =
+      Option(r.getAs[java.lang.Long](c1)).map(v => (v.longValue,
+        r.getAs[java.lang.Long](c2).longValue,
+        r.getAs[java.lang.Long](c3).longValue))
     val got = SparkEntry.queries("q241_dataset_digest")(spark, sf01).collect()
-      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("rows_a"),
-        r.getAs[Long]("xr_a"), r.getAs[Long]("hs_a"), r.getAs[Long]("rows_b"),
-        r.getAs[Long]("xr_b"), r.getAs[Long]("hs_b"))).toSet
+      .map(r => (r.getAs[Long]("bucket"),
+        side(r, "rows_a", "xr_a", "hs_a"),
+        side(r, "rows_b", "xr_b", "hs_b"))).toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
     // the audit is selective, not a tautology: some buckets are clean
