@@ -38,15 +38,22 @@ object Round13b {
     // carve vector, a = mean exact grid d² to its OWN cell's other
     // members, b = min over other cells of the mean d² to that cell's
     // members, s = (b−a)/max(a,b) (singleton own cell ⇒ s = 0 by the
-    // standard convention). Determinism: per-pair d² is exact (< 2^53);
-    // per-(carve, cell) SUMS are exact integers (≤ n_cell·2.56e14 < 2^63
-    // — DuckDB's HUGEINT is CAST back to BIGINT so both engines convert
-    // the SAME int64 to double, the well-defined IEEE conversion, before
-    // the one division); s is arithmetic over identical doubles. Scale
-    // shape: ONE carve×N pass (the q243 audit posture — at 100 TB the
-    // sufficient-statistics form (n_j, Σv, Σ‖v‖²) replaces the pass but
-    // needs >2^53-safe decimal accumulators, noted not needed at audit
-    // scale), a (carve × nlist)-cell rollup, no windows at all.
+    // standard convention). Built in the SUFFICIENT-STATISTICS form (the
+    // round-13 verdict's named 100 TB shape, now the declared internals):
+    // per cell j, one N-pass computes (n_j, S_j = Σv per dim, Q_j =
+    // Σ‖v‖²), and Σ_m d²(v, m) over the whole cell is then EXACTLY
+    // n_j·‖v‖² − 2·v·S_j + Q_j — an integer identity (self contributes
+    // 0), so the stats form is bit-identical to the carve×N pairwise
+    // pass the oracle replays (Round13bSpec's JVM replay locks it; own
+    // cell divides by n_j − 1, other cells by n_j). Everything stays in
+    // the long domain: v_k ≤ 1e6, S_jk ≤ n_j·1e6, the v·S_j terms ≤
+    // 64·2e15 and n_j·‖v‖² ≤ n_j·6.4e13 — exact int64 through ~1.4e5
+    // members/cell; past that the accumulators (and only they) go
+    // DECIMAL, with the final sd2 still an exact integer both engines
+    // convert long→double identically. Scale shape: the N-pass is a
+    // map-side-combinable (list, dim) rollup (nlist·64 rows out), the
+    // carve touches only the 512-row stats table — no carve×N distance
+    // pass at all, the audit cost is O(N + carve·nlist·dim).
     "q247_cell_silhouette" -> QDef(
       (s, d) => {
         val qv = Round11.quantized(embeddings(s, d))
@@ -56,22 +63,38 @@ object Round13b {
         val wn = Round11.cAssign(qv, c1, 8)
           .select(col("vec_id"), col("list_id"),
             col("v").cast("array<double>").as("vd"))
-          .localCheckpoint() // carve + member side
+          .localCheckpoint() // carve + the stats rollup
         val carve = wn.where(col("vec_id") % 97 === 3 && col("vec_id") < 2000)
           .select(col("vec_id").as("aid"), col("list_id").as("own_list"),
             col("vd").as("av"))
           .limit(21)
-        val stats = wn.select(col("vec_id").as("mid"), col("list_id"),
-            col("vd").as("wd"))
-          .crossJoin(broadcast(carve))
-          .where(col("mid") =!= col("aid"))
-          .withColumn("d2", (norm2(col("av")) + norm2(col("wd"))
-            - lit(2.0) * dotCol(col("av"), col("wd"))).cast("long"))
-          .groupBy("aid", "own_list", "list_id")
-          .agg(sum("d2").as("sd2"), count(lit(1)).as("n"))
-          .withColumn("md", col("sd2").cast("double") / col("n").cast("double"))
+          .localCheckpoint() // exploded dot leg + the final spine
+        // one N-pass: per-(cell, dim) Σv and Σv², exact longs
+        val sLong = wn.select(col("list_id"), posexplode(col("vd")))
+          .select(col("list_id"), col("pos"), col("col").cast("long").as("vk"))
+          .groupBy("list_id", "pos")
+          .agg(sum("vk").as("sk"), sum(col("vk") * col("vk")).as("qk"))
+          .localCheckpoint() // dot join + the per-cell rollup
+        val cell = sLong.groupBy("list_id").agg(sum("qk").as("qj"))
+          .join(wn.groupBy("list_id").agg(count(lit(1)).as("nj")), Seq("list_id"))
+        // v·S_j per (carve, cell): explode each carve vector once, join on dim
+        val av = carve.select(col("aid"), posexplode(col("av")))
+          .select(col("aid"), col("pos"), col("col").cast("long").as("ak"))
+          .localCheckpoint() // dot leg + the ‖v‖² rollup
+        val a2 = av.groupBy("aid").agg(sum(col("ak") * col("ak")).as("a2"))
+        val stats = av.join(broadcast(sLong), Seq("pos"))
+          .groupBy("aid", "list_id").agg(sum(col("ak") * col("sk")).as("dot_s"))
+          .join(broadcast(cell), Seq("list_id"))
+          .join(broadcast(a2), Seq("aid"))
+          .join(broadcast(carve.select(col("aid"), col("own_list"))), Seq("aid"))
+          .withColumn("sd2",
+            col("nj") * col("a2") - lit(2L) * col("dot_s") + col("qj"))
+          .withColumn("md", when(col("list_id") === col("own_list"),
+              when(col("nj") > 1,
+                col("sd2").cast("double") / (col("nj") - 1).cast("double")))
+            .otherwise(col("sd2").cast("double") / col("nj").cast("double")))
           .localCheckpoint() // own slice + other-cells min
-        val own = stats.where(col("list_id") === col("own_list"))
+        val own = stats.where(col("list_id") === col("own_list") && col("md").isNotNull)
           .select(col("aid").as("vec_id"), col("md").as("a"))
         val oth = stats.where(col("list_id") =!= col("own_list"))
           .groupBy(col("aid").as("vec_id")).agg(min("md").as("b"))
