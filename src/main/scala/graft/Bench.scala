@@ -61,7 +61,13 @@ import org.apache.spark.sql.SparkSession
   *     round-13 adjudication had to reconstruct by hand. `value` stays
   *     the raw measured total; `adj_total` is the contention-divided
   *     estimate and is only meaningful when hist_ratio > 1 (a clean run
-  *     has adj_total == value).
+  *     has adj_total == value). The detector's baseline is the LAST
+  *     bench.json in cwd — kept honest by the CLAUDE.md ritual's
+  *     end-of-round clean Bench run: the driver's capture then always
+  *     compares against a clean same-tree record, and even if a
+  *     contaminated capture overwrites the file, the next clean run
+  *     reads ratio < 1 (never triggers repair, contention can only
+  *     inflate) and restores the clean baseline.
   */
 object Bench {
   private def jstr(s: String) = "\"" + s + "\""

@@ -258,6 +258,31 @@ object ScaleCurve {
           k => (pmod(xxhash64(col("id") * lit(2654435761L) + k.cast("long")),
             lit(2001L)) - 1000L).cast("double") / 1000.0).as("embedding"))
 
+  /** Planted-cluster corpus (round-14 verdict task #3): vector = cluster
+    * center + 0.25·noise, both drawn by the same deterministic hash
+    * arithmetic as [[vecs]]. Cluster COUNT grows with N (population
+    * pinned ~500 — the same policy the knngraph/semdedup regimes pin
+    * nlist by), so the geometry scales the way the routing assumes.
+    * Separation is moderate, not toy: expected inter-center d² ≈ 64·2/3
+    * ≈ 43 vs within-cluster d² ≈ 64·2·0.25²/3 ≈ 2.7 (≈4× in distance) —
+    * real embedding clusters overlap more than a synthetic grid but far
+    * less than the isotropic corpus (which has NO structure to capture:
+    * max cos 0.46). */
+  private def clusteredVecs(spark: SparkSession, n: Long): DataFrame = {
+    val ncl = math.max(8L, n / 500)
+    spark.read.format("graft-gen")
+      .option("rows", n.toString).option("partitions", "32").load()
+      .withColumn("g", pmod(xxhash64(col("id")), lit(ncl)))
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), k =>
+          (pmod(xxhash64(col("g") * lit(2654435761L) + k.cast("long")),
+            lit(2001L)) - 1000L).cast("double") / 1000.0
+          + lit(0.25) *
+            (pmod(xxhash64(col("id") * lit(3266489917L) + k.cast("long")
+              + lit(1000000007L)), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          .as("embedding"))
+  }
+
   /** semdedup regime (round 12): q231's scale posture measured. The claim
     * is that within-cluster pairwise comparison is LINEAR in N once
     * cluster populations are pinned (~500 here) by growing the cluster
@@ -378,12 +403,13 @@ object ScaleCurve {
     * degenerating answers). Shapes are q41/q52/q62's production forms:
     * broadcast query side, bucket/list equi-joins, no all-pairs. */
   private def annCurve(spark: SparkSession, sizes: Seq[Long],
-      want: Set[String] = Set.empty): Unit = {
+      want: Set[String] = Set.empty,
+      mkVecs: (SparkSession, Long) => DataFrame = vecs): Unit = {
     import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
     val K = 5
     println(f"${"pipeline"}%-16s ${"n_vecs"}%8s ${"sec"}%8s ${"rows"}%10s ${"recall@5"}%9s")
     for (n <- sizes) {
-      val emb = vecs(spark, n)
+      val emb = mkVecs(spark, n)
         .select(col("vec_id"), col("embedding").as("e"))
         .withColumn("n2", n2C(col("e")))
         .localCheckpoint()
@@ -856,7 +882,8 @@ object ScaleCurve {
     * candidate volume for a recall step-change, and both stay linear-ish
     * in N at pinned cell population (the probe-assign stage is the
     * honest Θ(N·nlist) bend the semdedup curve already names). */
-  private def knnGraphCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+  private def knnGraphCurve(spark: SparkSession, sizes: Seq[Long],
+      mkVecs: (SparkSession, Long) => DataFrame = vecs): Unit = {
     import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
     def cDist(a: Column, b: Column): Column = {
       val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
@@ -865,7 +892,7 @@ object ScaleCurve {
     println(f"${"pipeline"}%-16s ${"n_vecs"}%8s ${"nlist"}%6s ${"sec"}%8s ${"edges"}%10s ${"recall@3"}%9s")
     for (n <- sizes) {
       val nlist = math.max(8, (n / 500).toInt)
-      val qv = vecs(spark, n).select(col("vec_id"),
+      val qv = mkVecs(spark, n).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(FLOOR(x * 1e6) AS BIGINT))").as("v"))
         .repartition(32).localCheckpoint()
       val cent = qv.where(col("vec_id") < nlist)
@@ -920,6 +947,109 @@ object ScaleCurve {
     }
   }
 
+  /** silh regime (round 14): q247's two silhouette forms, timed and
+    * BIT-COMPARED at growing N — the carve×N pairwise pass (the round-13
+    * internals, which the DuckDB oracle still replays) vs the
+    * sufficient-statistics form ((n_j, Σv, Σv²) per cell — the round-14
+    * declared internals). The identity Σ_m d²(v,m) = n_j·‖v‖² − 2·v·S_j
+    * + Q_j is exact in int64, so `equal` must print true at every size;
+    * the COST separates: the carve form touches N·|carve| pairs, the
+    * stats form one N×64 explode + a |carve|·nlist·64 join. Clustered
+    * corpus (the silhouette is the audit you run on data with structure),
+    * fixed nlist = 64, carve = 100 vectors. */
+  private def silhCurve(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.plans.DotProduct.{dot => dotC, norm2 => n2C}
+    val nlist = 64
+    println(f"${"pipeline"}%-12s ${"n_vecs"}%8s ${"nlist"}%6s ${"sec"}%8s ${"equal"}%6s")
+    for (n <- sizes) {
+      val qv = clusteredVecs(spark, n).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(FLOOR(x * 1e6) AS BIGINT))").as("v"))
+        .repartition(32).localCheckpoint()
+      val cent = qv.where(col("vec_id") < nlist)
+        .select(col("vec_id").as("j"), col("v").as("c")).localCheckpoint()
+      val wn = graft.ops.Round11.cAssign(qv, cent, nlist)
+        .select(col("vec_id"), col("list_id"),
+          col("v").cast("array<double>").as("vd"))
+        .repartition(32).localCheckpoint()
+      val carve = wn.where(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("aid"), col("list_id").as("own_list"),
+          col("vd").as("av"))
+        .limit(100).localCheckpoint()
+
+      def finish(stats: DataFrame): Array[(Long, Long, Double, Double, Double)] = {
+        val own = stats.where(col("list_id") === col("own_list") && col("md").isNotNull)
+          .select(col("aid").as("vec_id"), col("md").as("a"))
+        val oth = stats.where(col("list_id") =!= col("own_list"))
+          .groupBy(col("aid").as("vec_id")).agg(min("md").as("b"))
+        carve.select(col("aid").as("vec_id"), col("own_list"))
+          .join(own, Seq("vec_id"), "left")
+          .join(oth, Seq("vec_id"), "left")
+          .withColumn("s", when(col("a").isNull || col("b").isNull, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+          .orderBy("vec_id")
+          .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("own_list"),
+            Option(r.getAs[java.lang.Double]("a")).fold(Double.NaN)(_.doubleValue),
+            Option(r.getAs[java.lang.Double]("b")).fold(Double.NaN)(_.doubleValue),
+            r.getAs[Double]("s")))
+      }
+
+      // bit-pattern compare: doubleToLongBits so a null→NaN sentinel
+      // compares equal to itself (tuple equality would fail on NaN)
+      def keyOf(t: (Long, Long, Double, Double, Double)): String =
+        s"${t._1}|${t._2}|${java.lang.Double.doubleToLongBits(t._3)}|" +
+          s"${java.lang.Double.doubleToLongBits(t._4)}|${java.lang.Double.doubleToLongBits(t._5)}"
+      def timed(nm: String, mk: () => Array[(Long, Long, Double, Double, Double)],
+          base: Option[Array[(Long, Long, Double, Double, Double)]])
+          : Array[(Long, Long, Double, Double, Double)] = {
+        val t0 = System.nanoTime()
+        val r = mk()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val eq = base.map(b => if (r.length == b.length &&
+          r.zip(b).forall { case (x, y) => keyOf(x) == keyOf(y) }) "true" else "FALSE")
+        println(f"$nm%-12s $n%8d $nlist%6d $dt%8.2f ${eq.getOrElse("  base")}%6s")
+        r
+      }
+
+      val carveForm = timed("silh_carve", () => finish {
+        wn.select(col("vec_id").as("mid"), col("list_id"), col("vd").as("wd"))
+          .crossJoin(broadcast(carve))
+          .where(col("mid") =!= col("aid"))
+          .withColumn("d2", (n2C(col("av")) + n2C(col("wd"))
+            - lit(2.0) * dotC(col("av"), col("wd"))).cast("long"))
+          .groupBy("aid", "own_list", "list_id")
+          .agg(sum("d2").as("sd2"), count(lit(1)).as("cn"))
+          .withColumn("md", col("sd2").cast("double") / col("cn").cast("double"))
+          .localCheckpoint()
+      }, None)
+
+      timed("silh_stats", () => finish {
+        val sLong = wn.select(col("list_id"), posexplode(col("vd")))
+          .select(col("list_id"), col("pos"), col("col").cast("long").as("vk"))
+          .groupBy("list_id", "pos")
+          .agg(sum("vk").as("sk"), sum(col("vk") * col("vk")).as("qk"))
+          .localCheckpoint()
+        val cell = sLong.groupBy("list_id").agg(sum("qk").as("qj"))
+          .join(wn.groupBy("list_id").agg(count(lit(1)).as("nj")), Seq("list_id"))
+        val av = carve.select(col("aid"), posexplode(col("av")))
+          .select(col("aid"), col("pos"), col("col").cast("long").as("ak"))
+          .localCheckpoint()
+        val a2 = av.groupBy("aid").agg(sum(col("ak") * col("ak")).as("a2"))
+        av.join(broadcast(sLong), Seq("pos"))
+          .groupBy("aid", "list_id").agg(sum(col("ak") * col("sk")).as("dot_s"))
+          .join(broadcast(cell), Seq("list_id"))
+          .join(broadcast(a2), Seq("aid"))
+          .join(broadcast(carve.select(col("aid"), col("own_list"))), Seq("aid"))
+          .withColumn("sd2",
+            col("nj") * col("a2") - lit(2L) * col("dot_s") + col("qj"))
+          .withColumn("md", when(col("list_id") === col("own_list"),
+              when(col("nj") > 1,
+                col("sd2").cast("double") / (col("nj") - 1).cast("double")))
+            .otherwise(col("sd2").cast("double") / col("nj").cast("double")))
+          .localCheckpoint()
+      }, Some(carveForm))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val regime = args.headOption.getOrElse("real")
     val sizes = (if (args.length > 1) args(1) else regime match {
@@ -930,6 +1060,8 @@ object ScaleCurve {
       case "spans"    => "20000,80000,320000"
       case "prefix"   => "20000,80000,320000"
       case "knngraph" => "10000,50000,250000"
+      case "clustered" => "10000,50000,250000"
+      case "silh"     => "50000,250000,1000000"
       case _          => "5000,50000,250000"
     }).split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
@@ -968,6 +1100,25 @@ object ScaleCurve {
     if (regime == "knngraph") {
       vecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
       knnGraphCurve(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (regime == "clustered") {
+      // the round-13 verdict's owed measurement: does cell routing hold
+      // recall on data WITH cluster structure (vs the isotropic decay)?
+      // Same pipelines, same sizes — only the corpus changes.
+      clusteredVecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
+      knnGraphCurve(spark, sizes, clusteredVecs)
+      annCurve(spark, sizes,
+        if (args.length > 2) args(2).split(",").map(_.trim).toSet
+        else Set("ivfpq128_rr50", "ivf64_probe8"),
+        clusteredVecs)
+      spark.stop()
+      return
+    }
+    if (regime == "silh") {
+      clusteredVecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
+      silhCurve(spark, sizes)
       spark.stop()
       return
     }
