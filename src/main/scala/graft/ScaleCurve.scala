@@ -823,6 +823,16 @@ object ScaleCurve {
       if (want("ivfpq128_rr50w"))
         timed("ivfpq128_rr50w", () =>
           ivfPq(kc = 256, nprobe = 8, rerank = true, wideEncode = true), Some(brute))
+      // PQ codebook-CAPACITY sweep (round 14): the `clustered` regime
+      // showed the rr50 recall decay is the fixed-size codebook, not the
+      // routing (plain IVF holds 1.000) — these rows measure the capacity
+      // axis directly (kc = centroids/subspace: 16 → 4-bit codes, 64 →
+      // 6-bit, vs the default 256). Opt-in by name (each pays a full
+      // training + encode).
+      for (kcv <- Seq(16, 64))
+        if (want(s"ivfpq_kc${kcv}_rr50"))
+          timed(s"ivfpq_kc${kcv}_rr50", () =>
+            ivfPq(kc = kcv, nprobe = 8, rerank = true), Some(brute))
     }
   }
 
