@@ -62,17 +62,15 @@ object Round14 {
     (liveRefs, allRefs, deadCk)
   }
 
-  /** q252's shared parts: (exact truth pairs, per-level candidate pairs).
-    * Factored so Round14Spec can lock the candidate-NESTING property
-    * (cand at b bands ⊆ cand at 2b) set-for-set, not just the counts. */
-  private[graft] def bandCurveParts(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import s.implicits._
-    val P = 104729L
-    val coefs = array(Seq(1L, 131L, 17161L, 248085L, 499039L, 373914L,
-      982590L, 718906L).map(lit): _*)
-    val levels = Seq((2, 8), (4, 4), (8, 2), (16, 1)).toDF("nbands", "rpb")
-    val docsT = documents(s, d).where(col("doc_id") % 7 === 0)
+  private val P = 104729L
+
+  /** The shared q252/q253 carve: char-4-gram shingle sets per doc (the
+    * q65 basis — the 31-WORD vocabulary makes word-token similarity
+    * degenerate; see the q252 plan-shape note). Checkpointed: every
+    * consumer self-joins it. */
+  private[graft] def shingleDocs(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    documents(s, d).where(col("doc_id") % 7 === 0)
       .where(length(col("text")) >= 4) // sequence(1, len-3) must ascend
       .select(col("doc_id"), col("lang"),
         array_distinct(expr(
@@ -80,6 +78,36 @@ object Round14 {
           .as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
       .localCheckpoint() // feeds both sides of the all-pairs join
+
+  /** 16 minhashes over dictionary-ranked shingle ids, as ONE array column
+    * — the WRAPPING hash family (48271·(i+1) mod P multipliers; q46's
+    * small multipliers never wrap on small tids and the family stops
+    * permuting — the q252 plan-shape note). Staged per the HOF
+    * discipline: the array is one projection of the plain `ids`
+    * attribute. */
+  private[graft] def shingleMinhash(docsT: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docsT.select(col("doc_id"), col("lang"),
+      explode(col("toks")).as("tok"))
+    toks.join(LlmExt2.tokenDict(toks), "tok")
+      .groupBy("doc_id", "lang")
+      .agg(collect_list(col("tid").cast("long")).as("ids"))
+      .withColumn("mh", transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(col("ids"),
+          id => ((lit(48271) * (i + 1) % P) * id + (lit(7) * i + 5)) % P))))
+      .select("doc_id", "lang", "mh")
+  }
+
+  /** q252's shared parts: (exact truth pairs, per-level candidate pairs).
+    * Factored so Round14Spec can lock the candidate-NESTING property
+    * (cand at b bands ⊆ cand at 2b) set-for-set, not just the counts. */
+  private[graft] def bandCurveParts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val coefs = array(Seq(1L, 131L, 17161L, 248085L, 499039L, 373914L,
+      982590L, 718906L).map(lit): _*)
+    val levels = Seq((2, 8), (4, 4), (8, 2), (16, 1)).toDF("nbands", "rpb")
+    val docsT = shingleDocs(s, d)
     // 32-way spread of the probe side (q83/q97 lesson: the checkpointed
     // doc table is byte-small, AQE coalesces to one task otherwise)
     val exact = docsT.repartition(32).as("a")
@@ -93,18 +121,8 @@ object Round14 {
       .where(col("jaccard") >= 0.4)
       .select("doc_a", "doc_b")
       .localCheckpoint() // n_exact + the per-level hit semi-join
-    val toks = docsT.select(col("doc_id"), col("lang"),
-      explode(col("toks")).as("tok"))
-    val tokIds = toks.join(LlmExt2.tokenDict(toks), "tok")
-      .groupBy("doc_id", "lang")
-      .agg(collect_list(col("tid").cast("long")).as("ids"))
-    // staged per the HOF discipline: the 16-minhash array is ONE
-    // projection of the plain `ids` attribute, exploded separately
-    val mh = tokIds
-      .withColumn("__mh", transform(sequence(lit(0), lit(15)),
-        i => array_min(transform(col("ids"),
-          id => ((lit(48271) * (i + 1) % P) * id + (lit(7) * i + 5)) % P))))
-      .select(col("doc_id"), col("lang"), posexplode(col("__mh")))
+    val mh = shingleMinhash(docsT)
+      .select(col("doc_id"), col("lang"), posexplode(col("mh")))
       .select(col("doc_id"), col("lang"), col("pos").cast("long").as("i"),
         col("col").as("mh"))
     val sig = mh.crossJoin(broadcast(levels))
@@ -320,6 +338,96 @@ object Round14 {
         |            THEN per.n_hit / per.n_cand ELSE 0.0 END AS cand_precision
         |FROM lv LEFT JOIN per ON per.nbands = lv.nbands
         |ORDER BY nbands""".stripMargin
+    ),
+
+    // --------------------------------------------------------------- q253
+    // MinHash ESTIMATOR calibration — the statistical companion to q252's
+    // operating curve: per true-Jaccard decile, how well does 16-hash
+    // signature agreement (est = matches/16) estimate the real shingle
+    // Jaccard? Reports n_pairs, avg_est, avg_true, and MAE per bucket —
+    // the calibration table that justifies (or prices) reading signature
+    // agreement as similarity at 100 TB, where true Jaccard is never
+    // computed corpus-wide. ALL same-lang carve pairs are included
+    // (zero-overlap pairs land in bucket 0 — excluding them would bias
+    // the table's left edge). Determinism: est = k/16.0 is exact (k ≤ 16,
+    // a power-of-two division); true Jaccard is the identical IEEE double
+    // in both engines (ratio of small exact ints, never rounded); but
+    // AVERAGES of arbitrary doubles are order-sensitive, so avg_true and
+    // mae ride the documented quantize-first recipe (FLOOR(x·1e9) → exact
+    // long sum ≤ 5e13 < 2^53 → two divisions — every step bit-identical
+    // across engines; avg_est needs none of this: Σk is an integer).
+    // Scale shape: the carve×carve pass is the deliberate audit posture
+    // (q83/q252); the production estimator itself is a pure per-pair
+    // projection of two 128-byte signatures.
+    "q253_mh_estimator" -> QDef(
+      (s, d) => {
+        val docsT = shingleDocs(s, d)
+        val m = docsT.join(shingleMinhash(docsT), Seq("doc_id", "lang"))
+          .localCheckpoint() // both sides of the all-pairs join
+        val pairs = m.repartition(32).as("a")
+          .join(m.as("b"),
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            size(array_intersect(col("a.toks"), col("b.toks"))).cast("long").as("n_common"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+            expr("aggregate(zip_with(a.mh, b.mh, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+              .as("k"))
+          .withColumn("jtrue",
+            col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+          .withColumn("est", col("k") / lit(16.0))
+        pairs
+          .withColumn("bucket", least(floor(col("jtrue") * 10), lit(9L)).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("k").as("sum_k"),
+            sum(floor(col("jtrue") * 1e9).cast("long")).as("sq_true"),
+            sum(floor(abs(col("est") - col("jtrue")) * 1e9).cast("long")).as("sq_err"))
+          .select(col("bucket"), col("n_pairs"),
+            (col("sum_k").cast("double") / (col("n_pairs") * 16).cast("double")).as("avg_est"),
+            (col("sq_true").cast("double") / col("n_pairs").cast("double") / lit(1e9)).as("avg_true"),
+            (col("sq_err").cast("double") / col("n_pairs").cast("double") / lit(1e9)).as("mae"))
+          .orderBy("bucket")
+      },
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 7 = 0 AND len(text) >= 4),
+        |toks AS (SELECT DISTINCT doc_id, lang,
+        |           substr(text, CAST(i AS INT), 4) AS tok
+        |         FROM d, unnest(generate_series(1, len(text) - 3)) t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+        |         FROM (SELECT DISTINCT tok FROM toks) u),
+        |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
+        |mh AS (SELECT doc_id, lang, i,
+        |         MIN(((48271 * (i + 1) % 104729) * tid + 7 * i + 5) % 104729) AS mh
+        |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+        |agree AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            COUNT(*) FILTER (WHERE a.mh = b.mh) AS k
+        |          FROM mh a JOIN mh b
+        |            ON a.i = b.i AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |          FROM toks a JOIN toks b
+        |            ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ag.k,
+        |         COALESCE(i.n_common, 0) / (sa.sz + sb.sz - COALESCE(i.n_common, 0))
+        |           AS jtrue,
+        |         ag.k / 16.0 AS est
+        |  FROM agree ag
+        |  LEFT JOIN inter i ON i.doc_a = ag.doc_a AND i.doc_b = ag.doc_b
+        |  JOIN sizes sa ON sa.doc_id = ag.doc_a
+        |  JOIN sizes sb ON sb.doc_id = ag.doc_b),
+        |bkt AS (SELECT LEAST(CAST(FLOOR(jtrue * 10) AS BIGINT), 9) AS bucket,
+        |          k, jtrue, est FROM pairs)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) * 16 AS DOUBLE) AS avg_est,
+        |       CAST(CAST(SUM(CAST(FLOOR(jtrue * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) / 1e9 AS avg_true,
+        |       CAST(CAST(SUM(CAST(FLOOR(ABS(est - jtrue) * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mae
+        |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin
     )
   )
 }

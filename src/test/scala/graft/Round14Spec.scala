@@ -85,4 +85,39 @@ class Round14Spec extends AnyFunSuite {
     assert(recalls.last > recalls.head,
       s"recall flat across the whole curve: $recalls")
   }
+
+  test("q253: calibration table == a full JVM replay (quantized-double recipe, bit-exact)") {
+    val docsT = ops.Round14.shingleDocs(spark, sf01)
+    val m = docsT.join(ops.Round14.shingleMinhash(docsT), Seq("doc_id", "lang"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Seq[String]]("toks").toSet, r.getAs[Long]("sz"),
+        r.getAs[Seq[Long]]("mh").toArray))
+    val byBucket = (for {
+      a <- m; b <- m
+      if a._2 == b._2 && a._1 < b._1
+    } yield {
+      val k = a._5.zip(b._5).count { case (x, y) => x == y }.toLong
+      val nc = a._3.intersect(b._3).size.toLong
+      val jtrue = nc.toDouble / (a._4 + b._4 - nc).toDouble
+      val est = k / 16.0
+      val bucket = math.min(math.floor(jtrue * 10).toLong, 9L)
+      (bucket, k, math.floor(jtrue * 1e9).toLong,
+        math.floor(math.abs(est - jtrue) * 1e9).toLong)
+    }).groupBy(_._1).view.mapValues { g =>
+      val n = g.length.toLong
+      (n, g.map(_._2).sum.toDouble / (n * 16).toDouble,
+        g.map(_._3).sum.toDouble / n.toDouble / 1e9,
+        g.map(_._4).sum.toDouble / n.toDouble / 1e9)
+    }.toMap
+    val got = SparkEntry.queries("q253_mh_estimator")(spark, sf01).collect()
+      .map(r => r.getAs[Long]("bucket") -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("avg_est"), r.getAs[Double]("avg_true"),
+        r.getAs[Double]("mae"))).toMap
+    assert(got == byBucket,
+      s"calibration diverges from the JVM replay: onlyQuery=${(got.toSet -- byBucket.toSet).take(2)} onlyJvm=${(byBucket.toSet -- got.toSet).take(2)}")
+    // non-vacuous: several populated deciles, and a real estimator error
+    // (a 16-hash budget cannot be exact on continuous Jaccard)
+    assert(byBucket.size >= 3, s"only ${byBucket.size} buckets populated")
+    assert(byBucket.values.exists(_._4 > 0.01), "MAE ~0 everywhere — table is vacuous")
+  }
 }
