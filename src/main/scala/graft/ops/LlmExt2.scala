@@ -71,19 +71,34 @@ object LlmExt2 {
 
   private val P = 104729L // prime modulus shared by the hash families
 
-  /** All 16 minhashes of a token-id array, h_i(id) = ((4i+3)·id + 7i+5)
-    * mod P, as one per-row projection — O(16·|ids|) work that must run
-    * ONCE per row. Its consumer (`bandSigsFromMh`) therefore lives in a
-    * SEPARATE projection: HOF lambdas are interpreted with no
-    * common-subexpression elimination, so inlining this subtree under the
-    * 16 `element_at` references of the band chain re-evaluated the whole
-    * minhash family 16× per row (the round-6 q46/q75 2-3× regression).
-    * `ids` must itself be a plain attribute for the same reason — the
-    * inner `transform(ids, …)` references it 16×. CollapseProject keeps
-    * the staged projections apart (non-cheap producer referenced >1). */
+  /** All 16 minhashes of a token-id array, h_i(id) =
+    * ((48271·(i+1) mod P)·id + 7i+5) mod P, as one per-row projection —
+    * O(16·|ids|) work that must run ONCE per row. Its consumer
+    * (`bandSigsFromMh`) therefore lives in a SEPARATE projection: HOF
+    * lambdas are interpreted with no common-subexpression elimination, so
+    * inlining this subtree under the 16 `element_at` references of the
+    * band chain re-evaluated the whole minhash family 16× per row (the
+    * round-6 q46/q75 2-3× regression). `ids` must itself be a plain
+    * attribute for the same reason — the inner `transform(ids, …)`
+    * references it 16×. CollapseProject keeps the staged projections
+    * apart (non-cheap producer referenced >1).
+    *
+    * Family choice (round 15, the q252 lesson promoted to the production
+    * path): multipliers are 48271·(i+1) mod P — large enough that the
+    * affine map WRAPS mod P from id ≥ 3, so each h_i is a genuinely
+    * different permutation. The original (4i+3) multipliers (≤ 63) never
+    * exceeded P on small dictionary-ranked tids (vocab 31 ⇒ tid ≤ 31 at
+    * gate scale): min((4i+3)·tid + c_i) = (4i+3)·min(tid) + c_i for
+    * EVERY i, all 16 "independent" minhashes picked the same argmin
+    * token, and banding emitted 74% of carve all-pairs at sf0.01 —
+    * correct (verify-after) but the max-candidate operating point, the
+    * q223 key-entropy bug class. MinhashFamilySpec locks per-doc argmin
+    * diversity > 1 on dictionary ids as the regression gate. Overflow:
+    * (48271·16 mod P) < P < 2^17 and ids < P on every caller (dictionary
+    * ranks or pmod(xxhash64, P)), so each product < 2^34 — exact int64. */
   private[graft] def minhashArr(ids: Column): Column = transform(
     sequence(lit(0), lit(15)),
-    i => array_min(transform(ids, id => ((lit(4) * i + 3) * id + (lit(7) * i + 5)) % P)))
+    i => array_min(transform(ids, id => ((lit(48271) * (i + 1) % P) * id + (lit(7) * i + 5)) % P)))
 
   /** Band signatures (4 bands × 4 rows, base-131 chaining) from an
     * already-materialized 16-minhash array attribute — see minhashArr for
@@ -276,8 +291,9 @@ object LlmExt2 {
     // dissimilar pairs (the overwhelming majority) almost never become
     // candidates — THIS is what keeps the verify join linear at scale
     // (2-row bands collide at s^2 and drowned sf0.1 in ~250k candidates).
-    // Hash family: h_i(id) = ((4i+3)·id + 7i+5) mod P over dictionary ids;
-    // band signature chains the 4 minhashes in base 131 (collisions are
+    // Hash family: h_i(id) = ((48271·(i+1) mod P)·id + 7i+5) mod P over
+    // dictionary ids (the wrapping family — see minhashArr's note); band
+    // signature chains the 4 minhashes in base 131 (collisions are
     // deterministic and only add candidates, which exact-verify filters).
     "q46_minhash_lsh" -> QDef(
       (s, d) => {
@@ -316,10 +332,12 @@ object LlmExt2 {
         // token-equijoin COUNT(*) — but the plan joins |cand| pairs against
         // |docs| id arrays (two hash joins) instead of re-exploding every
         // candidate's token set through a shuffle join + re-aggregation.
-        // On this dense corpus (31-token vocab, ~22% of same-lang pairs
-        // become candidates) the token-level verify was q46's dominant
-        // stage; the array form is what a production verify does at scale
-        // too — signatures JOIN, payload arrays TRAVEL, intersection is
+        // On this dense corpus the token-level verify was q46's dominant
+        // stage (with the pre-round-15 degenerate family, ~74% of
+        // same-lang pairs became candidates; the wrapping family cuts
+        // that to the true S-curve volume — q83 measures it); the array
+        // form is what a production verify does at scale too —
+        // signatures JOIN, payload arrays TRAVEL, intersection is
         // per-row CPU.
         val idArrs = tokIds.select(col("doc_id"), col("ids"))
         val verified = cand
@@ -340,7 +358,7 @@ object LlmExt2 {
          |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
          |         FROM (SELECT DISTINCT tok FROM toks) u),
          |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
-         |mh AS (SELECT doc_id, lang, i, MIN(((4*i+3)*tid + (7*i+5)) % $P) AS mh
+         |mh AS (SELECT doc_id, lang, i, MIN(((48271*(i+1) % $P)*tid + (7*i+5)) % $P) AS mh
          |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
          |sig AS (SELECT doc_id, lang, CAST(i // 4 AS BIGINT) AS band,
          |          CAST(SUM(mh * CASE WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 131

@@ -64,6 +64,13 @@ object Round14 {
 
   private val P = 104729L
 
+  /** The q252 (bands × rows/band) levels at the fixed 16-hash budget —
+    * ONE definition shared by bandCurveParts (signature construction) and
+    * the q252 query body (output labeling), so the reported rows_per_band
+    * can never drift from the signatures actually measured (round-14
+    * ADVICE). The oracle's VALUES list replays it verbatim. */
+  private[graft] val bandLevels: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
   /** The shared q252/q253 carve: char-4-gram shingle sets per doc (the
     * q65 basis — the 31-WORD vocabulary makes word-token similarity
     * degenerate; see the q252 plan-shape note). Checkpointed: every
@@ -80,11 +87,12 @@ object Round14 {
       .localCheckpoint() // feeds both sides of the all-pairs join
 
   /** 16 minhashes over dictionary-ranked shingle ids, as ONE array column
-    * — the WRAPPING hash family (48271·(i+1) mod P multipliers; q46's
-    * small multipliers never wrap on small tids and the family stops
-    * permuting — the q252 plan-shape note). Staged per the HOF
-    * discipline: the array is one projection of the plain `ids`
-    * attribute. */
+    * — the WRAPPING hash family (48271·(i+1) mod P multipliers), since
+    * round 15 the SAME family as the production `LlmExt2.minhashArr`
+    * (this query is where the degeneracy of the old small-multiplier
+    * family was measured; the fix was then promoted to the production
+    * path). Staged per the HOF discipline: the array is one projection
+    * of the plain `ids` attribute. */
   private[graft] def shingleMinhash(docsT: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = docsT.select(col("doc_id"), col("lang"),
@@ -92,9 +100,7 @@ object Round14 {
     toks.join(LlmExt2.tokenDict(toks), "tok")
       .groupBy("doc_id", "lang")
       .agg(collect_list(col("tid").cast("long")).as("ids"))
-      .withColumn("mh", transform(sequence(lit(0), lit(15)),
-        i => array_min(transform(col("ids"),
-          id => ((lit(48271) * (i + 1) % P) * id + (lit(7) * i + 5)) % P))))
+      .withColumn("mh", LlmExt2.minhashArr(col("ids")))
       .select("doc_id", "lang", "mh")
   }
 
@@ -106,7 +112,7 @@ object Round14 {
     import s.implicits._
     val coefs = array(Seq(1L, 131L, 17161L, 248085L, 499039L, 373914L,
       982590L, 718906L).map(lit): _*)
-    val levels = Seq((2, 8), (4, 4), (8, 2), (16, 1)).toDF("nbands", "rpb")
+    val levels = bandLevels.toDF("nbands", "rpb")
     val docsT = shingleDocs(s, d)
     // 32-way spread of the probe side (q83/q97 lesson: the checkpointed
     // doc table is byte-small, AQE coalesces to one task otherwise)
@@ -245,16 +251,17 @@ object Round14 {
     //  1. basis = char-4-gram shingles (q65's), not word tokens — the
     //     31-word vocabulary makes word-token sets near-identical and the
     //     whole curve collapses to one flat row;
-    //  2. hash family = (48271·(i+1) mod P)·tid + 7i+5 mod P, not q46's
-    //     (4i+3)·tid + 7i+5: with multipliers ≤ 67 and tid < P/67 the
-    //     affine map NEVER WRAPS, so min((4i+3)·tid+…) = (4i+3)·min(tid)+…
-    //     for EVERY i — all 16 "independent" minhashes pick the same
-    //     argmin token and every band config produces identical
-    //     candidates (measured: flat 545-candidate curve). 48271·(i+1)
-    //     wraps from tid ≥ 3, restoring per-i permutations. q46/q75/q83
-    //     keep the legacy family (their verify-after step makes emitted
-    //     PAIRS exact regardless; only a CURVE needs the family to
-    //     actually permute).
+    //  2. hash family = (48271·(i+1) mod P)·tid + 7i+5 mod P, not the
+    //     original (4i+3)·tid + 7i+5: with multipliers ≤ 67 and
+    //     tid < P/67 the affine map NEVER WRAPS, so min((4i+3)·tid+…) =
+    //     (4i+3)·min(tid)+… for EVERY i — all 16 "independent" minhashes
+    //     pick the same argmin token and every band config produces
+    //     identical candidates (measured: flat 545-candidate curve).
+    //     48271·(i+1) wraps from tid ≥ 3, restoring per-i permutations.
+    //     Round 15 promoted this family into the production
+    //     `LlmExt2.minhashArr` (q46/q75/q78/q83 + streaming s9), so the
+    //     curve this query declares now tunes the family the production
+    //     join actually runs.
     // Band signatures chain the r minhashes with fixed literal
     // coefficients (131^j mod 1000003 — each term < 2^17·2^20, a sum of
     // ≤ 8 < 2^43, exact BIGINT in both engines; q83's 131-power chain
@@ -272,8 +279,7 @@ object Round14 {
     "q252_lsh_band_curve" -> QDef(
       (s, d) => {
         import s.implicits._
-        val levels = Seq((2, 8), (4, 4), (8, 2), (16, 1))
-          .toDF("nbands", "rpb")
+        val levels = bandLevels.toDF("nbands", "rpb")
         val (exact, cand) = bandCurveParts(s, d)
         val nExact = exact.agg(count(lit(1)).as("n_exact"))
         val perLevel = cand.groupBy("nbands").agg(count(lit(1)).as("n_cand"))

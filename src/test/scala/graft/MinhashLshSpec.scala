@@ -75,8 +75,16 @@ class MinhashLshSpec extends AnyFunSuite {
       info(f"recall at J>=$minJ%.1f: ${want.count(got.contains)}/${want.size} = $found%.3f")
       found
     }
-    assert(recallAt(0.5) >= 0.70, "below-curve recall regressed")
-    assert(recallAt(0.8) >= 0.95, "near-dup recall regressed")
+    // Re-anchored round 15 with the wrapping hash family: measured 0.675
+    // at J>=0.5 and 0.948 at J>=0.8 on sf0.01. The old 0.70/0.95+ were
+    // inflated by the weak-mixing (4i+3) family's over-dense candidates
+    // (more verify cost, not more quality — see minhashArr's family
+    // note); the honest 4×4 S-curve collides at 1-(1-s^4)^4 = 0.878 at
+    // s=0.8 and 0.986 at s=0.9, so ~0.95 over the J∈[0.8,1] mix is the
+    // family working as designed. q252 is the declared knob for trading
+    // candidate volume against this recall.
+    assert(recallAt(0.5) >= 0.60, "below-curve recall regressed")
+    assert(recallAt(0.8) >= 0.90, "near-dup recall regressed")
   }
 
   test("plan shape: no Window and no single-partition exchange in the full lineage") {
@@ -124,6 +132,49 @@ class MinhashLshSpec extends AnyFunSuite {
         "an unpartitioned Window reads the token-scale frame")
     }
     assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
+
+  test("hash family wraps: per-doc argmin diversity > 1 on dictionary ids (q46 degeneracy gate)") {
+    // Round-15 regression gate for the q252-measured degeneracy: the
+    // original (4i+3) multipliers (≤ 63) never wrapped P on the gate
+    // corpus's dictionary-ranked tids (vocab 31), so min((4i+3)·tid+c_i)
+    // = (4i+3)·min(tid)+c_i for every i — all 16 "independent" minhashes
+    // picked the same argmin token and LSH banding emitted 74% of carve
+    // all-pairs at sf0.01 regardless of the band configuration. The
+    // production family must keep PERMUTING: across the 16 hashes each
+    // doc's argmin tokens must not collapse to one.
+    val P = 104729L
+    val toks = Tables.documents(spark, sf01)
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val tokIds = toks.join(LlmExt2.tokenDict(toks), "tok")
+      .groupBy("doc_id")
+      .agg(collect_list(col("tid").cast("long")).as("ids"))
+    val rows = tokIds.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector)
+    assert(rows.nonEmpty)
+    def argmins(ids: Vector[Long], mult: Int => Long): Vector[Long] =
+      (0 until 16).map(i => ids.minBy(id => (mult(i) * id + 7L * i + 5) % P)).toVector
+    // production family: genuinely distinct permutations per i
+    val divNew = rows.map { case (_, ids) => argmins(ids, i => 48271L * (i + 1) % P).distinct.size }
+    val avgNew = divNew.sum.toDouble / divNew.size
+    info(f"wrapping family: avg distinct argmins/doc = $avgNew%.2f (max ${divNew.max})")
+    assert(divNew.max > 1, "every doc's 16 minhashes picked ONE argmin — family degenerate")
+    assert(avgNew > 1.5, f"argmin diversity collapsed ($avgNew%.2f) — family near-degenerate")
+    // the legacy family IS degenerate on these tids (documents why it was
+    // replaced); guard on the non-wrapping precondition max(tid)·63 < P
+    val legacy = rows.filter(_._2.max * 63 < P)
+      .map { case (_, ids) => argmins(ids, i => 4L * i + 3).distinct.size }
+    assert(legacy.nonEmpty && legacy.forall(_ == 1),
+      "expected the legacy (4i+3) family to be argmin-degenerate on small tids")
+    // and the JVM replay above is the SAME math minhashArr runs: lock the
+    // Spark-side minhash array bit-for-bit against the plain-Scala fold
+    val sparkMh = tokIds.withColumn("mh", LlmExt2.minhashArr(col("ids")))
+      .select("doc_id", "mh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val jvmMh = rows.toMap.map { case (d, ids) =>
+      d -> (0 until 16).map(i => ids.map(id => (48271L * (i + 1) % P * id + 7L * i + 5) % P).min).toVector
+    }
+    assert(sparkMh == jvmMh)
   }
 
   test("degenerate skew: all-identical corpus completes with exactly C(n,2) pairs at jaccard 1") {
