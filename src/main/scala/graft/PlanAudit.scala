@@ -92,6 +92,11 @@ object PlanAudit {
     // q187 lesson). The probe side is the packed-codes scan — the whole
     // point is that it streams map-side against the broadcast LUTs.
     "q206_pq_adc",
+    // q254: q206's ADC shape × 3 capacity levels — each level's scan
+    // builds on the same per-query LUT-array aggregate over the
+    // vec_id < 10 carve (one row per query; the .limit(maxQ) no-op folds
+    // away, the q206/q187 lesson). Probe side is the packed-codes scan.
+    "q254_pq_capacity_curve",
     // q217: the two inequality (zone-overlap / day-in-range) joins build
     // on the 8-predicate table = Range(8) × a 1-row grouping-free
     // min/max aggregate. Each FACTOR is bounded-by-construction, but

@@ -27,7 +27,7 @@ object SparkEntry {
       ops.Round10s.defs ++ ops.Round10t.defs ++ ops.Round11.defs ++
       ops.Round11b.defs ++ ops.Round11c.defs ++ ops.Round12.defs ++
       ops.Round12b.defs ++ ops.Round12c.defs ++ ops.Round13.defs ++
-      ops.Round13b.defs ++ ops.Round14.defs
+      ops.Round13b.defs ++ ops.Round14.defs ++ ops.Round15.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q35_broadcast_rules IS the reference's reason to exist (the Flink

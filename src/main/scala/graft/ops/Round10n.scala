@@ -75,7 +75,15 @@ object Round10n {
     * assignment: (codes(vec_id, s, code, dist), centroids(s, j, c)).
     * Both localCheckpointed — the codebook feeds training output, ADC
     * LUTs, and the ScaleCurve harness. */
-  private[graft] def pqCodebook(emb: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def pqCodebook(emb: DataFrame): (DataFrame, DataFrame) =
+    pqCodebookK(emb, 16)
+
+  /** pqCodebook generalized to a CAPACITY parameter kc (centroids per
+    * subspace) — the q254 operating-curve knob. Seeds = the first kc
+    * vectors' subvectors; the dist·65536+j key encoding holds for any
+    * kc ≤ 65536 (dist ≤ 3.2e13, key < 2.1e18 < 2^63). Everything else is
+    * the q205 contract verbatim, so kc = 16 IS q205's training. */
+  private[graft] def pqCodebookK(emb: DataFrame, kc: Int): (DataFrame, DataFrame) = {
     // Only c1/c2 are checkpointed: each is referenced twice (the next
     // assign + the next update's fallback join), so an un-checkpointed
     // codebook would re-execute its whole training lineage per reference
@@ -86,7 +94,7 @@ object Round10n {
     // warm on the same contended window; the residual is the 2 training
     // checkpoints + ~6 shuffle barriers, constant in corpus size).
     val sub = pqSub(emb)
-    val c0 = sub.where(col("vec_id") < 16)
+    val c0 = sub.where(col("vec_id") < kc)
       .select(col("s"), col("vec_id").as("j"), col("v").as("c"))
     val c1 = update(assign(sub, c0), c0).localCheckpoint()
     val c2 = update(assign(sub, c1), c1).localCheckpoint()
@@ -109,15 +117,18 @@ object Round10n {
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x("code")).as("ca"))
 
-  /** Per-query ADC lookup table as ONE 128-long array indexed by
-    * s·16 + j — the whole-query LUT a scan reads per row. */
-  private[graft] def lutArrays(qsub: DataFrame, cent: DataFrame): DataFrame =
+  /** Per-query ADC lookup table as ONE (8·kc)-long array indexed by
+    * s·kc + j — the whole-query LUT a scan reads per row. */
+  private[graft] def lutArraysK(qsub: DataFrame, cent: DataFrame, kc: Int): DataFrame =
     qsub.join(broadcast(cent), Seq("s"))
-      .select(col("qid"), (col("s") * 16 + col("j")).as("idx"),
+      .select(col("qid"), (col("s") * kc + col("j")).as("idx"),
         expr(distE).as("ld"))
       .groupBy("qid")
       .agg(transform(array_sort(collect_list(struct(col("idx"), col("ld")))),
         x => x("ld")).as("la"))
+
+  private[graft] def lutArrays(qsub: DataFrame, cent: DataFrame): DataFrame =
+    lutArraysK(qsub, cent, 16)
 
   /** ADC distances for every (query, vector) pair as a pure MAP-SIDE
     * lookup sum: packed codes × broadcast LUT arrays (the `.limit(maxQ)`
@@ -126,17 +137,21 @@ object Round10n {
     * interpreted per row and dominated the 25M-row curve scan; the
     * unrolled element_at sum stays inside whole-stage codegen.
     * Returns (qid, vid, adc_dist). */
-  private[graft] def adcDistances(codes: DataFrame, cent: DataFrame,
-      qsub: DataFrame, maxQ: Int): DataFrame = {
+  private[graft] def adcDistancesK(codes: DataFrame, cent: DataFrame,
+      qsub: DataFrame, maxQ: Int, kc: Int): DataFrame = {
     val lookupSum = (0 until 8)
-      .map(s => s"element_at(la, CAST(${s * 16} + element_at(ca, ${s + 1}) + 1 AS INT))")
+      .map(s => s"element_at(la, CAST(${s * kc} + element_at(ca, ${s + 1}) + 1 AS INT))")
       .mkString(" + ")
     packedCodes(codes)
-      .crossJoin(broadcast(lutArrays(qsub, cent).limit(maxQ)))
+      .crossJoin(broadcast(lutArraysK(qsub, cent, kc).limit(maxQ)))
       .select(col("qid"), col("vec_id").as("vid"),
         expr(lookupSum).as("adc_dist"))
       .where(col("vid") =!= col("qid"))
   }
+
+  private[graft] def adcDistances(codes: DataFrame, cent: DataFrame,
+      qsub: DataFrame, maxQ: Int): DataFrame =
+    adcDistancesK(codes, cent, qsub, maxQ, 16)
 
   /** The full training pipeline as DuckDB CTEs, shared by both oracles:
     * binds `sub` (subspace rows), `c2` (trained centroids), and `codes`
