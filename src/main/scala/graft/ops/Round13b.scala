@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,79 @@ object Round13b {
     (norm2(ad) + norm2(bd) - lit(2.0) * dotCol(ad, bd)).cast("long")
   }
 
+  /** q247's whole plan, parameterized by the ACCUMULATOR domain:
+    * `decimalAcc = false` is the declared int64 form (exact through
+    * ~1.4e5 members/cell — nj·a2 ≤ nj·64·(1e6)² must stay < 2^63 — with
+    * a raise_error guard at that bound, round-15 ADVICE); `decimalAcc =
+    * true` is the documented past-the-bound remedy with (Σv, Σ‖v‖²,
+    * dot_s) in DECIMAL(38,0) and sd2 cast back to long for the identical
+    * double division. Round15Spec locks the two forms bit-equal at gate
+    * scale (they overlap everywhere below the bound), so the remedy is
+    * proven, not named. */
+  private[graft] def cellSilhouette(s: org.apache.spark.sql.SparkSession,
+      d: String, decimalAcc: Boolean = false): DataFrame = {
+    val acc: Column => Column =
+      if (decimalAcc) c => c.cast("decimal(38,0)") else identity
+    val qv = Round11.quantized(embeddings(s, d))
+    val c0 = qv.where(col("vec_id") < 8)
+      .select(col("vec_id").as("j"), col("v").as("c"))
+    val c1 = Round11.cUpdate(Round11.cAssign(qv, c0, 8), c0).localCheckpoint()
+    val wn = Round11.cAssign(qv, c1, 8)
+      .select(col("vec_id"), col("list_id"),
+        col("v").cast("array<double>").as("vd"))
+      .localCheckpoint() // carve + the stats rollup
+    val carve = wn.where(col("vec_id") % 97 === 3 && col("vec_id") < 2000)
+      .select(col("vec_id").as("aid"), col("list_id").as("own_list"),
+        col("vd").as("av"))
+      .limit(21)
+      .localCheckpoint() // exploded dot leg + the final spine
+    // one N-pass: per-(cell, dim) Σv and Σv², exact longs (or DECIMAL)
+    val sLong = wn.select(col("list_id"), posexplode(col("vd")))
+      .select(col("list_id"), col("pos"), col("col").cast("long").as("vk"))
+      .groupBy("list_id", "pos")
+      .agg(sum(acc(col("vk"))).as("sk"), sum(acc(col("vk") * col("vk"))).as("qk"))
+      .localCheckpoint() // dot join + the per-cell rollup
+    val cell = sLong.groupBy("list_id").agg(sum("qk").as("qj"))
+      .join(wn.groupBy("list_id").agg(count(lit(1)).as("nj")), Seq("list_id"))
+    // v·S_j per (carve, cell): explode each carve vector once, join on dim
+    val av = carve.select(col("aid"), posexplode(col("av")))
+      .select(col("aid"), col("pos"), col("col").cast("long").as("ak"))
+      .localCheckpoint() // dot leg + the ‖v‖² rollup
+    val a2 = av.groupBy("aid").agg(sum(acc(col("ak") * col("ak"))).as("a2"))
+    val sd2Raw = col("nj") * col("a2") - lit(2L) * col("dot_s") + col("qj")
+    val sd2 =
+      if (decimalAcc) sd2Raw.cast("long")
+      else when(col("nj") > lit(140000L), raise_error(lit(
+          "q247: cell exceeds 140000 members — int64 sd2 would overflow; " +
+            "use the DECIMAL accumulator leg (cellSilhouette(decimalAcc = " +
+            "true), bit-equal below the bound per Round15Spec)")).cast("long"))
+        .otherwise(sd2Raw)
+    val stats = av.join(broadcast(sLong), Seq("pos"))
+      .groupBy("aid", "list_id").agg(sum(acc(col("ak")) * col("sk")).as("dot_s"))
+      .join(broadcast(cell), Seq("list_id"))
+      .join(broadcast(a2), Seq("aid"))
+      .join(broadcast(carve.select(col("aid"), col("own_list"))), Seq("aid"))
+      .withColumn("sd2", sd2)
+      .withColumn("md", when(col("list_id") === col("own_list"),
+          when(col("nj") > 1,
+            col("sd2").cast("double") / (col("nj") - 1).cast("double")))
+        .otherwise(col("sd2").cast("double") / col("nj").cast("double")))
+      .localCheckpoint() // own slice + other-cells min
+    val own = stats.where(col("list_id") === col("own_list") && col("md").isNotNull)
+      .select(col("aid").as("vec_id"), col("md").as("a"))
+    val oth = stats.where(col("list_id") =!= col("own_list"))
+      .groupBy(col("aid").as("vec_id")).agg(min("md").as("b"))
+    carve.select(col("aid").as("vec_id"), col("own_list"))
+      .join(own, Seq("vec_id"), "left")
+      .join(oth, Seq("vec_id"), "left")
+      .withColumn("silhouette",
+        when(col("a").isNull || col("b").isNull, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .select(col("vec_id"), col("own_list"), col("a"), col("b"),
+        col("silhouette"))
+      .orderBy("vec_id")
+  }
+
   val defs: Vector[(String, QDef)] = Vector(
 
     // --------------------------------------------------------------- q247
@@ -55,59 +128,7 @@ object Round13b {
     // carve touches only the 512-row stats table — no carve×N distance
     // pass at all, the audit cost is O(N + carve·nlist·dim).
     "q247_cell_silhouette" -> QDef(
-      (s, d) => {
-        val qv = Round11.quantized(embeddings(s, d))
-        val c0 = qv.where(col("vec_id") < 8)
-          .select(col("vec_id").as("j"), col("v").as("c"))
-        val c1 = Round11.cUpdate(Round11.cAssign(qv, c0, 8), c0).localCheckpoint()
-        val wn = Round11.cAssign(qv, c1, 8)
-          .select(col("vec_id"), col("list_id"),
-            col("v").cast("array<double>").as("vd"))
-          .localCheckpoint() // carve + the stats rollup
-        val carve = wn.where(col("vec_id") % 97 === 3 && col("vec_id") < 2000)
-          .select(col("vec_id").as("aid"), col("list_id").as("own_list"),
-            col("vd").as("av"))
-          .limit(21)
-          .localCheckpoint() // exploded dot leg + the final spine
-        // one N-pass: per-(cell, dim) Σv and Σv², exact longs
-        val sLong = wn.select(col("list_id"), posexplode(col("vd")))
-          .select(col("list_id"), col("pos"), col("col").cast("long").as("vk"))
-          .groupBy("list_id", "pos")
-          .agg(sum("vk").as("sk"), sum(col("vk") * col("vk")).as("qk"))
-          .localCheckpoint() // dot join + the per-cell rollup
-        val cell = sLong.groupBy("list_id").agg(sum("qk").as("qj"))
-          .join(wn.groupBy("list_id").agg(count(lit(1)).as("nj")), Seq("list_id"))
-        // v·S_j per (carve, cell): explode each carve vector once, join on dim
-        val av = carve.select(col("aid"), posexplode(col("av")))
-          .select(col("aid"), col("pos"), col("col").cast("long").as("ak"))
-          .localCheckpoint() // dot leg + the ‖v‖² rollup
-        val a2 = av.groupBy("aid").agg(sum(col("ak") * col("ak")).as("a2"))
-        val stats = av.join(broadcast(sLong), Seq("pos"))
-          .groupBy("aid", "list_id").agg(sum(col("ak") * col("sk")).as("dot_s"))
-          .join(broadcast(cell), Seq("list_id"))
-          .join(broadcast(a2), Seq("aid"))
-          .join(broadcast(carve.select(col("aid"), col("own_list"))), Seq("aid"))
-          .withColumn("sd2",
-            col("nj") * col("a2") - lit(2L) * col("dot_s") + col("qj"))
-          .withColumn("md", when(col("list_id") === col("own_list"),
-              when(col("nj") > 1,
-                col("sd2").cast("double") / (col("nj") - 1).cast("double")))
-            .otherwise(col("sd2").cast("double") / col("nj").cast("double")))
-          .localCheckpoint() // own slice + other-cells min
-        val own = stats.where(col("list_id") === col("own_list") && col("md").isNotNull)
-          .select(col("aid").as("vec_id"), col("md").as("a"))
-        val oth = stats.where(col("list_id") =!= col("own_list"))
-          .groupBy(col("aid").as("vec_id")).agg(min("md").as("b"))
-        carve.select(col("aid").as("vec_id"), col("own_list"))
-          .join(own, Seq("vec_id"), "left")
-          .join(oth, Seq("vec_id"), "left")
-          .withColumn("silhouette",
-            when(col("a").isNull || col("b").isNull, lit(0.0))
-              .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
-          .select(col("vec_id"), col("own_list"), col("a"), col("b"),
-            col("silhouette"))
-          .orderBy("vec_id")
-      },
+      (s, d) => cellSilhouette(s, d),
       s"""WITH ${Round11.oracleCoarse},
          |wn AS (SELECT vec_id, CAST(key % 8 AS BIGINT) AS list_id, v
          |       FROM asg),
