@@ -2184,17 +2184,22 @@ object Demos {
     * snapshot, keeper-count-sized (≤ |clusters| rows, broadcast-scale at
     * any corpus size).
     *
-    * MONOTONE ADMISSION, by design: the fold is argmax over (snapshot ∪
-    * batch), so a doc RE-ingested with edited lower-quality text never
-    * demotes or updates its committed keeper row — the stale
-    * (doc_id, quality) persists until some batch beats it. This is the
-    * classic append-only keeper semantics (quality can only rise);
-    * it is deliberately ASYMMETRIC with s37's latest-version-wins chunk
-    * store. A mutable-corpus deployment that must honor edits would key
-    * the snapshot∪batch union by doc_id latest-version (s37's rule)
-    * BEFORE the argmax — one extra groupBy("doc_id").agg(max_by(...,
-    * version)) stage — at the cost of carrying per-doc versions in the
-    * snapshot. */
+    * LATEST-VERSION-WINS (round 15 — unified with s37's chunk-store
+    * rule): the snapshot carries each keeper's admission batch as `ver`,
+    * and the fold re-keys (snapshot ∪ batch) by doc_id latest-version
+    * BEFORE the argmax. A doc RE-ingested with edited text therefore
+    * REPLACES its committed (doc_id, quality) row first — a
+    * lower-quality edit of the committed keeper DEMOTES it, and the
+    * cluster's keeper becomes the argmax over (the edited row ∪ the
+    * batch's other members). Note what demotion can and cannot recover:
+    * the snapshot is keeper-count-sized by design, so the historical
+    * runner-up is NOT retained — recovering it would need full-corpus
+    * state (the batch q245 form recomputes it; a stream cannot at this
+    * state budget). Within one batch a doc_id appears at most once (the
+    * same per-batch ingest contract s37's ref log relies on — both
+    * stores key versions by batch id). StreamingDemosSpec locks the
+    * demotion path, batching-invariance on edit-free streams, and replay
+    * idempotence. */
   def s38QualityKeeperIngest(spark: SparkSession, docs: DataFrame,
       dir: String): StreamingQuery =
     docs.writeStream
@@ -2209,7 +2214,8 @@ object Demos {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val cand = graft.ops.Round13.withQuality(batch)
-      .select(col("lang"), col("source"), col("doc_id"), col("quality"))
+      .select(col("lang"), col("source"), col("doc_id"), col("quality"),
+        lit(batchId).as("ver"))
     val kdir = s"$dir/keepers"
     // resolve the FS from the path's OWN scheme, not the default FS — with
     // a local default and an s3a://…/hdfs://… dir, FileSystem.get would
@@ -2224,16 +2230,29 @@ object Demos {
       else fs.listStatus(new org.apache.hadoop.fs.Path(kdir)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("b="))
         .map(_.stripPrefix("b=").toLong).filter(_ < batchId)
-    val all = (if (prev.isEmpty) cand.limit(0)
+    val all0 = (if (prev.isEmpty) cand.limit(0)
       else spark.read.parquet(s"$kdir/b=${prev.max}")
-        .select("lang", "source", "doc_id", "quality"))
+        .select("lang", "source", "doc_id", "quality", "ver"))
       .unionAll(cand)
-      .localCheckpoint() // both argmax passes
+    // latest-version-wins per doc BEFORE the argmax (s37's rule): a
+    // re-ingested edit replaces the committed row — demotion included.
+    // Two-pass primitive form, same as the argmax below (no struct
+    // max_by — the SortAggregate trap); (doc_id, ver) is unique because
+    // the snapshot holds one row per doc and a batch ingests each doc
+    // at most once (the shared per-batch ingest contract).
+    val all = all0
+      .join(all0.groupBy("doc_id").agg(max("ver").as("ver")),
+        Seq("doc_id", "ver"))
+      .localCheckpoint() // both argmax passes + the ver rejoin
     val mx = all.groupBy("lang", "source").agg(max("quality").as("q"))
     all.join(mx, Seq("lang", "source"))
       .where(col("quality") === col("q"))
       .groupBy("lang", "source", "q").agg(min("doc_id").as("doc_id"))
       .select(col("lang"), col("source"), col("doc_id"), col("q").as("quality"))
+      // rejoin the kept doc's ver (doc_id is unique in `all`) so the next
+      // batch's latest-version re-key sees the keeper's true admission age
+      .join(all.select(col("doc_id"), col("ver")), Seq("doc_id"))
+      .select("lang", "source", "doc_id", "quality", "ver")
       .write.mode("overwrite").parquet(s"$kdir/b=$batchId")
   }
 

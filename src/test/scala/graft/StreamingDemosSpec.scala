@@ -616,7 +616,7 @@ class StreamingDemosSpec extends AnyFunSuite {
     assert(before == after)
   }
 
-  test("s38: quality-keeper admission — snapshot == JVM argmax fold; batching-invariant; replay idempotent; stateless") {
+  test("s38: quality-keeper admission — snapshot == JVM argmax fold; batching-invariant; latest-version-wins demotion; replay idempotent; stateless") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, SharedSpark.sf001)
@@ -676,6 +676,31 @@ class StreamingDemosSpec extends AnyFunSuite {
         r.getAs[Long]("doc_id")).toMap
     assert(afterBoost(k0._1) == 999999L,
       "a later better-quality member did not replace the committed keeper")
+
+    // LATEST-VERSION-WINS demotion (round 15 — unified with s37's chunk
+    // rule): re-ingest the now-committed keeper's own doc_id with a
+    // gutted edit. The fold must REPLACE its committed row BEFORE the
+    // argmax, so the cluster's keeper quality DROPS to the edit's —
+    // impossible under the old append-only argmax, where the stale
+    // higher-quality row shadowed every edit forever.
+    locally {
+      import spark.implicits._
+      val worse = QkDocIngest(999999L, k0._1._1, k0._1._2,
+        Seq.fill(100)("the").mkString(" "))
+      assert(quality(worse.text) < quality(boosted.text))
+      Demos.qualityKeeperBatch(Seq(worse).toDF(), dirB, 2L)
+      val afterDemote = Demos.keeperView(spark, dirB).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+          (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toMap
+      // the cluster re-folds over (edited keeper ∪ batch) = the edit only
+      // (the snapshot is keeper-sized: the historical runner-up is gone
+      // by design — the doc block says so)
+      assert(afterDemote(k0._1) == (999999L, quality(worse.text)),
+        "keeper did not follow the lower-quality edit — demotion failed")
+      // every other cluster untouched
+      assert(afterDemote.view.filterKeys(_ != k0._1).mapValues(_._1).toMap ==
+        afterBoost.view.filterKeys(_ != k0._1).toMap)
+    }
 
     // replay batch 1 with the same batchId: content-identical (exactly-once)
     import spark.implicits._
