@@ -317,8 +317,10 @@ object Curation {
          |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
          |         FROM (SELECT DISTINCT tok FROM toks) u),
          |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
-         |mh AS (SELECT doc_id, lang, i, MIN(((48271*(i+1) % 104729)*tid + (7*i+5)) % 104729) AS mh
-         |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+         |mh AS (SELECT doc_id, lang, i, MIN((h.mult*tid + (7*i+5)) % 104729) AS mh
+         |       FROM tid CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i,
+         |                    unnest([${LlmExt2.mhMultsSql}]) AS mult) h
+         |       GROUP BY doc_id, lang, i),
          |sig AS (SELECT doc_id, lang, CAST(i // 4 AS BIGINT) AS band,
          |          CAST(SUM(mh * CASE WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 131
          |                             WHEN i % 4 = 2 THEN 17161 ELSE 2248091 END) AS BIGINT) AS sig

@@ -319,7 +319,7 @@ object Curation2 {
           .withColumn("recall", col("n_hit") / col("n_exact"))
           .withColumn("cand_precision", col("n_hit") / col("n_cand"))
       },
-      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
         |toks AS (SELECT DISTINCT doc_id, lang, tok FROM
         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM d) t),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
@@ -334,8 +334,10 @@ object Curation2 {
         |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
         |         FROM (SELECT DISTINCT tok FROM toks) u),
         |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
-        |mh AS (SELECT doc_id, lang, i, MIN(((48271*(i+1) % 104729)*tid + (7*i+5)) % 104729) AS mh
-        |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+        |mh AS (SELECT doc_id, lang, i, MIN((h.mult*tid + (7*i+5)) % 104729) AS mh
+        |       FROM tid CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i,
+        |                    unnest([${LlmExt2.mhMultsSql}]) AS mult) h
+        |       GROUP BY doc_id, lang, i),
         |sig AS (SELECT doc_id, lang, CAST(i // 4 AS BIGINT) AS band,
         |          CAST(SUM(mh * CASE WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 131
         |                             WHEN i % 4 = 2 THEN 17161 ELSE 2248091 END) AS BIGINT) AS sig

@@ -71,34 +71,62 @@ object LlmExt2 {
 
   private val P = 104729L // prime modulus shared by the hash families
 
+  /** The 16 minhash multipliers: m_i = 69621^(i+1) mod P (Lehmer-style
+    * multiplicative chain — 69621 is a classic full-period MINSTD-family
+    * multiplier for 2^31−1-class moduli; here it simply generates 16
+    * multiplicatively UNRELATED residues, all ≥ 16063). Two rejected
+    * families, both measured degenerate at curve scale (ScaleCurve
+    * `mhfamily`, SCALE.md):
+    *  - (4i+3), rounds 1–14: multipliers ≤ 63 never wrap P on small
+    *    dictionary-ranked tids (vocab 31 ⇒ tid ≤ 31), so every h_i picks
+    *    the same argmin token and 4×4 banding emitted 74% of carve
+    *    all-pairs at sf0.01 — the q223 key-entropy bug class;
+    *  - 48271·(i+1), round 15's first cut: wraps fine, but every
+    *    multiplier shares the factor 48271, so h_i(id) = (i+1)·y mod P
+    *    over the SAME y = 48271·id mod P — the 16 argmins stay
+    *    correlated through y's minimum, and on a 66k-vocab corpus the
+    *    band join emitted 38.5M candidates at 320k docs where the true
+    *    S-curve volume is ~130k (296× inflation, quadratic growth; the
+    *    exact-key harness variant isolates chain collisions at only ~74
+    *    of those rows — the mass was REAL correlated-band agreement).
+    * Powers of one generator have no common factor (gcd(g^a, g^b) mod P
+    * is not a thing — each residue is multiplicatively independent as a
+    * map), and the measured curve confirms: 130k candidates at 320k
+    * real-regime docs, matching the brute S-curve floor. */
+  private[graft] val mhMults: IndexedSeq[Long] =
+    Iterator.iterate(69621L)(m => m * 69621L % P).take(16).toIndexedSeq
+
+  /** The multiplier list as a DuckDB list literal — every oracle that
+    * replays the family interpolates THIS string, so Spark and SQL can
+    * never drift (zip it against generate_series(0, 15) with parallel
+    * unnest). */
+  private[graft] val mhMultsSql: String = mhMults.mkString(", ")
+
   /** All 16 minhashes of a token-id array, h_i(id) =
-    * ((48271·(i+1) mod P)·id + 7i+5) mod P, as one per-row projection —
-    * O(16·|ids|) work that must run ONCE per row. Its consumer
-    * (`bandSigsFromMh`) therefore lives in a SEPARATE projection: HOF
-    * lambdas are interpreted with no common-subexpression elimination, so
-    * inlining this subtree under the 16 `element_at` references of the
-    * band chain re-evaluated the whole minhash family 16× per row (the
-    * round-6 q46/q75 2-3× regression). `ids` must itself be a plain
-    * attribute for the same reason — the inner `transform(ids, …)`
-    * references it 16×. CollapseProject keeps the staged projections
-    * apart (non-cheap producer referenced >1).
-    *
-    * Family choice (round 15, the q252 lesson promoted to the production
-    * path): multipliers are 48271·(i+1) mod P — large enough that the
-    * affine map WRAPS mod P from id ≥ 3, so each h_i is a genuinely
-    * different permutation. The original (4i+3) multipliers (≤ 63) never
-    * exceeded P on small dictionary-ranked tids (vocab 31 ⇒ tid ≤ 31 at
-    * gate scale): min((4i+3)·tid + c_i) = (4i+3)·min(tid) + c_i for
-    * EVERY i, all 16 "independent" minhashes picked the same argmin
-    * token, and banding emitted 74% of carve all-pairs at sf0.01 —
-    * correct (verify-after) but the max-candidate operating point, the
-    * q223 key-entropy bug class. MinhashFamilySpec locks per-doc argmin
-    * diversity > 1 on dictionary ids as the regression gate. Overflow:
-    * (48271·16 mod P) < P < 2^17 and ids < P on every caller (dictionary
-    * ranks or pmod(xxhash64, P)), so each product < 2^34 — exact int64. */
-  private[graft] def minhashArr(ids: Column): Column = transform(
-    sequence(lit(0), lit(15)),
-    i => array_min(transform(ids, id => ((lit(48271) * (i + 1) % P) * id + (lit(7) * i + 5)) % P)))
+    * (m_i·id + 7i+5) mod P with m_i = [[mhMults]], as one per-row
+    * projection — O(16·|ids|) work that must run ONCE per row. Its
+    * consumer (`bandSigsFromMh`) therefore lives in a SEPARATE
+    * projection: HOF lambdas are interpreted with no common-subexpression
+    * elimination, so inlining this subtree under the 16 `element_at`
+    * references of the band chain re-evaluated the whole minhash family
+    * 16× per row (the round-6 q46/q75 2-3× regression). `ids` must
+    * itself be a plain attribute for the same reason — the inner
+    * `transform(ids, …)` references it 16×. CollapseProject keeps the
+    * staged projections apart (non-cheap producer referenced >1).
+    * MinhashLshSpec locks per-doc argmin diversity > 1 on dictionary ids
+    * (the family-degeneracy regression gate) plus a bit-exact JVM
+    * replay. Overflow: m_i < P < 2^17 and ids < P on every caller
+    * (dictionary ranks or pmod(xxhash64, P)), so each product < 2^34 —
+    * exact int64. The multiplier lookup is element_at on a
+    * constant-folded literal array — an O(1) index, safe inside the
+    * interpreted lambda. */
+  private[graft] def minhashArr(ids: Column): Column = {
+    val mults = array(mhMults.map(lit): _*)
+    transform(
+      sequence(lit(0), lit(15)),
+      i => array_min(transform(ids,
+        id => (element_at(mults, (i + 1).cast("int")) * id + (lit(7) * i + 5)) % P)))
+  }
 
   /** Band signatures (4 bands × 4 rows, base-131 chaining) from an
     * already-materialized 16-minhash array attribute — see minhashArr for
@@ -291,10 +319,10 @@ object LlmExt2 {
     // dissimilar pairs (the overwhelming majority) almost never become
     // candidates — THIS is what keeps the verify join linear at scale
     // (2-row bands collide at s^2 and drowned sf0.1 in ~250k candidates).
-    // Hash family: h_i(id) = ((48271·(i+1) mod P)·id + 7i+5) mod P over
-    // dictionary ids (the wrapping family — see minhashArr's note); band
-    // signature chains the 4 minhashes in base 131 (collisions are
-    // deterministic and only add candidates, which exact-verify filters).
+    // Hash family: h_i(id) = (mhMults(i)·id + 7i+5) mod P over dictionary
+    // ids (see minhashArr's family note); band signature chains the 4
+    // minhashes in base 131 (collisions are deterministic and only add
+    // candidates, which exact-verify filters).
     "q46_minhash_lsh" -> QDef(
       (s, d) => {
         // Sampled blocking (doc_id % 3): this corpus has a 31-token
@@ -334,8 +362,8 @@ object LlmExt2 {
         // candidate's token set through a shuffle join + re-aggregation.
         // On this dense corpus the token-level verify was q46's dominant
         // stage (with the pre-round-15 degenerate family, ~74% of
-        // same-lang pairs became candidates; the wrapping family cuts
-        // that to the true S-curve volume — q83 measures it); the array
+        // same-lang pairs became candidates; the power-residue family
+        // cuts that to the true S-curve volume — q83 measures it); the array
         // form is what a production verify does at scale too —
         // signatures JOIN, payload arrays TRAVEL, intersection is
         // per-row CPU.
@@ -358,8 +386,10 @@ object LlmExt2 {
          |dict AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
          |         FROM (SELECT DISTINCT tok FROM toks) u),
          |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
-         |mh AS (SELECT doc_id, lang, i, MIN(((48271*(i+1) % $P)*tid + (7*i+5)) % $P) AS mh
-         |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+         |mh AS (SELECT doc_id, lang, i, MIN((h.mult*tid + (7*i+5)) % $P) AS mh
+         |       FROM tid CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i,
+         |                    unnest([${mhMultsSql}]) AS mult) h
+         |       GROUP BY doc_id, lang, i),
          |sig AS (SELECT doc_id, lang, CAST(i // 4 AS BIGINT) AS band,
          |          CAST(SUM(mh * CASE WHEN i % 4 = 0 THEN 1 WHEN i % 4 = 1 THEN 131
          |                             WHEN i % 4 = 2 THEN 17161 ELSE 2248091 END) AS BIGINT) AS sig

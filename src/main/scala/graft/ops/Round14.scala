@@ -87,12 +87,13 @@ object Round14 {
       .localCheckpoint() // feeds both sides of the all-pairs join
 
   /** 16 minhashes over dictionary-ranked shingle ids, as ONE array column
-    * — the WRAPPING hash family (48271·(i+1) mod P multipliers), since
-    * round 15 the SAME family as the production `LlmExt2.minhashArr`
-    * (this query is where the degeneracy of the old small-multiplier
-    * family was measured; the fix was then promoted to the production
-    * path). Staged per the HOF discipline: the array is one projection
-    * of the plain `ids` attribute. */
+    * — since round 15 the SAME family as the production
+    * `LlmExt2.minhashArr` (69621-power multipliers; this query is where
+    * the degeneracy of the old small-multiplier family was first
+    * measured, and the mhfamily ScaleCurve then exposed the shared-factor
+    * correlation of the 48271·(i+1) intermediate — see minhashArr's
+    * family note). Staged per the HOF discipline: the array is one
+    * projection of the plain `ids` attribute. */
   private[graft] def shingleMinhash(docsT: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = docsT.select(col("doc_id"), col("lang"),
@@ -251,17 +252,20 @@ object Round14 {
     //  1. basis = char-4-gram shingles (q65's), not word tokens — the
     //     31-word vocabulary makes word-token sets near-identical and the
     //     whole curve collapses to one flat row;
-    //  2. hash family = (48271·(i+1) mod P)·tid + 7i+5 mod P, not the
-    //     original (4i+3)·tid + 7i+5: with multipliers ≤ 67 and
+    //  2. hash family = LlmExt2.mhMults (69621-power multipliers), not
+    //     the original (4i+3)·tid + 7i+5: with multipliers ≤ 67 and
     //     tid < P/67 the affine map NEVER WRAPS, so min((4i+3)·tid+…) =
     //     (4i+3)·min(tid)+… for EVERY i — all 16 "independent" minhashes
     //     pick the same argmin token and every band config produces
     //     identical candidates (measured: flat 545-candidate curve).
-    //     48271·(i+1) wraps from tid ≥ 3, restoring per-i permutations.
-    //     Round 15 promoted this family into the production
-    //     `LlmExt2.minhashArr` (q46/q75/q78/q83 + streaming s9), so the
-    //     curve this query declares now tunes the family the production
-    //     join actually runs.
+    //     Round 15's first replacement, 48271·(i+1) mod P, wrapped but
+    //     kept all multipliers sharing the factor 48271 — correlated
+    //     argmins, measured 296× candidate inflation at 320k real-regime
+    //     docs (SCALE.md mhfamily) — so the final family is 16
+    //     multiplicatively unrelated power residues, shared with the
+    //     production `LlmExt2.minhashArr` (q46/q75/q78/q83 + streaming
+    //     s9): the curve this query declares tunes the family the
+    //     production join actually runs.
     // Band signatures chain the r minhashes with fixed literal
     // coefficients (131^j mod 1000003 — each term < 2^17·2^20, a sum of
     // ≤ 8 < 2^43, exact BIGINT in both engines; q83's 131-power chain
@@ -297,7 +301,7 @@ object Round14 {
             when(col("n_cand") > 0, col("n_hit") / col("n_cand")).otherwise(lit(0.0)))
           .orderBy("nbands")
       },
-      """WITH d AS (SELECT doc_id, lang, text FROM documents
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents
         |           WHERE doc_id % 7 = 0 AND len(text) >= 4),
         |toks AS (SELECT DISTINCT doc_id, lang,
         |           substr(text, CAST(i AS INT), 4) AS tok
@@ -315,8 +319,10 @@ object Round14 {
         |         FROM (SELECT DISTINCT tok FROM toks) u),
         |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
         |mh AS (SELECT doc_id, lang, i,
-        |         MIN(((48271 * (i + 1) % 104729) * tid + 7 * i + 5) % 104729) AS mh
-        |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+        |         MIN((h.mult * tid + 7 * i + 5) % 104729) AS mh
+        |       FROM tid CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i,
+        |                    unnest([${LlmExt2.mhMultsSql}]) AS mult) h
+        |       GROUP BY doc_id, lang, i),
         |coef AS (SELECT * FROM (VALUES (0, 1), (1, 131), (2, 17161), (3, 248085),
         |           (4, 499039), (5, 373914), (6, 982590), (7, 718906)) c(j, cf)),
         |lv AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) t(nbands, rpb)),
@@ -394,7 +400,7 @@ object Round14 {
             (col("sq_err").cast("double") / col("n_pairs").cast("double") / lit(1e9)).as("mae"))
           .orderBy("bucket")
       },
-      """WITH d AS (SELECT doc_id, lang, text FROM documents
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents
         |           WHERE doc_id % 7 = 0 AND len(text) >= 4),
         |toks AS (SELECT DISTINCT doc_id, lang,
         |           substr(text, CAST(i AS INT), 4) AS tok
@@ -404,8 +410,10 @@ object Round14 {
         |         FROM (SELECT DISTINCT tok FROM toks) u),
         |tid AS (SELECT doc_id, lang, tid FROM toks JOIN dict USING (tok)),
         |mh AS (SELECT doc_id, lang, i,
-        |         MIN(((48271 * (i + 1) % 104729) * tid + 7 * i + 5) % 104729) AS mh
-        |       FROM tid CROSS JOIN range(0, 16) h(i) GROUP BY doc_id, lang, i),
+        |         MIN((h.mult * tid + 7 * i + 5) % 104729) AS mh
+        |       FROM tid CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i,
+        |                    unnest([${LlmExt2.mhMultsSql}]) AS mult) h
+        |       GROUP BY doc_id, lang, i),
         |agree AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |            COUNT(*) FILTER (WHERE a.mh = b.mh) AS k
         |          FROM mh a JOIN mh b
