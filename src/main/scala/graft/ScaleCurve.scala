@@ -1060,6 +1060,79 @@ object ScaleCurve {
     }
   }
 
+  /** Round-15 measurement (verdict #6): candidate VOLUME of the 4×4 LSH
+    * band join on dictionary-ranked tids across three hash families —
+    * legacy (4i+3), the wrapping-but-correlated 48271·(i+1) interim, and
+    * the 69621-power family now in production (`LlmExt2.mhMults`).
+    * Reported per (corpus, family, size):
+    *  - cand_rows = Σ_bands Σ_buckets C(sz,2) — the rows the band
+    *    self-join MATERIALIZES (its shuffle+verify cost), computed
+    *    analytically from bucket sizes so the degenerate family's
+    *    quadratic blowup is measurable at sizes where actually running
+    *    the join would be prohibitive (that blowup is the finding);
+    *  - block_pairs = Σ_lang C(n_lang,2) — the all-pairs ceiling;
+    *  - cand_pct = cand_rows / block_pairs.
+    * The legacy family's degeneracy is vocabulary-size-dependent (it
+    * only fails to wrap on SMALL tids), so the adv corpus (31-token
+    * vocab — the gate corpus's regime) shows the collapse while real
+    * (~66k vocab) shows the families converge once ranks wrap anyway. */
+  private def mhFamilyCurve(spark: SparkSession, sizes: Seq[Long],
+      regimes: Seq[String]): Unit = {
+    // pow = the production family (LlmExt2.mhMults, 69621^(i+1) mod P):
+    // multiplicatively unrelated multipliers. wrap's 48271·(i+1) family
+    // shares the factor 48271 — every hash is a small-k multiple of the
+    // same y = 48271·id mod P, so the 16 argmins stay correlated and
+    // band agreement runs far above the S-curve; measured below.
+    val families: Seq[(String, Column => Column)] = Seq(
+      "legacy" -> (i => lit(4) * i + 3),
+      "wrap" -> (i => lit(48271) * (i + 1) % P),
+      "pow" -> (i => element_at(
+        array(graft.ops.LlmExt2.mhMults.map(lit): _*), (i + 1).cast("int"))))
+    println(f"${"corpus"}%-6s ${"family"}%-7s ${"n_docs"}%8s ${"sec"}%7s ${"cand_rows"}%13s ${"block_pairs"}%13s ${"cand_pct"}%9s")
+    for (rg <- regimes; n <- sizes) {
+      val d = docs(spark, n, rg).localCheckpoint()
+      val toks = d.select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val tokIds = toks.join(graft.ops.LlmExt2.tokenDict(toks), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(collect_list(col("tid").cast("long")).as("ids"))
+        .localCheckpoint() // both families hash the same id table
+      val blockPairs = tokIds.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))).collect()(0).getLong(0)
+      for ((fam, mult) <- families; exact <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val mh = tokIds.withColumn("mh", transform(sequence(lit(0), lit(15)),
+          i => array_min(transform(col("ids"),
+            id => (mult(i) * id + (lit(7) * i + 5)) % P))))
+        // exact = the collision-FREE band key (two radix-P longs per
+        // band: lo = mh1 + P·mh2, hi = mh3 + P·mh4, each < P² < 2^63)
+        // vs the legacy lossy 131-chain — isolates how much candidate
+        // volume is CHAIN collisions rather than minhash agreement
+        val sigs =
+          if (exact) mh.select(col("lang"), posexplode(transform(
+              sequence(lit(0), lit(3)),
+              b => struct(
+                (element_at(col("mh"), b * 4 + 1)
+                  + element_at(col("mh"), b * 4 + 2) * P).as("lo"),
+                (element_at(col("mh"), b * 4 + 3)
+                  + element_at(col("mh"), b * 4 + 4) * P).as("hi")))))
+            .select(col("lang"), col("pos").as("band"),
+              col("col.lo").as("sig"), col("col.hi").as("sig2"))
+          else mh.select(col("lang"),
+            posexplode(graft.ops.LlmExt2.bandSigsFromMh(col("mh"))))
+            .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+            .withColumn("sig2", lit(0L))
+        val candRows = sigs.groupBy("lang", "band", "sig", "sig2")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))).collect()(0).getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val pct = 100.0 * candRows / math.max(1L, blockPairs)
+        val tag = fam + (if (exact) "+x" else "")
+        println(f"$rg%-6s $tag%-9s $n%8d $dt%7.2f $candRows%13d $blockPairs%13d $pct%8.2f%%")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val regime = args.headOption.getOrElse("real")
     val sizes = (if (args.length > 1) args(1) else regime match {
@@ -1072,6 +1145,7 @@ object ScaleCurve {
       case "knngraph" => "10000,50000,250000"
       case "clustered" => "10000,50000,250000"
       case "silh"     => "50000,250000,1000000"
+      case "mhfamily" => "20000,80000,320000"
       case _          => "5000,50000,250000"
     }).split(",").map(_.trim.toLong).toSeq
     val spark = SparkSession.builder()
@@ -1129,6 +1203,16 @@ object ScaleCurve {
     if (regime == "silh") {
       clusteredVecs(spark, 1000).selectExpr("sum(element_at(embedding, 1))").collect()
       silhCurve(spark, sizes)
+      spark.stop()
+      return
+    }
+    if (regime == "mhfamily") {
+      docs(spark, 1000, "adv").selectExpr("sum(length(text))").collect()
+      // optional 3rd arg picks the corpora (default both degeneracy
+      // regimes: adv = the 31-token collapse, real = wrap-anyway control)
+      mhFamilyCurve(spark, sizes,
+        if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+        else Seq("adv", "real"))
       spark.stop()
       return
     }
