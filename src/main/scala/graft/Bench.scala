@@ -68,6 +68,16 @@ import org.apache.spark.sql.SparkSession
   *     contaminated capture overwrites the file, the next clean run
   *     reads ratio < 1 (never triggers repair, contention can only
   *     inflate) and restores the clean baseline.
+  *
+  * INTERPRETATION LIMIT (round-14 ADVICE, recorded in BASELINE.md's
+  * convention too): adj_total cannot distinguish ambient contention from
+  * a genuine UNIFORM code/config regression — a session conf slowing
+  * every query ~1.5× would ship a flattering adj_total with hist_ratio
+  * attributing it to weather. The tiebreaker is the calibration probes:
+  * they run the SAME fixed work every round, so hist_ratio > uniformHot
+  * with CLEAN probes (≤ [[probeHot]]) is a regression signal, not
+  * weather — trust adj_total only when the probes are hot alongside the
+  * queries. Raw `value` always ships for exactly this audit.
   */
 object Bench {
   private def jstr(s: String) = "\"" + s + "\""
