@@ -181,6 +181,33 @@ class MinhashLshSpec extends AnyFunSuite {
     assert(sparkMh == jvmMh)
   }
 
+  test("hash family independence: no small multiplicative relation between multipliers") {
+    // The round-15 lesson in structural form: argmin correlation between
+    // affine hashes h_i, h_j appears whenever c·m_i ≡ ±d·m_j (mod P) for
+    // SMALL c, d — then d·h_j ≡ ±c·h_i + const over the whole id space,
+    // both sides stay piecewise-monotone in the same y, and the two
+    // minima track each other (band agreement then runs far above the
+    // S-curve: 296× candidate inflation measured at 320k docs, SCALE.md
+    // §15). Both historical families fail this gate: the original (4i+3)
+    // has 5·m_0 = m_3 (c+d = 6, an integer identity below P), and the
+    // round-15 interim 48271·(i+1) has 2·m_0 = m_1 (c+d = 3 — every pair
+    // related through the shared factor). The production power family's
+    // smallest relation within c, d ≤ 64 is c+d = 67, so the ≤ 10 gate
+    // below passes with a wide margin. Argmin DIVERSITY (the test above)
+    // cannot catch this class: the interim family passed it while
+    // correlated ACROSS hashes.
+    val P = 104729L
+    val ms = ops.LlmExt2.mhMults
+    assert(ms.size == 16 && ms.distinct.size == 16)
+    for {
+      i <- ms.indices; j <- (i + 1) until ms.size
+      c <- 1 to 10; d <- 1 to 10
+    } {
+      assert((c * ms(i) - d * ms(j)) % P != 0 && (c * ms(i) + d * ms(j)) % P != 0,
+        s"m_$i and m_$j are small-rationally related: $c*m_$i == ±$d*m_$j (mod P)")
+    }
+  }
+
   test("degenerate skew: all-identical corpus completes with exactly C(n,2) pairs at jaccard 1") {
     val n = 200
     val dup = spark.range(n).select(
