@@ -101,6 +101,59 @@ object Round10n {
     (assign(sub, c2).select("vec_id", "s", "code", "dist"), c2)
   }
 
+  /** assign, CAPACITY-TAGGED: `subK` carries a kc column (the subspace
+    * view replicated per capacity level), `cent` carries (kc, s, j, c).
+    * Per kc slice this is byte-identical to [[assign]] against that
+    * level's codebook — the kc column only rides the keys. */
+  private def assignK(subK: DataFrame, cent: DataFrame): DataFrame =
+    subK.join(broadcast(cent), Seq("kc", "s"))
+      .withColumn("key", expr(distE) * lit(65536L) + col("j"))
+      .groupBy("kc", "vec_id", "s")
+      .agg(min("key").as("key"), min("v").as("v"))
+      .select(col("kc"), col("vec_id"), col("s"), col("v"),
+        (col("key") % 65536).as("code"), expr("key DIV 65536").as("dist"))
+
+  /** One Lloyd update, capacity-tagged (see [[update]] — same FLOOR-mean
+    * arithmetic, kc added to every key). */
+  private def updateK(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = (1 to 8).map(i =>
+      sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
+    val newC = assigned
+      .groupBy(col("kc"), col("s"), col("code").as("j"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("kc"), col("s"), col("j"), array((1 to 8).map(i =>
+        floor(col(s"sx$i").cast("double") / col("n")).cast("long")): _*)
+        .as("cnew"))
+    prev.join(newC, Seq("kc", "s", "j"), "left")
+      .select(col("kc"), col("s"), col("j"), coalesce(col("cnew"), col("c")).as("c"))
+  }
+
+  /** ALL capacity levels trained in ONE ladder (the q254 shape): the
+    * subspace view is replicated per level (kc column via a broadcast
+    * crossJoin — row work is Σ levels, identical to per-level ladders),
+    * but the 2 Lloyd iterations run as ONE job chain — 2 localCheckpoints
+    * and one set of shuffle barriers instead of one PER LEVEL (3×6
+    * barriers + 6 checkpoints → ~2-3 s of pure per-level job overhead at
+    * bench scale, measured round 15: q254 ~10.8 → ~6 s). Each kc slice
+    * is bit-identical to pqCodebookK(emb, kc) — the seeds, argmin keys,
+    * and FLOOR means never mix levels (kc is in every join/group key) —
+    * so the per-level DuckDB oracle replay is unchanged. Codebook sizes:
+    * Σ 8·kc ≤ 8·(16+64+256) = 2688 rows — always broadcastable.
+    * Returns (codes(kc, vec_id, s, code, dist), cents(kc, s, j, c));
+    * codes are NOT checkpointed (the caller decides — q254 consumes them
+    * per level twice and checkpoints once). */
+  private[graft] def pqCodebooksK(emb: DataFrame, kcs: Seq[Int]): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val levels = kcs.map(_.toLong).toDF("kc")
+    val subK = pqSub(emb).crossJoin(broadcast(levels))
+    val c0 = subK.where(col("vec_id") < col("kc"))
+      .select(col("kc"), col("s"), col("vec_id").as("j"), col("v").as("c"))
+    val c1 = updateK(assignK(subK, c0), c0).localCheckpoint()
+    val c2 = updateK(assignK(subK, c1), c1).localCheckpoint()
+    (assignK(subK, c2).select("kc", "vec_id", "s", "code", "dist"), c2)
+  }
+
   /** Encode a corpus against an ALREADY-TRAINED codebook: ONE broadcast
     * assign pass (16 centroid distances per subvector). This is the
     * production posture — training runs once on a fixed-size sample

@@ -37,18 +37,18 @@ object Round15 {
   private[graft] val kcLevels = Seq(16, 64, 256)
 
   /** One capacity level's re-ranked top-5 + its training SSE:
-    * (top5(qid, vid), sse(1 row)). Training/encode/ADC are the q205/q206
-    * contract at capacity kc (Round10n.pqCodebookK / adcDistancesK);
-    * shortlist k' = 50 + exact grid re-rank is the q228 production
-    * posture, so the curve measures the knob where it actually operates
-    * (raw ADC-only recall would conflate code resolution with ranking
-    * noise the re-rank removes). */
-  private[graft] def kcLevel(emb: DataFrame, qvT: DataFrame, q: DataFrame,
+    * (top5(qid, vid), sse(1 row)) from THAT LEVEL's slice of the
+    * combined training (Round10n.pqCodebooksK — all levels ride one
+    * Lloyd ladder; each slice is bit-identical to the per-level
+    * pqCodebookK training, so the per-level oracle replay is unchanged).
+    * ADC scan + shortlist k' = 50 + exact grid re-rank is the q228
+    * production posture, so the curve measures the knob where it
+    * actually operates (raw ADC-only recall would conflate code
+    * resolution with ranking noise the re-rank removes). */
+  private[graft] def kcLevel(codes: DataFrame, cent: DataFrame,
+      qsub: DataFrame, qvT: DataFrame, q: DataFrame,
       kc: Int): (DataFrame, DataFrame) = {
-    val (codes, cent) = Round10n.pqCodebookK(emb, kc)
     val sse = codes.agg(sum("dist").as("sse"))
-    val qsub = Round10n.pqSub(emb.where(col("vec_id") < 10))
-      .withColumnRenamed("vec_id", "qid")
     val short = Round10n.adcDistancesK(codes, cent, qsub, maxQ = 10, kc = kc)
       .withColumn("srnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc_dist"), col("vid"))))
@@ -157,17 +157,20 @@ object Round15 {
     // bands): per (query, kc ∈ {16, 64, 256}) the k'=50-re-ranked
     // recall@5 against brute exact ground truth, plus each level's total
     // training SSE (the quantization-error face of the same knob: SSE
-    // falls as kc rises; recall buys what SSE sells). One training ladder
-    // per kc over the q205 exact-integer contract — capacity levels do
+    // falls as kc rises; recall buys what SSE sells). Capacity levels do
     // NOT nest after a Lloyd update (a kc=64 codebook is not a prefix of
     // kc=256: the update moves every centroid), so unlike q248/q249 the
-    // levels can't share one ranked pass; what they DO share is the one
-    // subspace view and the one ground-truth pass. Scale shape: training
-    // cost is one broadcast join per iteration (codebook ≤ 8·kc ≤ 2048
-    // rows — always broadcastable), the corpus-side cost per level is one
-    // codes-only ADC scan + a re-rank touching exactly Q·50 raw vectors
-    // (the q228 posture); at 100 TB the trainings run on a fixed-size
-    // sample and the curve picks kc BEFORE the one full-corpus encode.
+    // levels can't share one ranked pass — but the TRAININGS share one
+    // kc-tagged Lloyd ladder (Round10n.pqCodebooksK: the subspace view
+    // replicated per level, kc in every key; 2 checkpoints + one barrier
+    // set instead of one per level, each slice bit-identical to the
+    // standalone training so the per-level oracle replay is unchanged).
+    // Scale shape: training cost is one broadcast join per iteration
+    // (codebooks Σ 8·kc ≤ 2688 rows — always broadcastable), the
+    // corpus-side cost per level is one codes-only ADC scan + a re-rank
+    // touching exactly Q·50 raw vectors (the q228 posture); at 100 TB
+    // the trainings run on a fixed-size sample and the curve picks kc
+    // BEFORE the one full-corpus encode.
     "q254_pq_capacity_curve" -> QDef(
       (s, d) => {
         import s.implicits._
@@ -184,8 +187,18 @@ object Round15 {
           .where(col("rnk") <= 5)
           .select(col("qid"), col("vec_id").as("vid"))
           .localCheckpoint() // one hit semi-join per level
+        // ONE combined Lloyd ladder for all three levels (2 checkpoints
+        // instead of 6 — the per-level job overhead was q254's dominant
+        // bench cost); codes feed each level's sse + packed-ADC scan, so
+        // checkpoint once here.
+        val (codesAll, centsAll) = Round10n.pqCodebooksK(emb, kcLevels)
+        val codesCk = codesAll.localCheckpoint()
+        val qsub = Round10n.pqSub(emb.where(col("vec_id") < 10))
+          .withColumnRenamed("vec_id", "qid")
         val perLevel = kcLevels.map { kc =>
-          val (top5, sse) = kcLevel(emb, qvT, q, kc)
+          val codes = codesCk.where(col("kc") === kc.toLong).drop("kc")
+          val cent = centsAll.where(col("kc") === kc.toLong).drop("kc")
+          val (top5, sse) = kcLevel(codes, cent, qsub, qvT, q, kc)
           (top5.select(col("qid"), col("vid"), lit(kc.toLong).as("kc")),
             sse.select(lit(kc.toLong).as("kc"), col("sse")))
         }
