@@ -263,27 +263,38 @@ object Round10i {
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val nd = carve.agg(count(lit(1)).as("n")).limit(1)
+        // r15 opt: the 4-decimal TF-IDF weights aggregate as SCALED LONGS
+        // (w·1e4 — the decimal→int grid is exact: DECIMAL(18,4)·10⁴ is the
+        // integral unscaled value), so the ~2M-row token self-join ships
+        // 8-byte longs instead of 16-byte decimals (guide §2.3 narrower
+        // types) and the dot/norm sums stay codegen'd long hash aggregates
+        // instead of Decimal-object sums. Bounds: w ≤ ~1.1e3 ⇒ w4 ≤ 1.1e7,
+        // a pair shares ≤ |vocab| toks ⇒ |dot4| ≤ ~4e15 < 2^53 — so the
+        // long→double casts below are exact, /1e8 is one correctly-rounded
+        // IEEE op, and the emitted cosine doubles are BIT-IDENTICAL to the
+        // decimal form's (same rationale as the CLAUDE.md quantize-first
+        // recipe; parity re-verified at both SFs).
         val w = tf.join(broadcast(dfs), "tok")
           .crossJoin(broadcast(nd))
           .withColumn("score", round(col("tf") * log(col("n") / col("df")), 4))
           .where(col("score") =!= 0)
           .select(col("doc_id"), col("tok"),
-            col("score").cast(DecimalType(18, 4)).as("w"))
+            (col("score").cast(DecimalType(18, 4)) * 10000).cast("long").as("w4"))
         val norms = w.groupBy("doc_id")
-          .agg(sum(col("w") * col("w")).as("n2"))
+          .agg(sum(col("w4") * col("w4")).as("n2"))
           .where(col("n2") > 0)
         val dots = w.as("a")
           .join(w.as("b"),
             col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+          .agg(sum(col("a.w4") * col("b.w4")).as("dot"))
         val cos = dots
           .join(norms.as("na"), col("da") === col("na.doc_id"))
           .join(norms.as("nb"), col("db") === col("nb.doc_id"))
           .select(col("da"), col("db"),
-            (col("dot").cast("double") /
-              (sqrt(col("na.n2").cast("double")) *
-                sqrt(col("nb.n2").cast("double")))).as("cosine"))
+            ((col("dot").cast("double") / 1e8) /
+              (sqrt(col("na.n2").cast("double") / 1e8) *
+                sqrt(col("nb.n2").cast("double") / 1e8))).as("cosine"))
         cos
           .withColumn("rk", row_number().over(
             Window.partitionBy("da").orderBy(col("cosine").desc, col("db"))))

@@ -43,14 +43,25 @@ object Round10n {
       .select(col("vec_id"), col("s"), expr("slice(q, 8 * s + 1, 8)").as("v"))
 
   /** Assign every (vec_id, s) row to its nearest centroid of `cent`
-    * (columns s, j, c): returns (vec_id, s, v, code, dist). */
+    * (columns s, j, c): returns (vec_id, s, code, dist, v1..v8).
+    * r15 opt: the aggregate carries ONLY PRIMITIVES — the encoded argmin
+    * key plus the 8 subvector dims as separate long columns (each is
+    * constant within its (vec_id, s) group, so min(element_at(v, i)) IS
+    * the subvector, bit-for-bit). The previous min("v") over the ARRAY
+    * column forced a SortAggregate (the CLAUDE.md round-11 probe: min
+    * over any non-primitive sorts the whole joined input with its row
+    * payload — here kc·N·8 rows per Lloyd pass); all-primitive mins stay
+    * a hash aggregate with map-side partial combine. [[update]] sums the
+    * v1..v8 columns directly — byte-identical arithmetic. */
   private def assign(sub: DataFrame, cent: DataFrame): DataFrame =
     sub.join(broadcast(cent), Seq("s"))
       .withColumn("key", expr(distE) * lit(65536L) + col("j"))
       .groupBy("vec_id", "s")
-      .agg(min("key").as("key"), min("v").as("v"))
-      .select(col("vec_id"), col("s"), col("v"),
-        (col("key") % 65536).as("code"), expr("key DIV 65536").as("dist"))
+      .agg(min("key").as("key"),
+        (1 to 8).map(i => min(expr(s"element_at(v, $i)")).as(s"v$i")): _*)
+      .select(col("vec_id") +: col("s") +:
+        (col("key") % 65536).as("code") +: expr("key DIV 65536").as("dist") +:
+        (1 to 8).map(i => col(s"v$i")): _*)
 
   /** One Lloyd update: per-(s, code, dim) FLOOR(mean) on the quantized
     * grid, empty clusters keep their previous centroid. The 8 dimension
@@ -59,8 +70,7 @@ object Round10n {
     * late rework that cut the per-iteration barrier cost in half); the
     * arithmetic per dimension is byte-identical to the exploded form. */
   private def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
-    val sums = (1 to 8).map(i =>
-      sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
+    val sums = (1 to 8).map(i => sum(col(s"v$i")).as(s"sx$i"))
     val newC = assigned
       .groupBy(col("s"), col("code").as("j"))
       .agg(count(lit(1)).as("n"), sums: _*)
@@ -109,15 +119,16 @@ object Round10n {
     subK.join(broadcast(cent), Seq("kc", "s"))
       .withColumn("key", expr(distE) * lit(65536L) + col("j"))
       .groupBy("kc", "vec_id", "s")
-      .agg(min("key").as("key"), min("v").as("v"))
-      .select(col("kc"), col("vec_id"), col("s"), col("v"),
-        (col("key") % 65536).as("code"), expr("key DIV 65536").as("dist"))
+      .agg(min("key").as("key"),
+        (1 to 8).map(i => min(expr(s"element_at(v, $i)")).as(s"v$i")): _*)
+      .select(col("kc") +: col("vec_id") +: col("s") +:
+        (col("key") % 65536).as("code") +: expr("key DIV 65536").as("dist") +:
+        (1 to 8).map(i => col(s"v$i")): _*)
 
   /** One Lloyd update, capacity-tagged (see [[update]] — same FLOOR-mean
     * arithmetic, kc added to every key). */
   private def updateK(assigned: DataFrame, prev: DataFrame): DataFrame = {
-    val sums = (1 to 8).map(i =>
-      sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
+    val sums = (1 to 8).map(i => sum(col(s"v$i")).as(s"sx$i"))
     val newC = assigned
       .groupBy(col("kc"), col("s"), col("code").as("j"))
       .agg(count(lit(1)).as("n"), sums: _*)
@@ -170,6 +181,14 @@ object Round10n {
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x("code")).as("ca"))
 
+  /** packedCodes, capacity-tagged: one shuffle packs EVERY level's codes
+    * (kc in the group key), instead of one pack shuffle per level. Per kc
+    * slice the output is byte-identical to [[packedCodes]]. */
+  private[graft] def packedCodesK(codesK: DataFrame): DataFrame =
+    codesK.groupBy("kc", "vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x("code")).as("ca"))
+
   /** Per-query ADC lookup table as ONE (8·kc)-long array indexed by
     * s·kc + j — the whole-query LUT a scan reads per row. */
   private[graft] def lutArraysK(qsub: DataFrame, cent: DataFrame, kc: Int): DataFrame =
@@ -182,6 +201,18 @@ object Round10n {
 
   private[graft] def lutArrays(qsub: DataFrame, cent: DataFrame): DataFrame =
     lutArraysK(qsub, cent, 16)
+
+  /** LUT arrays for ALL capacity levels in one pass: `centK` carries
+    * (kc, s, j, c), the output (kc, qid, la) — per kc slice byte-identical
+    * to [[lutArraysK]] (idx = s·kc + j just widens to long; array_sort on
+    * the (idx, ld) structs orders by idx exactly as before). */
+  private[graft] def lutArraysAllK(qsub: DataFrame, centK: DataFrame): DataFrame =
+    qsub.join(broadcast(centK), Seq("s"))
+      .select(col("kc"), col("qid"),
+        (col("s") * col("kc") + col("j")).as("idx"), expr(distE).as("ld"))
+      .groupBy("kc", "qid")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("ld")))),
+        x => x("ld")).as("la"))
 
   /** ADC distances for every (query, vector) pair as a pure MAP-SIDE
     * lookup sum: packed codes × broadcast LUT arrays (the `.limit(maxQ)`
@@ -205,6 +236,26 @@ object Round10n {
   private[graft] def adcDistances(codes: DataFrame, cent: DataFrame,
       qsub: DataFrame, maxQ: Int): DataFrame =
     adcDistancesK(codes, cent, qsub, maxQ, 16)
+
+  /** ADC distances for ALL capacity levels in ONE scan (the q254 r15-opt
+    * shape): packed codes of every level equi-joined (broadcast hash, not
+    * NLJ) to the per-(kc, qid) LUTs on kc; the 8-lookup sum is the same
+    * unrolled codegen expression with the literal `s·kc` offset replaced
+    * by `s · kc-column` — per kc slice the arithmetic is identical to
+    * [[adcDistancesK]], so every (kc, qid, vid, adc_dist) row is
+    * byte-equal to the per-level form's. Replaces 3 pack shuffles +
+    * 3 LUT builds + 3 scans with 1 + 1 + 1. */
+  private[graft] def adcDistancesAllK(codesK: DataFrame, centK: DataFrame,
+      qsub: DataFrame): DataFrame = {
+    val lookupSum = (0 until 8)
+      .map(s => s"element_at(la, CAST($s * kc + element_at(ca, ${s + 1}) + 1 AS INT))")
+      .mkString(" + ")
+    packedCodesK(codesK)
+      .join(broadcast(lutArraysAllK(qsub, centK)), Seq("kc"))
+      .select(col("kc"), col("qid"), col("vec_id").as("vid"),
+        expr(lookupSum).as("adc_dist"))
+      .where(col("vid") =!= col("qid"))
+  }
 
   /** The full training pipeline as DuckDB CTEs, shared by both oracles:
     * binds `sub` (subspace rows), `c2` (trained centroids), and `codes`

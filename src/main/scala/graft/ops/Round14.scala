@@ -145,7 +145,10 @@ object Round14 {
       .select(col("x.nbands").as("nbands"),
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint() // n_cand + the hit semi-join
+    // NOT checkpointed (r15 opt): q252 now counts candidates and hits in
+    // ONE left-join aggregation pass, so this has a single consumer there
+    // — an eager checkpoint job was pure barrier latency (the Round10n
+    // single-consumer rule; Round14Spec re-derives it cheaply).
     (exact, cand)
   }
 
@@ -286,9 +289,14 @@ object Round14 {
         val levels = bandLevels.toDF("nbands", "rpb")
         val (exact, cand) = bandCurveParts(s, d)
         val nExact = exact.agg(count(lit(1)).as("n_exact"))
-        val perLevel = cand.groupBy("nbands").agg(count(lit(1)).as("n_cand"))
-          .join(cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
-            .groupBy("nbands").agg(count(lit(1)).as("n_hit")), Seq("nbands"), "left")
+        // ONE pass counts candidates AND hits (r15 opt): exact pairs are
+        // unique, so the left join never fans out and count(h) counts
+        // exactly the semi-join's matches — one aggregation instead of
+        // two + a join of the two rollups.
+        val perLevel = cand
+          .join(exact.withColumn("h", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .groupBy("nbands")
+          .agg(count(lit(1)).as("n_cand"), count(col("h")).as("n_hit"))
         levels.join(perLevel, Seq("nbands"), "left")
           .crossJoin(nExact)
           .select(col("nbands").cast("long").as("nbands"),

@@ -36,32 +36,35 @@ object Round15 {
   /** The q254 capacity levels: 4-, 6-, and 8-bit codes per subspace. */
   private[graft] val kcLevels = Seq(16, 64, 256)
 
-  /** One capacity level's re-ranked top-5 + its training SSE:
-    * (top5(qid, vid), sse(1 row)) from THAT LEVEL's slice of the
-    * combined training (Round10n.pqCodebooksK — all levels ride one
-    * Lloyd ladder; each slice is bit-identical to the per-level
-    * pqCodebookK training, so the per-level oracle replay is unchanged).
-    * ADC scan + shortlist k' = 50 + exact grid re-rank is the q228
-    * production posture, so the curve measures the knob where it
-    * actually operates (raw ADC-only recall would conflate code
-    * resolution with ranking noise the re-rank removes). */
-  private[graft] def kcLevel(codes: DataFrame, cent: DataFrame,
-      qsub: DataFrame, qvT: DataFrame, q: DataFrame,
-      kc: Int): (DataFrame, DataFrame) = {
-    val sse = codes.agg(sum("dist").as("sse"))
-    val short = Round10n.adcDistancesK(codes, cent, qsub, maxQ = 10, kc = kc)
+  /** ALL capacity levels' re-ranked top-5 + per-level training SSE:
+    * (top5(qid, vid, kc), sse(kc, sse)) from the combined kc-tagged
+    * training (Round10n.pqCodebooksK — all levels ride one Lloyd ladder;
+    * each slice is bit-identical to the per-level pqCodebookK training,
+    * so the per-level oracle replay is unchanged). ADC scan + shortlist
+    * k' = 50 + exact grid re-rank is the q228 production posture, so the
+    * curve measures the knob where it actually operates (raw ADC-only
+    * recall would conflate code resolution with ranking noise the re-rank
+    * removes). r15-opt: the per-level chains are FUSED on the kc tag —
+    * one pack shuffle, one LUT build, one ADC scan, one (kc, qid)
+    * shortlist window, one re-rank join+window, one sse rollup, instead
+    * of one of each PER LEVEL. Per (kc, qid) partition the orderings are
+    * the per-level orderings, so every emitted row is unchanged. */
+  private[graft] def kcLevelsFused(codesK: DataFrame, centK: DataFrame,
+      qsub: DataFrame, qvT: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
+    val sse = codesK.groupBy("kc").agg(sum("dist").as("sse"))
+    val short = Round10n.adcDistancesAllK(codesK, centK, qsub)
       .withColumn("srnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adc_dist"), col("vid"))))
+        Window.partitionBy("kc", "qid").orderBy(col("adc_dist"), col("vid"))))
       .where(col("srnk") <= 50)
-      .select("qid", "vid")
+      .select("kc", "qid", "vid")
     val top5 = short
       .join(qvT.select(col("vec_id").as("vid"), col("v")), Seq("vid"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("d2", gridDist(col("v"), col("qv")))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
+        Window.partitionBy("kc", "qid").orderBy(col("d2"), col("vid"))))
       .where(col("rnk") <= 5)
-      .select(col("qid"), col("vid"))
+      .select(col("qid"), col("vid"), col("kc"))
     (top5, sse)
   }
 
@@ -166,17 +169,18 @@ object Round15 {
     // set instead of one per level, each slice bit-identical to the
     // standalone training so the per-level oracle replay is unchanged).
     // Scale shape: training cost is one broadcast join per iteration
-    // (codebooks Σ 8·kc ≤ 2688 rows — always broadcastable), the
-    // corpus-side cost per level is one codes-only ADC scan + a re-rank
-    // touching exactly Q·50 raw vectors (the q228 posture); at 100 TB
-    // the trainings run on a fixed-size sample and the curve picks kc
-    // BEFORE the one full-corpus encode.
+    // (codebooks Σ 8·kc ≤ 2688 rows — always broadcastable); the
+    // corpus-side cost is ONE kc-tagged codes-only ADC scan over Σ levels
+    // rows + one re-rank touching exactly Q·50 raw vectors per level (the
+    // q228 posture, fused across levels on the kc tag — r15 opt); at
+    // 100 TB the trainings run on a fixed-size sample and the curve picks
+    // kc BEFORE the one full-corpus encode.
     "q254_pq_capacity_curve" -> QDef(
       (s, d) => {
         import s.implicits._
         val levels = kcLevels.map(_.toLong).toDF("kc")
         val emb = embeddings(s, d)
-        val qvT = Round11.quantized(emb).localCheckpoint() // truth + 3 re-ranks
+        val qvT = Round11.quantized(emb).localCheckpoint() // truth + re-rank
         val q = qvT.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("v").as("qv")).limit(10)
         val truth = qvT.crossJoin(broadcast(q))
@@ -186,26 +190,22 @@ object Round15 {
             Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
           .where(col("rnk") <= 5)
           .select(col("qid"), col("vec_id").as("vid"))
-          .localCheckpoint() // one hit semi-join per level
+        // NOT checkpointed (r15 opt): the fused hit semi-join is truth's
+        // ONLY consumer now, and its lineage starts at the checkpointed
+        // qvT — an eager checkpoint job here was pure barrier latency
+        // (the Round10n single-consumer rule).
         // ONE combined Lloyd ladder for all three levels (2 checkpoints
         // instead of 6 — the per-level job overhead was q254's dominant
-        // bench cost); codes feed each level's sse + packed-ADC scan, so
-        // checkpoint once here.
+        // bench cost); codes feed the fused sse rollup + packed-ADC scan,
+        // so checkpoint once here.
         val (codesAll, centsAll) = Round10n.pqCodebooksK(emb, kcLevels)
         val codesCk = codesAll.localCheckpoint()
         val qsub = Round10n.pqSub(emb.where(col("vec_id") < 10))
           .withColumnRenamed("vec_id", "qid")
-        val perLevel = kcLevels.map { kc =>
-          val codes = codesCk.where(col("kc") === kc.toLong).drop("kc")
-          val cent = centsAll.where(col("kc") === kc.toLong).drop("kc")
-          val (top5, sse) = kcLevel(codes, cent, qsub, qvT, q, kc)
-          (top5.select(col("qid"), col("vid"), lit(kc.toLong).as("kc")),
-            sse.select(lit(kc.toLong).as("kc"), col("sse")))
-        }
-        val hits = perLevel.map(_._1).reduce(_ unionAll _)
+        val (top5, sses) = kcLevelsFused(codesCk, centsAll, qsub, qvT, q)
+        val hits = top5
           .join(truth, Seq("qid", "vid"), "left_semi")
           .groupBy("qid", "kc").agg(count(lit(1)).as("n_hit"))
-        val sses = perLevel.map(_._2).reduce(_ unionAll _)
         q.select("qid").crossJoin(broadcast(levels))
           .join(hits, Seq("qid", "kc"), "left")
           .join(broadcast(sses), Seq("kc"))
