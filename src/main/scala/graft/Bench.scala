@@ -125,19 +125,30 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
 
+  /** How many of the slowest queries ship in the stdout line's compact
+    * `queries` map (round-16: PERF_r15 had NO per-query visibility because
+    * the stdout line carried only the total — the full map lives in
+    * bench.json, but the driver only tail-captures stdout). 15 entries at
+    * ~45 bytes each ≈ 700 B keeps the line far inside the ~2.9 KB window. */
+  val topN = 15
+
   /** The ONE stdout line the driver tail-captures. FIXED-SIZE by
-    * construction: no per-query map (that lives only in bench.json), at
-    * most 8 error NAMES (messages stay in bench.json), exactly two
-    * calibration floats. Round-3 AND round-5 both lost the driver's bench
-    * record because the per-query map grew the line past the ~2.9 KB tail
-    * window — the count of queries can never do that again (ContractSpec
-    * pins the bound). */
+    * construction: the per-query map is capped at the [[topN]] SLOWEST
+    * queries (the full map lives only in bench.json), at most 8 error
+    * NAMES (messages stay in bench.json), exactly two calibration floats.
+    * Round-3 AND round-5 both lost the driver's bench record because the
+    * unbounded per-query map grew the line past the ~2.9 KB tail window —
+    * the cap is applied INSIDE this method so no caller can regrow it
+    * (ContractSpec pins the byte bound). */
   def stdoutLine(total: Double, errorNames: Seq[String], reps: Int,
                  sf: String, nQueries: Int, calib: (Double, Double),
-                 extra: Int = 0, histRatio: Double = 1.0): String = {
+                 extra: Int = 0, histRatio: Double = 1.0,
+                 topQueries: Seq[(String, Double)] = Nil): String = {
     val errJson = errorNames.take(8).map(jstr).mkString("[", ",", "]")
     val adj = total / math.max(1.0, histRatio)
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","adj_total":${fmt(adj)},"hist_ratio":${fmt(histRatio)},"n_queries":$nQueries,"n_errors":${errorNames.size},"errors":$errJson,"reps":$reps,"extra":$extra,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"sf":"$sf"}"""
+    val qJson = topQueries.sortBy(-_._2).take(topN)
+      .map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","adj_total":${fmt(adj)},"hist_ratio":${fmt(histRatio)},"n_queries":$nQueries,"n_errors":${errorNames.size},"errors":$errJson,"reps":$reps,"extra":$extra,"calib_s":[${fmt(calib._1)},${fmt(calib._2)}],"queries":$qJson,"sf":"$sf"}"""
   }
 
   /** Full record written to bench.json: everything stdoutLine has PLUS the
@@ -236,7 +247,7 @@ object Bench {
     val calib = (calibPre, calibPost)
     val total = results.map(_._2).sum
     val full = fullJson(total, results, errors, reps, sfDir, calib, extra, histRatio)
-    val line = stdoutLine(total, errors.keys.toSeq, reps, sfDir, results.size, calib, extra, histRatio)
+    val line = stdoutLine(total, errors.keys.toSeq, reps, sfDir, results.size, calib, extra, histRatio, results)
     Files.write(Paths.get("bench.json"), (full + "\n").getBytes(StandardCharsets.UTF_8))
     if (errors.nonEmpty)
       System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")

@@ -16,22 +16,35 @@ class ContractSpec extends AnyFunSuite {
   private def read(p: String): String =
     new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
 
-  test("Bench stdout line stays under 1.5 KB regardless of query and error count") {
-    // Worst realistic case: a huge inventory AND a mass failure. The line
-    // carries no per-query map and at most 8 error names, so neither axis
-    // can grow it past the driver's ~2.9 KB tail window.
+  test("Bench stdout line stays under 2.2 KB regardless of query and error count") {
+    // Worst realistic case: a huge inventory AND a mass failure AND long
+    // query names in the top-N map. The line carries at most Bench.topN
+    // per-query entries (capped INSIDE stdoutLine — the full map lives only
+    // in bench.json) and at most 8 error names, so no axis can grow it
+    // past the driver's ~2.9 KB tail window.
     val manyErrors = (1 to 500).map(i => f"q$i%03d_some_very_long_query_name")
+    val manyQueries = (1 to 500).map(i =>
+      f"q$i%03d_some_very_long_query_name" -> (i * 123.4567))
     val line = Bench.stdoutLine(
       total = 123456.7891, errorNames = manyErrors, reps = 2,
       sf = "/root/testdata/sf0.1", nQueries = 1000, calib = (123.4567, 123.4567),
-      extra = 3, histRatio = 1.8765)
-    assert(line.getBytes(StandardCharsets.UTF_8).length < 1500,
+      extra = 3, histRatio = 1.8765, topQueries = manyQueries)
+    assert(line.getBytes(StandardCharsets.UTF_8).length < 2200,
       s"bench stdout line is ${line.length} bytes: $line")
     assert(!line.contains("\n"))
-    // and the healthy-path line for the real inventory is tiny
+    // the map keeps exactly the topN SLOWEST entries, sorted by time desc
+    assert(""""q500_some_very_long_query_name":61728.3500""".r
+      .findFirstIn(line).nonEmpty, line)
+    assert(raw""""q\d+_some_very_long_query_name":\d""".r
+      .findAllIn(line).size == Bench.topN, line) // error names carry no ':'
+    assert(!line.contains(""""q485_""")) // slot topN+1 must be dropped
+    // and the healthy-path line for the real inventory stays small: the
+    // real 254-query inventory contributes exactly topN entries
+    val realNames = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (n, i) => n -> (0.1 + i * 0.01) }
     val healthy = Bench.stdoutLine(30.74, Nil, 2, "/root/testdata/sf0.1",
-      SparkEntry.queries.size, calib = (0.1234, 0.1234))
-    assert(healthy.getBytes(StandardCharsets.UTF_8).length < 250, healthy)
+      SparkEntry.queries.size, calib = (0.1234, 0.1234), topQueries = realNames)
+    assert(healthy.getBytes(StandardCharsets.UTF_8).length < 1100, healthy)
     // adj_total divides out hist_ratio only when ratio > 1 (contention can
     // inflate, never deflate — a faster-than-history run is code, not weather)
     assert(healthy.contains(""""adj_total":30.7400"""), healthy)
