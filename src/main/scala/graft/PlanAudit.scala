@@ -152,6 +152,53 @@ object PlanAudit {
     case _ => false
   }
 
+  /** Queries ALLOWED to execute a SortAggregate whose min/max/first/last
+    * runs over a NON-PRIMITIVE type (array/struct/map). Min/max/first over
+    * any non-primitive plans as SortAggregate, which SORTS its whole input
+    * WITH the row payload (the round-11 probe, SCALE.md §12) — fine over
+    * provably tiny tables, a silent scale-killer over data-sized input
+    * (the r15 Round10n lesson: the hidden sort lived inside checkpoint
+    * jobs where final-plan sweeps cannot see it, hence the listener-based
+    * capture below instead of plan dumps). Whitelist = the measured-tiny
+    * shapes only. */
+  private val sortAggWhitelist: Set[String] = Set(
+    // q143/q184: string max_by / multi-string group keys over ≤15k rows —
+    // sub-0.1 s stages in sub-0.7 s queries (measured round 15).
+    "q143_golden_record", "q184_collated_group",
+    // q211/q212 (BPE): global min(concat_ws(..)) over the tiny filtered
+    // pair table — sub-ms; the cost is the scripting floor, not the sort.
+    "q211_bpe_train", "q212_bpe_apply")
+
+  private def nonPrimitiveSortAggs(nodes: Seq[SparkPlan]): Seq[String] =
+    nodes.collect { case s: SortAggregateExec =>
+      s.aggregateExpressions.map(_.aggregateFunction).collect {
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate.Min
+          if !isPrimitive(f.dataType) => s"min(${f.dataType.simpleString.take(30)})"
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate.Max
+          if !isPrimitive(f.dataType) => s"max(${f.dataType.simpleString.take(30)})"
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate.First
+          if !isPrimitive(f.dataType) => s"first(${f.dataType.simpleString.take(30)})"
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate.Last
+          if !isPrimitive(f.dataType) => s"last(${f.dataType.simpleString.take(30)})"
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+          if !isPrimitive(f.dataType) => s"max_by(${f.dataType.simpleString.take(30)})"
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
+          if !isPrimitive(f.dataType) => s"min_by(${f.dataType.simpleString.take(30)})"
+      }
+    }.flatten
+
+  private def isPrimitive(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    // StringType is "non-primitive" here too: min/max over strings has an
+    // immutable agg buffer, so it also plans as SortAggregate (Min/Max are
+    // declarative, ObjectHashAggregate only takes typed-imperative) — the
+    // same sorts-the-whole-input hazard as arrays/structs.
+    case _: org.apache.spark.sql.types.ArrayType |
+         _: org.apache.spark.sql.types.StructType |
+         _: org.apache.spark.sql.types.MapType |
+         org.apache.spark.sql.types.StringType => false
+    case _ => true
+  }
+
   /** Walk the EXECUTED plan including adaptive and reused wrappers —
     * collect() on an AQE plan does not descend into query stages. */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
@@ -176,17 +223,39 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Capture EVERY executed QueryExecution — localCheckpoint
+    // materializations included (Dataset.checkpoint runs via withAction,
+    // which notifies this listener) — so the SortAggregate gate sees the
+    // subplans that final-plan dumps hide inside checkpoint jobs (the r15
+    // Round10n audit miss, CLAUDE.md "AUDIT NOTE").
+    val sideExec = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        sideExec.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
     var bad = Vector.empty[String]
-    println(f"${"query"}%-26s ${"exch"}%5s ${"bcast"}%5s ${"smj"}%4s ${"bhj"}%4s ${"nlj"}%4s ${"scans"}%5s ${"gwin"}%4s")
+    println(f"${"query"}%-26s ${"exch"}%5s ${"bcast"}%5s ${"smj"}%4s ${"bhj"}%4s ${"nlj"}%4s ${"scans"}%5s ${"gwin"}%4s ${"npsa"}%4s")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       try {
+        sideExec.clear()
         val df = fn(spark, sfDir)
         // drain the DataFrame's OWN plan so AQE finalizes THIS plan (a
         // derived count() would plan a separate query — CLAUDE.md gotcha)
         df.toLocalIterator().forEachRemaining(_ => ())
+        // listener bus is async: give the checkpoint-job notifications a
+        // beat to land before reading the side-execution queue
+        Thread.sleep(150)
+        import scala.jdk.CollectionConverters._
+        val sideNodes = sideExec.asScala.toVector.flatMap(allNodes)
         val nodes = allNodes(df.queryExecution.executedPlan)
+        val npsa = nonPrimitiveSortAggs(nodes ++ sideNodes)
+        if (npsa.nonEmpty && !sortAggWhitelist.contains(name))
+          bad :+= s"$name (non-primitive SortAggregate: ${npsa.distinct.mkString(", ")})"
         val globalWins = nodes.count {
           case w: WindowExec => w.partitionSpec.isEmpty
           case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
@@ -218,19 +287,20 @@ object PlanAudit {
         def n(pat: String) = pat.r.findAllIn(p).size
         println(f"$name%-26s ${n("Exchange")}%5d ${n("BroadcastExchange")}%5d " +
           f"${n("SortMergeJoin")}%4d ${n("BroadcastHashJoin")}%4d ${n("NestedLoop")}%4d " +
-          f"${n("FileScan|Scan parquet")}%5d $globalWins%4d")
+          f"${n("FileScan|Scan parquet")}%5d $globalWins%4d ${npsa.size}%4d")
       } catch { case e: Throwable => println(f"$name%-26s ERROR ${e.getMessage.take(60)}") }
     }
     spark.stop()
     if (bad.nonEmpty) {
       System.err.println(
         s"planaudit: ${bad.size} gate violation${if (bad.size == 1) "" else "s"} " +
-          s"(un-whitelisted unpartitioned Window or unbounded nested-loop/cartesian " +
-          s"join):\n  ${bad.mkString("\n  ")}\n" +
+          s"(un-whitelisted unpartitioned Window, unbounded nested-loop/cartesian " +
+          s"join, or non-primitive-min/max/first SortAggregate):\n  ${bad.mkString("\n  ")}\n" +
           "Either fix the plan (partition the window; bound the build side — a " +
-          "no-op .limit(n<=100) makes a key-bounded build structural) or add the " +
-          "query to the matching whitelist with a bounded-by-construction " +
-          "justification.")
+          "no-op .limit(n<=100) makes a key-bounded build structural; aggregate a " +
+          "PRIMITIVE encoded key and rejoin or column-split the payload — the " +
+          "Round10n/Round11 argmin discipline) or add the query to the matching " +
+          "whitelist with a measured-tiny / bounded-by-construction justification.")
       sys.exit(1)
     }
   }

@@ -95,14 +95,25 @@ object Audit {
         val qualCond = col("quality") >= 0.55 && col("n_toks") >= 10
         val langCond = col("lang").isin("en", "de", "fr", "es", "zh")
         val langKept = scored.where(qualCond && langCond)
-        // exact dedup: min doc_id per identical text, as a hash aggregate
-        // (map-side combined, no per-partition sort — a window row_number
-        // would sort every text group just to take row 1; min/min_by fold
-        // in O(1) per row). The count equals COUNT(DISTINCT text).
+        // exact dedup: min doc_id per identical text. The lang of the
+        // winning doc rides an ENCODED PRIMITIVE key — min(doc_id·8 +
+        // langIdx) has the same argmin as min(doc_id) (doc_ids unique,
+        // idx < 8) and decodes exactly. The previous min_by(lang, doc_id)
+        // was a struct-buffered declarative aggregate, which demoted the
+        // WHOLE exact-dedup to SortAggregate (sorts every kept row by
+        // text — the r16 PlanAudit non-primitive-SortAggregate gate
+        // caught it hiding inside this checkpoint job); the primitive
+        // form is a hash aggregate with map-side combine, O(1)/row.
+        // The count equals COUNT(DISTINCT text).
+        val langs = Seq("en", "de", "fr", "es", "zh") // langCond's exact domain
+        val langIdx = langs.zipWithIndex
+          .foldLeft(lit(7L)) { case (e, (l, i)) => when(col("lang") === l, i.toLong).otherwise(e) }
         val exact = langKept
           .groupBy("text")
-          .agg(min("doc_id").as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
-          .select("doc_id", "lang", "text")
+          .agg(min(col("doc_id") * 8 + langIdx).as("k"))
+          .select(expr("k DIV 8").as("doc_id"),
+            element_at(array(langs.map(lit): _*), (col("k") % 8).cast("int") + 1).as("lang"),
+            col("text"))
           .localCheckpoint() // feeds the pair build, the anti-join, and its own count
         val pairs = LlmExt2
           .minhashLshPairs(exact, threshold = 0.6, materialize = true, portableIds = true)

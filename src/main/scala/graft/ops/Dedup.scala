@@ -48,10 +48,10 @@ object Dedup {
     // Seed labels with min(self, direct neighbors) rather than self: the
     // groupBy replaces the identity seed's distinct (same shuffle, same
     // checkpoint job), and star/clique components — the common near-dup
-    // cluster shape — are then fully labeled BEFORE round 1, so the loop
-    // pays one less improving round (the fixpoint-confirming round
-    // remains). Label values stay component NODES (min over self+
-    // neighbors), which the shortcut join requires.
+    // cluster shape — are then fully labeled BEFORE round 1, so the
+    // seed-level consistency check below ends the loop with ZERO rounds.
+    // Label values stay component NODES (min over self+neighbors), which
+    // the shortcut join requires.
     // (Round 10 measured a 2-hop seed — one pointer jump folded into the
     // seed job via union-then-regroup. It cut round-1 improvements ~4×
     // but removed NO round on the bench graph: the deep-chain stragglers
@@ -61,47 +61,65 @@ object Dedup {
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
 
-    var converged = false
+    // Convergence test, EXACT and round-free (r16 opt): labels are at the
+    // min-label fixpoint iff every edge's endpoints carry EQUAL labels —
+    // label values are always member ids of the node's own component and
+    // per-node monotone non-increasing, so for a component with min id m,
+    // l(m) <= m and every label >= m; all-equal therefore forces the
+    // common value to be m. The previous scheme read convergence out of an
+    // accumulator fed by a per-row UDF on the round output, which (a)
+    // needed one extra full ROUND that improved nothing just to observe
+    // acc == 0 — ~1 s of pure job overhead per declared CC query at bench
+    // scale — and (b) wrapped every emitted row in an interpreted Scala
+    // UDF, breaking whole-stage codegen of the round's final projection.
+    // On a small graph the check is ~2 jobs: p0 (one direction suffices;
+    // equality is symmetric) probes the labels TWICE in one pipelined
+    // stage, and the two broadcast builds are the same bare checkpointed
+    // plan with the same key, so ReuseExchange collapses them to one.
+    // The broadcast is DATA-ADAPTIVE, not a blanket hint: one cheap count
+    // on the already-checkpointed pairs (labels ≤ 2·|pairs| rows, so
+    // 2M pairs bounds the build at ~tens of MB) gates it — beyond that
+    // the same plan runs partitioned joins, which is still strictly
+    // cheaper than the full confirming round it replaces (hint-free at
+    // bench scale, AQE materializes 2 extra shuffle-stage jobs per check
+    // — measured q221 31 → 37 jobs — hence the gate instead of no hint).
+    // The check also runs on the SEED, so clique/star graphs — the common
+    // near-dup cluster shape, fully labeled by the 1-hop seed — now run
+    // ZERO rounds (DedupClustersSpec locks that).
+    val smallGraph = p0.count() < 2e6.toLong
+    def consistent(l: DataFrame): Boolean = {
+      def side(a: String) = if (smallGraph) broadcast(l.as(a)) else l.as(a)
+      p0.join(side("x"), col("src") === col("x.node"))
+        .join(side("y"), col("dst") === col("y.node"))
+        .where(col("x.label") =!= col("y.label"))
+        .isEmpty
+    }
+
+    var converged = consistent(labels)
     var i = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && i < maxIter) {
       val tR0 = System.nanoTime()
       val propagated = labels
         .join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+        .select(col("dst").as("node"), col("label"))
       // Pointer jumping: every label is itself a node (component minima are
       // member ids), so node can adopt its label's label — information
       // travels 2^k hops after k rounds instead of k.
       val shortcut = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.label").as("label"),
-          lit(false).as("own"))
-      // Convergence is read out of the SAME aggregation that computes the
-      // new labels (each node has exactly one own=true row, so
-      // min(own label) is the previous label) — one cheap count over the
-      // checkpointed result instead of a second join+count job per round.
+        .select(col("a.node").as("node"), col("b.label").as("label"))
       val once = labels
-        .select(col("node"), col("label"), lit(true).as("own"))
+        .select(col("node"), col("label"))
         .unionAll(propagated)
         .unionAll(shortcut)
         .groupBy("node")
-        .agg(min("label").as("label"), min(when(col("own"), col("label"))).as("prev"))
+        .agg(min("label").as("label"))
       // Second jump WITHIN the round, on the just-updated labels: reach per
       // round goes from 2(r+1) to 4(r+1) hops, and the dominant cost of a
       // round at bench scale — the fixed localCheckpoint/job overhead, ~1 s
       // regardless of data size — is paid once for both jumps. At cluster
       // scale this is the same total join work in ~half the sync barriers.
-      // `prev` survives the re-group: each node has exactly one `once` row
-      // carrying it and min() ignores the jump rows' nulls.
-      // Convergence piggybacks on the checkpoint's own materialization job
-      // via an accumulator (no separate isEmpty job per round). The
-      // accumulator can only err toward MORE rounds (a task retry
-      // double-counts an improvement), never toward early exit, so the
-      // fixpoint guarantee is unchanged.
-      val acc = pairs.sparkSession.sparkContext.longAccumulator(s"cc-improved-$i")
-      val improved = udf { (label: Long, prev: java.lang.Long) =>
-        if (prev == null || label < prev.longValue) acc.add(1L); label
-      }
       // After the groupBy every node has EXACTLY ONE row, so a jump is a
       // pure function composition: inner-join label→(that node's label) and
       // take the target's label (labels are monotone: l(l(x)) <= l(x), and
@@ -120,16 +138,14 @@ object Dedup {
         .unionAll(once.as("a")
           .join(once.select(col("node").as("jn"), col("label").as("jl")),
             col("a.label") === col("jn"))
-          .select(col("a.node").as("node"), col("jl").as("label"),
-            lit(null).cast("long").as("prev")))
+          .select(col("a.node").as("node"), col("jl").as("label")))
         .groupBy("node")
-        .agg(min("label").as("label"), min("prev").as("prev"))
-        .select(col("node"), improved(col("label"), col("prev")).as("label"))
+        .agg(min("label").as("label"))
         .localCheckpoint()
-      converged = acc.value == 0L
       labels = next
+      converged = consistent(labels)
       i += 1
-      if (dbg) println(f"[cc] round $i ${(System.nanoTime() - tR0) / 1e9}%.2f s improved=${acc.value}")
+      if (dbg) println(f"[cc] round $i ${(System.nanoTime() - tR0) / 1e9}%.2f s converged=$converged")
     }
     // Unconverged labels would silently over- or under-dedup downstream
     // (dedupByCluster keeps docs whose cluster merge never propagated).

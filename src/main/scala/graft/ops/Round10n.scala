@@ -42,6 +42,22 @@ object Round10n {
       .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("q"))
       .select(col("vec_id"), col("s"), expr("slice(q, 8 * s + 1, 8)").as("v"))
 
+  /** Spread a byte-small, CPU-heavy probe table across real tasks before a
+    * broadcast-join expansion (the q97/q40/q83 lesson, r16 edition): the
+    * embeddings parquet is one split, so every training assign's ×kc
+    * distE expansion + argmin partial — 43M rows for q254's Σkc = 336 —
+    * ran INSIDE the single scan task (measured: the 3 assign jobs were
+    * 0.8–1.2 s each with 31 idle cores; job trace r16). An explicit
+    * numbered repartition is never coalesced by AQE; the width comes from
+    * spark.sql.shuffle.partitions (cpus-derived in the bench contract),
+    * not a hard-coded local constant. GATED on expansion width kc > 64:
+    * at kc = 16 (q205/q206/pqEncode) the ×16 expansion is ~2M rows and
+    * the 3–4 repartition round-trips COST more than the parallelism buys
+    * (measured back-to-back: q205 1.61 → 3.09 s, q206 1.97 → 2.50 with
+    * an unconditional spread; q254's Σkc = 336 chain 3.6 → 3.1 s). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
   /** Assign every (vec_id, s) row to its nearest centroid of `cent`
     * (columns s, j, c): returns (vec_id, s, code, dist, v1..v8).
     * r15 opt: the aggregate carries ONLY PRIMITIVES — the encoded argmin
@@ -103,7 +119,7 @@ object Round10n {
     // dropping both + the codegen'd distE cut q205/q206 ~3.5 → ~2.9 s
     // warm on the same contended window; the residual is the 2 training
     // checkpoints + ~6 shuffle barriers, constant in corpus size).
-    val sub = pqSub(emb)
+    val sub = if (kc > 64) spread(pqSub(emb)) else pqSub(emb)
     val c0 = sub.where(col("vec_id") < kc)
       .select(col("s"), col("vec_id").as("j"), col("v").as("c"))
     val c1 = update(assign(sub, c0), c0).localCheckpoint()
@@ -157,7 +173,8 @@ object Round10n {
     val spark = emb.sparkSession
     import spark.implicits._
     val levels = kcs.map(_.toLong).toDF("kc")
-    val subK = pqSub(emb).crossJoin(broadcast(levels))
+    val subK = (if (kcs.sum > 64) spread(pqSub(emb)) else pqSub(emb))
+      .crossJoin(broadcast(levels))
     val c0 = subK.where(col("vec_id") < col("kc"))
       .select(col("kc"), col("s"), col("vec_id").as("j"), col("v").as("c"))
     val c1 = updateK(assignK(subK, c0), c0).localCheckpoint()

@@ -69,19 +69,44 @@ object Round11 {
     * gate (centroids come from filters/checkpoints whose maxRows the
     * optimizer can't see, so the limit is NOT folded away).
     *
-    * The aggregate carries ONLY the primitive key: a min("v") alongside
-    * would demote the whole aggregation to SortAggregate (min over any
+    * The aggregate carries ONLY PRIMITIVES: a min("v") alongside would
+    * demote the whole aggregation to SortAggregate (min over any
     * non-primitive type does — probed round 11, SCALE.md §12), sorting
-    * the ×nlist expansion WITH the vector payload; the payload rejoins
-    * by id instead. */
-  private[graft] def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame =
-    v.crossJoin(broadcast(cent.limit(nlist)))
+    * the ×nlist expansion WITH the vector payload.
+    *
+    * HOW v reattaches is nlist-GATED (r16 opt, both branches measured):
+    *  - nlist ≤ 16 (the IVF family's fixed 8-list quantizer): the 64 dims
+    *    ride as separate min(element_at(v, i)) long columns — constant
+    *    within their vec_id group, so the min IS the vector — and the
+    *    array is rebuilt in the projection. Kills the vec_id rejoin of
+    *    the vector table (2 jobs per call at bench; a payload-wide
+    *    shuffle at cluster scale) for ~65 agg-slot updates per expansion
+    *    row, cheap when the expansion is only ×8.
+    *  - large nlist (semdedup's N/500, silh's 64): keep the narrow
+    *    min(key) aggregate + one vec_id rejoin. The wide form on a
+    *    ×nlist expansion does 65·nlist slot updates per VECTOR — measured
+    *    28.8 s vs 16.7 s at the semdedup 250k/500-list point (clean
+    *    window, signbucket control on its recorded floor) when round 16
+    *    first tried it unconditionally.
+    * Contract for the wide branch: v is the 64-dim quantized grid —
+    * every ≤16-list caller passes Tables-derived 64-dim embeddings. */
+  private[graft] def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame = {
+    val keyed = v.crossJoin(broadcast(cent.limit(nlist)))
       .withColumn("key", cDist(col("v"), col("c")) * lit(nlist.toLong) + col("j"))
-      .groupBy("vec_id")
-      .agg(min("key").as("key"))
-      .select(col("vec_id"), (col("key") % nlist).as("list_id"))
-      .join(v, Seq("vec_id"))
-      .select(col("vec_id"), col("v"), col("list_id"))
+    if (nlist <= 16)
+      keyed.groupBy("vec_id")
+        .agg(min("key").as("key"),
+          (1 to 64).map(i => min(expr(s"element_at(v, $i)")).as(s"v$i")): _*)
+        .select(col("vec_id"),
+          array((1 to 64).map(i => col(s"v$i")): _*).as("v"),
+          (col("key") % nlist).as("list_id"))
+    else
+      keyed.groupBy("vec_id")
+        .agg(min("key").as("key"))
+        .select(col("vec_id"), (col("key") % nlist).as("list_id"))
+        .join(v, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("list_id"))
+  }
 
   /** One Lloyd update of the coarse codebook: per-(list, dim) FLOOR(mean)
     * on the quantized grid; empty lists keep their previous centroid. The
@@ -100,19 +125,24 @@ object Round11 {
   /** Assign every (vec_id, list_id, s) residual subvector to its nearest
     * per-subspace centroid: equi-join on s against the broadcast ≤(16·k)-row
     * codebook, argmin through the encoded PRIMITIVE key (same SortAggregate
-    * avoidance as cAssign — the subvector rejoins from `sub` where the
-    * update step needs it). Returns (vec_id, list_id, s, code). */
+    * avoidance as cAssign). r16 opt: the 4 subvector dims ride as separate
+    * min(element_at(v, i)) columns — constant within their group, so the
+    * min IS the subvector — which removes [[pUpdate]]'s previous rejoin of
+    * `sub` (an N·16-row shuffle join per training pass; the codes-only
+    * consumer prunes the v columns away). Returns
+    * (vec_id, list_id, s, code, v1..v4). */
   private def pAssign(sub: DataFrame, cent: DataFrame, k: Int): DataFrame =
     sub.join(broadcast(cent), Seq("s"))
       .withColumn("key", expr(distE(4)) * lit(k.toLong) + col("j"))
       .groupBy("vec_id", "list_id", "s")
-      .agg(min("key").as("key"))
-      .select(col("vec_id"), col("list_id"), col("s"),
-        (col("key") % k).as("code"))
+      .agg(min("key").as("key"),
+        (1 to 4).map(i => min(expr(s"element_at(v, $i)")).as(s"v$i")): _*)
+      .select(col("vec_id") +: col("list_id") +: col("s") +:
+        (col("key") % k).as("code") +: (1 to 4).map(i => col(s"v$i")): _*)
 
-  private def pUpdate(assigned: DataFrame, sub: DataFrame, prev: DataFrame): DataFrame = {
-    val sums = (1 to 4).map(i => sum(expr(s"element_at(v, $i)")).as(s"sx$i"))
-    val newC = assigned.join(sub, Seq("vec_id", "list_id", "s"))
+  private def pUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = (1 to 4).map(i => sum(col(s"v$i")).as(s"sx$i"))
+    val newC = assigned
       .groupBy(col("s"), col("code").as("j"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("s"), col("j"), array((1 to 4).map(i =>
@@ -166,7 +196,7 @@ object Round11 {
         expr("slice(r, 4 * s + 1, 4)").as("v"))
     val p0 = sub.where(col("vec_id") < 16)
       .select(col("s"), col("vec_id").as("j"), col("v").as("c"))
-    val p1 = pUpdate(pAssign(sub, p0, 16), sub, p0).localCheckpoint()
+    val p1 = pUpdate(pAssign(sub, p0, 16), p0).localCheckpoint()
     val packed = pAssign(sub, p1, 16)
       .groupBy("vec_id", "list_id")
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),

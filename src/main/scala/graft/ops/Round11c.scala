@@ -220,10 +220,15 @@ object Round11c {
           // per-round checkpoint (the Dedup.dupClusters discipline): each
           // round references e twice (degree agg + join-back), so an
           // un-checkpointed round replays the whole prior ladder per
-          // reference — measured 4.2 s warm without, at bench scale
-          e = e.join(keep.withColumnRenamed("kn", "x"), Seq("x"))
-            .join(keep.withColumnRenamed("kn", "y"), Seq("y"))
-            .select("x", "y")
+          // reference — measured 4.2 s warm without, at bench scale.
+          // r16 opt: both endpoint filters are LEFT SEMI joins against the
+          // IDENTICAL keep subplan (no renamed projection on the build
+          // side), so the two broadcast builds canonicalize equal and
+          // ReuseExchange collapses them — the degree aggregate ran TWICE
+          // per round before (measured: 2 × ~0.14 s build jobs per round,
+          // job trace), now once.
+          e = e.join(keep.as("ka"), col("x") === col("ka.kn"), "left_semi")
+            .join(keep.as("kb"), col("y") === col("kb.kn"), "left_semi")
             .localCheckpoint()
         }
         e.groupBy("x").agg(count(lit(1)).as("core_deg"))

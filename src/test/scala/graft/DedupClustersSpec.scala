@@ -72,15 +72,16 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(q66.count() == q66.select("doc_id").distinct().count())
   }
 
-  test("min-neighbor seed: a clique converges with maxIter = 1") {
+  test("min-neighbor seed: a clique converges with ZERO rounds (maxIter = 0)") {
     // The seed labels every star/clique member with the component min
-    // BEFORE round 1, so the single allowed round is purely confirming —
-    // an identity seed would still be improving and maxIter = 1 would
-    // throw. Locks the one-less-round win the seed buys on the common
-    // near-dup cluster shape.
+    // BEFORE round 1 and the edge-consistency check observes it on the
+    // seed itself, so NO propagation round runs at all — maxIter = 0
+    // would throw if either the seed or the seed-level check broke.
+    // Locks the zero-round win on the common near-dup cluster shape
+    // (r15 and earlier paid one full confirming round here).
     val clique = Seq((5L, 6L), (5L, 7L), (6L, 7L), (20L, 21L))
       .toDF("doc_a", "doc_b")
-    val labels = Dedup.dupClusters(clique, maxIter = 1).as[(Long, Long)].collect().toMap
+    val labels = Dedup.dupClusters(clique, maxIter = 0).as[(Long, Long)].collect().toMap
     assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
   }
 }
