@@ -69,44 +69,30 @@ object Round11 {
     * gate (centroids come from filters/checkpoints whose maxRows the
     * optimizer can't see, so the limit is NOT folded away).
     *
-    * The aggregate carries ONLY PRIMITIVES: a min("v") alongside would
-    * demote the whole aggregation to SortAggregate (min over any
+    * The aggregate carries ONLY the primitive key: a min("v") alongside
+    * would demote the whole aggregation to SortAggregate (min over any
     * non-primitive type does — probed round 11, SCALE.md §12), sorting
-    * the ×nlist expansion WITH the vector payload.
+    * the ×nlist expansion WITH the vector payload; the payload rejoins
+    * by id instead.
     *
-    * HOW v reattaches is nlist-GATED (r16 opt, both branches measured):
-    *  - nlist ≤ 16 (the IVF family's fixed 8-list quantizer): the 64 dims
-    *    ride as separate min(element_at(v, i)) long columns — constant
-    *    within their vec_id group, so the min IS the vector — and the
-    *    array is rebuilt in the projection. Kills the vec_id rejoin of
-    *    the vector table (2 jobs per call at bench; a payload-wide
-    *    shuffle at cluster scale) for ~65 agg-slot updates per expansion
-    *    row, cheap when the expansion is only ×8.
-    *  - large nlist (semdedup's N/500, silh's 64): keep the narrow
-    *    min(key) aggregate + one vec_id rejoin. The wide form on a
-    *    ×nlist expansion does 65·nlist slot updates per VECTOR — measured
-    *    28.8 s vs 16.7 s at the semdedup 250k/500-list point (clean
-    *    window, signbucket control on its recorded floor) when round 16
-    *    first tried it unconditionally.
-    * Contract for the wide branch: v is the 64-dim quantized grid —
-    * every ≤16-list caller passes Tables-derived 64-dim embeddings. */
-  private[graft] def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame = {
-    val keyed = v.crossJoin(broadcast(cent.limit(nlist)))
+    * r16 NEGATIVE RESULT, measured and kept as the decision record: a
+    * "wide" variant carrying the 64 dims as min(element_at(v, i))
+    * columns (no rejoin, 2 fewer jobs per call) was tried and REVERTED —
+    * the 65-slot partial aggregate runs inside the single parquet-scan
+    * task and LOST to the rejoin at bench scale in an interleaved A/B
+    * (q219 2.93→3.49 s, q246 2.54→3.21 s warm floors, same window), was
+    * only a wash at 250k vectors (isolated noop-sink A/B), and was 1.7×
+    * WORSE at the semdedup 250k/500-list point (65·nlist slot updates
+    * per vector). The narrow-key + rejoin form wins or ties everywhere
+    * it was measured. */
+  private[graft] def cAssign(v: DataFrame, cent: DataFrame, nlist: Int): DataFrame =
+    v.crossJoin(broadcast(cent.limit(nlist)))
       .withColumn("key", cDist(col("v"), col("c")) * lit(nlist.toLong) + col("j"))
-    if (nlist <= 16)
-      keyed.groupBy("vec_id")
-        .agg(min("key").as("key"),
-          (1 to 64).map(i => min(expr(s"element_at(v, $i)")).as(s"v$i")): _*)
-        .select(col("vec_id"),
-          array((1 to 64).map(i => col(s"v$i")): _*).as("v"),
-          (col("key") % nlist).as("list_id"))
-    else
-      keyed.groupBy("vec_id")
-        .agg(min("key").as("key"))
-        .select(col("vec_id"), (col("key") % nlist).as("list_id"))
-        .join(v, Seq("vec_id"))
-        .select(col("vec_id"), col("v"), col("list_id"))
-  }
+      .groupBy("vec_id")
+      .agg(min("key").as("key"))
+      .select(col("vec_id"), (col("key") % nlist).as("list_id"))
+      .join(v, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("list_id"))
 
   /** One Lloyd update of the coarse codebook: per-(list, dim) FLOOR(mean)
     * on the quantized grid; empty lists keep their previous centroid. The

@@ -390,6 +390,14 @@ object Series {
         // Bucket math is Spark-internal (the oracle keeps its single
         // window) so the double floor needs no cross-engine portability —
         // only determinism, which floor(exact-decimal→double / const) has.
+        // r16: grouped is CHECKPOINTED — it has three consumers (the
+        // in-bucket window, the bucket carry, the totals), and
+        // un-checkpointed each one replayed the 600k-row lineitem scan +
+        // (flag, price) aggregate (measured: 3 × ~0.4 s of q121's ~1.5 s
+        // count phase; the distinct-price table is price-domain-bounded,
+        // ~200k rows, so the checkpoint is small at any corpus size).
+        // totals now derives from the ~100-row bucket aggregate instead
+        // of a third pass over grouped — identical exact integer sums.
         val grouped = lineitem(s, d)
           .select(col("l_returnflag"),
             col("l_extendedprice").cast(graft.Det.D).as("v"),
@@ -398,15 +406,17 @@ object Series {
           .agg(sum("q").as("w"))
           .withColumn("b",
             floor(col("v").cast("double") / 3300.0).cast("long"))
+          .localCheckpoint()
         val wIn = Window.partitionBy("l_returnflag", "b").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wCarry = Window.partitionBy("l_returnflag").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val carry = grouped.groupBy("l_returnflag", "b")
+        val bAgg = grouped.groupBy("l_returnflag", "b")
           .agg(sum("w").as("bw"))
+        val carry = bAgg
           .withColumn("pre", coalesce(sum("bw").over(wCarry), lit(0L)))
           .select("l_returnflag", "b", "pre")
-        val totals = grouped.groupBy("l_returnflag").agg(sum("w").as("tw"))
+        val totals = bAgg.groupBy("l_returnflag").agg(sum("bw").as("tw"))
         grouped
           .withColumn("cw_local", sum("w").over(wIn))
           .join(broadcast(carry), Seq("l_returnflag", "b"))
